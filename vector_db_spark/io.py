@@ -1,0 +1,58 @@
+"""Fixture-table loading.
+
+The driver materializes the tables described in FIXTURES.md at
+``/root/testdata/sf{0.001,0.01,0.1}/<table>.parquet``. Parquet is this
+engine's at-rest format — it supplies for free what the reference hand-rolls:
+column-group splitting (reference storage.py:135-181 hot/cold layers →
+Parquet column pruning), validity scans (storage.py:148-159 → unnecessary),
+and zero-copy projection (storage.py:254-259 → vectorized Parquet reader).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain ``spark.read.parquet`` so Catalyst gets
+    full pushdown/pruning; no schema inference cost (Parquet is self-described).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's reader
+    rejects; read nanos as long and convert to a microsecond timestamp
+    (truncation — matching how a DuckDB/pandas consumer sees the values).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

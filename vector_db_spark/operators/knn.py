@@ -1,0 +1,177 @@
+"""Exact k-NN search as a similarity join.
+
+Reference behavior: a query is embedded, optionally metadata-filtered, then
+matched against every candidate with an exact distance and sorted
+(brute-force inner loops at ``/root/reference/src/vector_db/indexing/
+ivf.py:174-198``; one-query-per-HTTP-call at ``api/app.py:165-233``). Here a
+*table* of queries joins a *table* of corpus vectors — the batch/similarity-
+join form (SURVEY.md §2.3 V2/V15).
+
+Two physical strategies, same results:
+
+- ``impl="sql"``: broadcast the (small) query side, cross-join the corpus,
+  native-SQL distance, windowed top-k. Entirely JVM-side; the plan is
+  BroadcastNestedLoopJoin → WholeStageCodegen distance → shuffle of
+  (n_queries x corpus) rows for the per-query window. Exact and
+  oracle-checkable, but the window shuffle carries every scored pair.
+- ``impl="batch"``: the 100 TB path. Queries are broadcast to executors as a
+  numpy matrix; a ``mapInPandas`` kernel scores each corpus Arrow batch
+  against all queries vectorized (BLAS) and emits only the per-batch top-k
+  per query, so the shuffle carries at most ``k * n_queries * n_batches``
+  rows into the final exact top-k — a map-side partial top-k, the same idea
+  as Spark's TakeOrderedAndProject but per query group.
+
+Distances are rounded (default 6 dp) and ties broken by neighbor id, making
+the result set deterministic and engine-independent.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.distance import METRICS
+from vector_db_spark.operators.topk import top_k_per_group
+
+_BATCH_SCHEMA = "query_id long, neighbor_id long, dist double"
+
+
+def _numpy_distances(metric: str, corpus: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """(n_corpus, n_queries) distance matrix in float64.
+
+    Euclidean uses the explicit difference form (not the ``a^2+b^2-2ab``
+    expansion) so values agree with the sequential-fold SQL expression to
+    well under the output rounding.
+    """
+    if metric in ("euclidean", "sqeuclidean"):
+        # chunk queries to bound the (n, q, d) intermediate
+        out = np.empty((corpus.shape[0], queries.shape[0]), dtype=np.float64)
+        step = max(1, int(4e7 // (corpus.shape[0] * corpus.shape[1] + 1)))
+        for s in range(0, queries.shape[0], step):
+            diff = corpus[:, None, :] - queries[None, s : s + step, :]
+            out[:, s : s + step] = np.einsum("nqd,nqd->nq", diff, diff)
+        return out if metric == "sqeuclidean" else np.sqrt(out)
+    if metric == "cosine":
+        cn = np.linalg.norm(corpus, axis=1, keepdims=True)
+        qn = np.linalg.norm(queries, axis=1, keepdims=True)
+        return 1.0 - (corpus @ queries.T) / (cn * qn.T)
+    if metric == "dot":
+        return -(corpus @ queries.T)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    metric: str = "euclidean",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "batch",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact k nearest corpus rows per query row.
+
+    Returns columns ``(query_id, neighbor_id, dist, rank)``. The query side
+    must be the small side (it is broadcast / collected); the corpus side is
+    never collected and may be arbitrarily large.
+    """
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}; choose from {sorted(METRICS)}")
+    if impl == "sql":
+        scored = corpus.crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(query_vec_col).alias("__qv"),
+                )
+            )
+        ).select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            METRICS[metric](F.col("__qv"), F.col(vec_col)).alias("dist"),
+        )
+    elif impl == "batch":
+        scored = _batch_score(
+            queries, corpus, k,
+            metric=metric, query_id_col=query_id_col, query_vec_col=query_vec_col,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+
+    if round_to is not None:
+        scored = scored.withColumn("dist", F.round("dist", round_to))
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+    )
+
+
+def _batch_score(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    metric: str,
+    query_id_col: str,
+    query_vec_col: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Map-side scored + partially-top-k'd (query, neighbor, dist) triples."""
+    qrows = queries.select(query_id_col, query_vec_col).collect()  # small side only
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], _BATCH_SCHEMA)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cvecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            dists = _numpy_distances(metric, cvecs, mat)  # (n, q)
+            kk = min(k, dists.shape[0])
+            # per-query partial top-k within this batch (argpartition = O(n))
+            idx = np.argpartition(dists, kk - 1, axis=0)[:kk, :]  # (kk, q)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids[None, :], kk, axis=0).ravel(),
+                    "neighbor_id": cids[idx].ravel(),
+                    "dist": np.take_along_axis(dists, idx, axis=0).ravel(),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, _BATCH_SCHEMA)
+
+
+def knn_self(
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    n_queries: int = 20,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "batch",
+) -> DataFrame:
+    """k-NN of the first ``n_queries`` corpus vectors (by id) against the
+    whole corpus — the flagship self-join query (SURVEY.md §7 Phase 0)."""
+    queries = (
+        corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+        .filter(F.col("query_id") < n_queries)
+    )
+    return knn_join(
+        queries, corpus, k, metric=metric, id_col=id_col, vec_col=vec_col, impl=impl
+    )
