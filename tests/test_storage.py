@@ -1,0 +1,92 @@
+"""NodeTable CRUD tests — the reference's storage test surface
+(tests/services/test_storage_service.py:15-151,
+tests/inference/test_mmap_vector_store.py:29-385) on Parquet."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.storage import NODE_SCHEMA, NodeTable
+
+
+def _nodes(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in e], c, m) for i, e, c, m in rows], NODE_SCHEMA
+    )
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    t = NodeTable(spark, str(tmp_path / "nodes"), dim=4)
+    t.init(
+        _nodes(
+            spark,
+            [
+                (1, [1, 0, 0, 0], "Red Apple", {"color": "red", "kind": "fruit"}),
+                (2, [0, 1, 0, 0], "Green Apple", {"color": "green", "kind": "fruit"}),
+                (3, [0, 0, 1, 0], "Red Car", {"color": "red", "kind": "car"}),
+            ],
+        )
+    )
+    return t
+
+
+def test_roundtrip_and_reopen(spark, table):
+    """Write → reopen → identical contents (persistence across 'restarts')."""
+    reopened = NodeTable(spark, table.path)
+    rows = {r.id: r for r in reopened.df().collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].content == "Red Apple"
+    assert rows[1].metadata == {"color": "red", "kind": "fruit"}
+    assert rows[2].embedding == [0.0, 1.0, 0.0, 0.0]
+
+
+def test_point_lookup_and_projection(table):
+    assert table.get(2).collect()[0].content == "Green Apple"
+    emb = table.get_embedding(3).collect()
+    assert len(emb) == 1 and emb[0].embedding == [0.0, 0.0, 1.0, 0.0]
+    assert table.get(99).count() == 0  # missing id → empty, not error
+    assert table.size() == 3
+
+
+def test_metadata_filter_conjunction(table):
+    """Reference semantics: ALL pairs must match ('Green Apple' excluded when
+    filtering color=red — test_search_api.py:149-172)."""
+    ids = {r.id for r in table.filter_by_metadata({"color": "red"}).collect()}
+    assert ids == {1, 3}
+    ids = {r.id for r in table.filter_by_metadata({"color": "red", "kind": "fruit"}).collect()}
+    assert ids == {1}
+    assert table.filter_by_metadata({"color": "blue"}).count() == 0
+
+
+def test_append_and_next_id(spark, table):
+    newbies = _nodes(spark, [(-1, [1, 1, 0, 0], "Blue Bike", {"color": "blue"})]).drop("id")
+    table.append_with_ids(newbies.select(F.lit(None).cast("long").alias("id"), "*").drop("id"))
+    assert table.size() == 4
+    assert {r.id for r in table.all_ids().collect()} == {1, 2, 3, 4}
+
+
+def test_upsert_replaces(spark, table):
+    table.upsert(_nodes(spark, [(2, [9, 9, 9, 9], "Ripe Apple", {"color": "yellow"})]))
+    assert table.size() == 3
+    assert table.get(2).collect()[0].content == "Ripe Apple"
+
+
+def test_delete(spark, table):
+    table.delete([1, 3])
+    assert {r.id for r in table.df().collect()} == {2}
+
+
+def test_dim_validation(spark, table):
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        table.append(_nodes(spark, [(9, [1, 2, 3], "short", {})]))
+
+
+def test_zero_vector_is_not_a_free_slot(spark, table):
+    """The reference misclassifies all-zero embeddings as free slots
+    (storage.py:183-196); we deliberately don't."""
+    table.append(_nodes(spark, [(10, [0, 0, 0, 0], "zero", {})]))
+    assert table.get(10).count() == 1
+    table.delete([2])
+    assert table.get(10).count() == 1  # survives an unrelated rewrite

@@ -1,0 +1,599 @@
+"""Relational surface queries (SURVEY.md §2.9 "free with Spark", plus the
+reference's filter/lookup/stats operators F1-F4, S3-S6, A1-A2 re-expressed on
+the fixture star schema).
+
+Oracle-parity discipline (every query here is hash-checked against DuckDB):
+
+- **Aggregates of doubles go through DECIMAL.** ``sum(double)`` is
+  summation-order-dependent, and Spark's partial aggregation order is
+  nondeterministic across partitions. ``CAST(SUM(CAST(x AS DECIMAL(18,4)))
+  AS DOUBLE)`` is exact integer arithmetic in both engines, then one
+  well-defined rounding to double — bit-identical regardless of plan or
+  parallelism. This also holds at 1000 executors, where a float sum would
+  drift run-to-run.
+- **Every ORDER BY used for top-k is a total order** (unique tiebreaker).
+- **Timestamp arithmetic in integer microseconds** (``unix_micros`` /
+  ``epoch_us``), never float seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_db_spark.io import load_table, register_views
+from vector_db_spark.queries import register
+
+
+def _dec_sum(col_expr: str, alias: str, scale: int = 4) -> F.Column:
+    return (
+        F.sum(F.expr(f"CAST({col_expr} AS DECIMAL(18,{scale}))"))
+        .cast("double")
+        .alias(alias)
+    )
+
+
+# --- F1: metadata equality-conjunction filter (reference
+# services/storage_service.py:106-128) on the documents table ---------------
+
+@register(
+    "doc_filter_eq",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE source = 'src3' AND lang = 'en'
+""",
+)
+def doc_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All metadata key=value pairs must match — plain Catalyst predicates,
+    pushed down to the Parquet scan (PushedFilters in .explain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter((F.col("source") == "src3") & (F.col("lang") == "en")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# --- JSON metadata extraction (reference parses metadata JSON at
+# storage.py:245; events.props is the JSON-string column) -------------------
+
+@register(
+    "events_json_filter",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
+  AND event_type = 'purchase'
+""",
+)
+def events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k_val", k)
+        .filter((F.col("k_val") >= 95) & (F.col("event_type") == "purchase"))
+        .select("event_id", "event_type", "k_val")
+    )
+
+
+# --- S3: point lookup by id (reference storage.py:232-252) ------------------
+
+@register(
+    "point_lookup",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 42)
+
+
+# --- S5/S6 + A1/A2: id scan, counts, cluster statistics (reference
+# ivf.py:201-215 get_cluster_size / get_cluster_stats) -----------------------
+
+@register(
+    "cluster_stats",
+    oracle="""
+WITH sizes AS (
+  SELECT label AS cluster_id, COUNT(*)::BIGINT AS cluster_size
+  FROM embeddings GROUP BY label
+)
+SELECT COUNT(*)::BIGINT AS n_clusters,
+       MIN(cluster_size) AS min_size,
+       MAX(cluster_size) AS max_size,
+       CAST(SUM(cluster_size) AS DOUBLE) / COUNT(*) AS avg_size,
+       SUM(cluster_size)::BIGINT AS total_vectors
+FROM sizes
+""",
+)
+def cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg cluster size + totals, the reference's index stats
+    endpoint, using the label column as the cluster assignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sizes = emb.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.agg(
+        F.count("*").alias("n_clusters"),
+        F.min("cluster_size").alias("min_size"),
+        F.max("cluster_size").alias("max_size"),
+        (F.sum("cluster_size").cast("double") / F.count("*")).alias("avg_size"),
+        F.sum("cluster_size").alias("total_vectors"),
+    )
+
+
+@register(
+    "cluster_sizes",
+    oracle="""
+SELECT label AS cluster_id, COUNT(*)::BIGINT AS cluster_size
+FROM embeddings GROUP BY label
+""",
+)
+def cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cardinality (reference ivf.py:201-205)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+
+
+# --- TPC-H-shaped aggregation (Q1): wide agg with decimal-exact sums --------
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum("l_quantity", "sum_qty", scale=6),
+        _dec_sum("l_extendedprice", "sum_base_price", scale=6),
+        _dec_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price", scale=6),
+        _dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge", scale=6),
+        (F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(F.expr("CAST(l_discount AS DECIMAL(18,6))")).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- TPC-H-shaped join + top-k (Q3): 3-way join, revenue ranking ------------
+
+@register(
+    "top_revenue_orders",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer (dim, broadcast) ⋈ orders ⋈ lineitem; at scale the
+    orders⋈lineitem side is a shuffle join on the join key while customer
+    broadcasts — Catalyst picks this given the size stats."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H-shaped multiway join (Q5): snowflake revenue rollup --------------
+
+@register(
+    "regional_revenue",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+""",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way snowflake join: the three dims broadcast; lineitem⋈orders is
+    the only shuffle. Filter on orders prunes before the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dec_sum("l_extendedprice * (1 - l_discount)", "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- semi / anti joins (F2's id-set membership, NOT EXISTS) -----------------
+
+@register(
+    "urgent_customers_semi",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+                AND o.o_totalprice > 300000)
+""",
+)
+def urgent_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "parts_never_shipped_anti",
+    oracle="""
+SELECT p_partkey, p_name, p_brand
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+                  AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                  AND l.l_shipdate < TIMESTAMP '1995-07-01 00:00:00')
+""",
+)
+def parts_never_shipped_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+# --- window functions: per-group top-k and running totals -------------------
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "customer_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+WHERE o_custkey < 100
+""",
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+@register(
+    "repeat_buyers_setops",
+    oracle="""
+(SELECT DISTINCT o_custkey AS c FROM orders
+ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+ INTERSECT
+ SELECT DISTINCT o_custkey FROM orders
+ WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+""",
+)
+def repeat_buyers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def buyers(y0: str, y1: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("c"))
+            .distinct()
+        )
+
+    failed = (
+        o.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    return buyers("1996-01-01", "1997-01-01").intersect(
+        buyers("1997-01-01", "1998-01-01")
+    ).exceptAll(failed).distinct()
+
+
+# --- distinct aggregation ----------------------------------------------------
+
+@register(
+    "brand_type_distinct",
+    oracle="""
+SELECT p_brand, COUNT(DISTINCT p_type)::BIGINT AS n_types,
+       COUNT(*)::BIGINT AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM part GROUP BY p_brand
+""",
+)
+def brand_type_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.count("*").alias("n_parts"),
+        _dec_sum("p_retailprice", "total_price", scale=2),
+    )
+
+
+# --- rollup (grouping sets) --------------------------------------------------
+
+@register(
+    "lineitem_rollup",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_dec_sum("l_quantity", "sum_qty"), F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+# --- pivot (controlled column names via conditional aggregation) ------------
+
+@register(
+    "status_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)::BIGINT AS n_open,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)::BIGINT AS n_filled,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)::BIGINT AS n_partial,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS open_value
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "O",
+                F.expr("CAST(o_totalprice AS DECIMAL(18,2))"),
+            )
+        )
+        .cast("double")
+        .alias("open_value"),
+    )
+
+
+# --- global top-k (V8: ORDER BY ... LIMIT → TakeOrderedAndProject) ----------
+
+@register(
+    "top_events_global",
+    oracle="""
+SELECT event_id, event_type, value
+FROM events ORDER BY value DESC, event_id LIMIT 20
+""",
+)
+def top_events_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "event_type", "value").orderBy(
+        F.col("value").desc(), "event_id"
+    ).limit(20)
+
+
+# --- time bucketing (batch form of the streaming tumbling window) -----------
+
+@register(
+    "events_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+    )
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        _dec_sum("value", "total_value"),
+    )
+
+
+# --- sessionization (gap-based, integer-microsecond arithmetic) -------------
+
+@register(
+    "user_sessions",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+)
+SELECT user_id,
+       (1 + SUM(CASE WHEN prev_us IS NOT NULL AND us - prev_us > 3600000000 THEN 1 ELSE 0 END))::BIGINT AS n_sessions,
+       COUNT(*)::BIGINT AS n_events
+FROM e GROUP BY user_id
+""",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize by >1h inactivity gap — lag + conditional sum, the batch
+    equivalent of a streaming session window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    return e.groupBy("user_id").agg(
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev_us").isNotNull()
+                    & ((F.col("us") - F.col("prev_us")) > 3_600_000_000),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- correlated scalar subquery shape: value vs group average ---------------
+
+@register(
+    "above_avg_lineitems",
+    oracle="""
+WITH avgs AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_quantity
+FROM lineitem l JOIN avgs a ON l.l_partkey = a.pk
+WHERE l.l_quantity > 1.5 * a.avg_qty
+""",
+)
+def above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    avgs = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avgs), li.l_partkey == avgs.pk)
+        .filter(F.col("l_quantity") > 1.5 * F.col("avg_qty"))
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    )
+
+
+# --- SQL-surface demonstration: same engine via spark.sql -------------------
+
+@register(
+    "sql_order_priority_counts",
+    oracle="""
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+""",
+)
+def sql_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: identical Catalyst plan to the DataFrame form."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority
+    """)

@@ -1,0 +1,145 @@
+"""The Node-table storage surface on Parquet.
+
+Re-expresses the reference's ``NodeStorage`` ABC (``/root/reference/src/
+vector_db/storage.py:15-51``: save / get / get_embedding / get_all_ids /
+size / delete / add) and its three backends (in-memory dict, two-layer
+memmap, SQLite+memmap) as operations on an immutable Parquet-backed
+DataFrame:
+
+- The memmap's hot/cold column-group split (storage.py:135-181) is Parquet
+  column pruning — ``select("id","embedding")`` never reads content bytes.
+- The preallocated capacity bound (storage.py:183-186) disappears: appends
+  are new Parquet files; 100 TB is just more files.
+- The "embedding all zeros = free slot" heuristic (storage.py:183-196),
+  which misclassifies a legitimate zero vector, is NOT replicated —
+  deletions are explicit anti-join rewrites (or Delta deletes when
+  available).
+- Content/metadata truncation at 10 KB / 5 KB (storage.py:217-222) is NOT
+  replicated — Parquet strings are unbounded.
+- ``get_next_id`` = max+1 (storage.py:276-280) has a distributed equivalent
+  for batch appends: ``max(id) + row_number over the new batch``.
+
+Schema (SURVEY.md §1.5): ``id long, embedding array<float>, content string,
+metadata map<string,string>``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+class NodeTable:
+    """A vector corpus at a Parquet path, with the reference's CRUD surface.
+
+    Writes rewrite or append immutable files; reads are plain DataFrames so
+    every downstream operator gets Catalyst pushdown. Nothing here ever
+    collects the corpus.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, dim: int | None = None):
+        self.spark = spark
+        self.path = path
+        self.dim = dim
+
+    # -- reads ---------------------------------------------------------------
+
+    def df(self) -> DataFrame:
+        return self.spark.read.schema(NODE_SCHEMA).parquet(self.path)
+
+    def get(self, node_id: int) -> DataFrame:
+        """Point lookup (reference storage.py:232-252)."""
+        return self.df().filter(F.col("id") == node_id)
+
+    def get_embedding(self, node_id: int) -> DataFrame:
+        """Embedding-only projection (storage.py:254-259) — column pruning
+        means the content/metadata pages are never read."""
+        return self.df().select("id", "embedding").filter(F.col("id") == node_id)
+
+    def all_ids(self) -> DataFrame:
+        return self.df().select("id")
+
+    def size(self) -> int:
+        return self.df().count()
+
+    def filter_by_metadata(self, filter_dict: dict[str, str]) -> DataFrame:
+        """Equality-conjunction metadata filter (reference
+        services/storage_service.py:106-128): all pairs must match."""
+        df = self.df()
+        for k, v in filter_dict.items():
+            df = df.filter(F.col("metadata")[k] == v)
+        return df
+
+    # -- writes --------------------------------------------------------------
+
+    def _validate(self, nodes: DataFrame) -> DataFrame:
+        """Dimension check on write (reference mmap_vector_store.py:100-107)."""
+        if self.dim is not None:
+            nodes = nodes.withColumn(
+                "__dim_ok",
+                F.col("embedding").isNull() | (F.size("embedding") == self.dim),
+            )
+            bad = nodes.filter(~F.col("__dim_ok")).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"embedding dimension mismatch: expected {self.dim}, "
+                    f"got {len(bad[0]['embedding'])} for id {bad[0]['id']}"
+                )
+            nodes = nodes.drop("__dim_ok")
+        return nodes
+
+    def init(self, nodes: DataFrame) -> None:
+        self._validate(nodes).write.mode("overwrite").parquet(self.path)
+
+    def append(self, nodes: DataFrame) -> None:
+        """Append-only insert (reference save at storage.py:198-230). Caller
+        guarantees new ids; use :meth:`upsert` otherwise."""
+        self._validate(nodes).write.mode("append").parquet(self.path)
+
+    def append_with_ids(self, nodes: DataFrame) -> None:
+        """Assign ids ``max(existing)+row_number`` to id-less rows — the
+        distributed form of get_next_id (storage.py:276-280)."""
+        start = (self.df().agg(F.max("id")).collect()[0][0] or -1) + 1
+        w = Window.orderBy(F.monotonically_increasing_id())
+        withids = nodes.withColumn("id", F.row_number().over(w) + F.lit(start - 1))
+        self.append(withids.select([f.name for f in NODE_SCHEMA.fields]))
+
+    def upsert(self, nodes: DataFrame) -> None:
+        """INSERT OR REPLACE (reference storage.py:377-400 SQLite path; L4
+        idempotent insert at hnsw.py:152-155): anti-join out the replaced
+        ids, union the new rows, rewrite. With a Delta/Iceberg sink this is
+        a MERGE; on plain Parquet it is a rewrite."""
+        nodes = self._validate(nodes)
+        existing = self.df()
+        merged = existing.join(nodes.select("id"), "id", "left_anti").unionByName(nodes)
+        self._rewrite(merged)
+
+    def delete(self, node_ids: list[int]) -> None:
+        """Tombstone-free delete (reference storage.py:286-306 zeroes the
+        slot; here the row is simply absent after rewrite)."""
+        self._rewrite(self.df().filter(~F.col("id").isin(node_ids)))
+
+    def _rewrite(self, df: DataFrame) -> None:
+        tmp = self.path.rstrip("/") + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.schema(NODE_SCHEMA).parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path)
+        # best-effort cleanup of the staging dir
+        try:
+            import shutil
+
+            shutil.rmtree(tmp)
+        except OSError:
+            pass
