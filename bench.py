@@ -23,6 +23,12 @@ HEADLINE = [
     "knn_exact_sql",
     "knn_cosine",
     "knn_filtered",
+    "pricing_summary",
+    "top_revenue_orders",
+    "regional_revenue",
+    "user_sessions",
+    "ivf_search_det",
+    "ivf_search_kmeans",
 ]
 
 

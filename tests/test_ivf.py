@@ -1,0 +1,105 @@
+"""IVF index tests — the reference's test surface (tests/indexing/
+test_ivf.py:17-364): build, conservation invariant, self-match, recall vs
+brute force, incremental add, delete, persistence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.io import load_table
+from vector_db_spark.operators.ivf import IVFIndex
+from vector_db_spark.operators.knn import knn_join
+
+K_CLUSTERS = 10
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_smoke, tmp_path_factory):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    return IVFIndex.build(spark, emb, K_CLUSTERS, path)
+
+
+def _queries(spark, sf_smoke, n):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < n)
+
+
+def test_cluster_conservation(spark, sf_smoke, index):
+    """sum(cluster sizes) == corpus count (reference test_ivf.py:44,220-229)."""
+    total = load_table(spark, sf_smoke, "embeddings").count()
+    sizes = index.cluster_sizes().collect()
+    assert sum(r.cluster_size for r in sizes) == total
+    assert len(sizes) <= K_CLUSTERS
+    stats = index.stats().collect()[0]
+    assert stats.total_vectors == total
+
+
+def test_self_match_with_single_probe(spark, sf_smoke, index):
+    """A member vector's own cluster is its nearest centroid, so even
+    n_probe=1 must find it at distance ~0 (reference test_ivf.py:117-125)."""
+    res = index.search(_queries(spark, sf_smoke, 5), k=1, n_probe=1).collect()
+    assert len(res) == 5
+    for r in res:
+        assert r.query_id == r.neighbor_id
+        assert r.dist < 1e-6
+
+
+def test_recall_vs_bruteforce(spark, sf_smoke, index):
+    """recall@5 ≥ 0.7 for ≥ 80% of 10 queries (BASELINE.md: stricter of the
+    reference's two thresholds, test_hnsw.py:149-153 / test_ivf.py:163-167)."""
+    qs = _queries(spark, sf_smoke, 10)
+    exact = knn_join(qs, load_table(spark, sf_smoke, "embeddings"), 5)
+    approx = index.search(qs, k=5, n_probe=4)
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set] = {}
+    for r in approx.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / 5 for q in truth]
+    frac_good = sum(r >= 0.7 for r in recalls) / len(recalls)
+    assert frac_good >= 0.8, f"recalls={recalls}"
+
+
+def test_add_then_search(spark, index):
+    """Incremental add (reference test_ivf.py add/total-conservation): new
+    vector lands in its argmin cluster and is immediately searchable."""
+    before = index.stats().collect()[0].total_vectors
+    rng = np.random.default_rng(99)
+    new_vec = [float(x) for x in rng.random(64)]
+    new_df = spark.createDataFrame(
+        [(100001, new_vec)], "vec_id long, embedding array<float>"
+    )
+    index.add(new_df)
+    assert index.stats().collect()[0].total_vectors == before + 1
+    q = spark.createDataFrame(
+        [(1, new_vec)], "query_id long, query_vec array<float>"
+    )
+    res = index.search(q, k=1, n_probe=1).collect()
+    assert res[0].neighbor_id == 100001 and res[0].dist < 1e-6
+
+
+def test_delete(spark, index):
+    """Delete removes the id from its inverted list only (reference
+    test_ivf.py:220-229) — other clusters' files untouched."""
+    before = index.stats().collect()[0].total_vectors
+    victim = index.corpus().select("vec_id").first().vec_id
+    index.delete([victim])
+    after = index.stats().collect()[0].total_vectors
+    assert after == before - 1
+    assert index.corpus().filter(F.col("vec_id") == victim).count() == 0
+
+
+def test_persistence_reopen(spark, sf_smoke, index):
+    """Index state is just Parquet: a fresh handle sees identical search
+    results (reference pickle round-trip, test_ivf.py save/load)."""
+    reopened = IVFIndex(spark, index.path)
+    qs = _queries(spark, sf_smoke, 3)
+    a = sorted(map(tuple, index.search(qs, k=3, n_probe=2).collect()))
+    b = sorted(map(tuple, reopened.search(qs, k=3, n_probe=2).collect()))
+    assert a == b

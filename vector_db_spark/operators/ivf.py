@@ -1,0 +1,195 @@
+"""IVF (inverted-file) approximate nearest-neighbor index.
+
+Re-expresses the reference's IVF component (``/root/reference/src/vector_db/
+indexing/ivf.py``) Spark-first:
+
+| reference                                   | here |
+|---------------------------------------------|------|
+| ``build_index``: scipy ``kmeans2`` + Python inverted lists (ivf.py:49-85) | ``pyspark.ml.clustering.KMeans`` fit; "inverted list" = the corpus written ``partitionBy("cluster_id")`` — probing a cluster IS partition pruning |
+| ``add``: argmin over centroids, append to list (ivf.py:87-117) | broadcast-centroid argmin join → append to the partitioned table |
+| ``delete``: remove id from all lists (ivf.py:119-136) | dynamic partition overwrite of only the affected clusters |
+| ``search``: rank centroids, scan n_probe lists, exact top-k (ivf.py:138-199) | probe ranking via broadcast centroid join → semi-join on ``cluster_id`` (partition pruning) → exact distance → windowed top-k |
+| pickle persistence (ivf.py:217-241)         | Parquet centroid table + partitioned corpus; "loading" is ``spark.read`` |
+
+Scale posture (SURVEY.md §7): only the k×dim centroid table is ever
+broadcast/collected; the corpus is never collected; hot-cluster skew is
+handled by AQE (skew-join enabled in the session factory). HNSW itself is
+deliberately not ported — a sequential mutable-graph build is anti-Spark
+(SURVEY.md §2.3 V5); IVF delivers the same capability (tunable-recall ANN)
+as a data-parallel plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.distance import METRICS, euclidean
+from vector_db_spark.operators.topk import top_k_per_group
+
+
+class IVFIndex:
+    """A persisted IVF index: ``<path>/centroids`` (cluster_id, centroid)
+    and ``<path>/corpus`` partitioned by ``cluster_id``."""
+
+    def __init__(self, spark: SparkSession, path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    # -- paths ----------------------------------------------------------------
+
+    @property
+    def centroids_path(self) -> str:
+        return os.path.join(self.path, "centroids")
+
+    @property
+    def corpus_path(self) -> str:
+        return os.path.join(self.path, "corpus")
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self.centroids_path)
+
+    def corpus(self) -> DataFrame:
+        return self.spark.read.parquet(self.corpus_path)
+
+    # -- build (reference ivf.py:49-85) ---------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        corpus: DataFrame,
+        k: int,
+        path: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_iter: int = 20,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        """KMeans fit → assign → write corpus partitioned by cluster, plus
+        the centroid table. The fit itself is cluster-parallel (Lloyd's with
+        kmeans|| init); nothing but the k×dim centers lands on the driver."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+        )
+        model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="__features").fit(feat)
+        assigned = (
+            model.transform(feat)
+            .select(id_col, vec_col, F.col("prediction").alias("cluster_id"))
+        )
+        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            os.path.join(path, "corpus")
+        )
+        centers = [
+            (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        spark.createDataFrame(
+            centers, "cluster_id int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        return cls(spark, path, id_col=id_col, vec_col=vec_col)
+
+    # -- incremental add (reference ivf.py:87-117) -----------------------------
+
+    def assign(self, vectors: DataFrame) -> DataFrame:
+        """Nearest-centroid assignment: broadcast the k×dim centroid table,
+        argmin by exact distance (ivf.py:109-110's numpy argmin as a window)."""
+        scored = vectors.crossJoin(F.broadcast(self.centroids())).withColumn(
+            "__dist", euclidean(self.vec_col, "centroid")
+        )
+        w = Window.partitionBy(self.id_col).orderBy(F.col("__dist").asc(), F.col("cluster_id").asc())
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__dist", "centroid")
+        )
+
+    def add(self, new_vectors: DataFrame) -> None:
+        self.assign(new_vectors).select(self.id_col, self.vec_col, "cluster_id").write.mode(
+            "append"
+        ).partitionBy("cluster_id").parquet(self.corpus_path)
+
+    # -- delete (reference ivf.py:119-136) -------------------------------------
+
+    def delete(self, ids: list[int]) -> None:
+        """Rewrite only the partitions that contain the deleted ids
+        (dynamic partition overwrite) — never touches cold clusters."""
+        corpus = self.corpus()
+        affected = (
+            corpus.filter(F.col(self.id_col).isin(ids))
+            .select("cluster_id")
+            .distinct()
+            .collect()
+        )
+        clusters = [r.cluster_id for r in affected]
+        if not clusters:
+            return
+        remaining = corpus.filter(
+            F.col("cluster_id").isin(clusters) & ~F.col(self.id_col).isin(ids)
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        remaining.write.mode("overwrite").partitionBy("cluster_id").parquet(self.corpus_path)
+
+    # -- search (reference ivf.py:138-199) --------------------------------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 10,
+        *,
+        metric: str = "euclidean",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """n_probe search: rank centroids per query (ivf.py:170-171's argsort
+        as a windowed top-n_probe over the broadcast centroid join), then an
+        equi-join on ``cluster_id`` against the partitioned corpus — Catalyst
+        turns the tiny probe side into dynamic partition pruning, the
+        distributed form of "only scan the probed inverted lists"
+        (ivf.py:174-178) — then exact distances and a per-query top-k."""
+        probes = top_k_per_group(
+            queries.crossJoin(F.broadcast(self.centroids())).withColumn(
+                "__cdist", euclidean(query_vec_col, "centroid")
+            ),
+            [query_id_col],
+            [F.col("__cdist").asc(), F.col("cluster_id").asc()],
+            n_probe,
+        ).select(query_id_col, query_vec_col, "cluster_id")
+
+        cand = F.broadcast(probes).join(self.corpus(), "cluster_id")
+        scored = cand.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(self.id_col).alias("neighbor_id"),
+            METRICS[metric](F.col(query_vec_col), F.col(self.vec_col)).alias("dist"),
+        )
+        if round_to is not None:
+            scored = scored.withColumn("dist", F.round("dist", round_to))
+        return top_k_per_group(
+            scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+        )
+
+    # -- stats (reference ivf.py:201-215) ----------------------------------------
+
+    def cluster_sizes(self) -> DataFrame:
+        return self.corpus().groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+
+    def stats(self) -> DataFrame:
+        sizes = self.cluster_sizes()
+        return sizes.agg(
+            F.count("*").alias("n_clusters"),
+            F.min("cluster_size").alias("min_size"),
+            F.max("cluster_size").alias("max_size"),
+            (F.sum("cluster_size").cast("double") / F.count("*")).alias("avg_size"),
+            F.sum("cluster_size").alias("total_vectors"),
+        )

@@ -1,0 +1,211 @@
+"""Index-pipeline queries (SURVEY.md §2.3 V10-V14), split per §5/§7 into:
+
+- **Deterministic variants** (oracle-checked): centroids are per-label mean
+  vectors — a clustering both engines compute bit-identically (decimal-exact
+  per-dimension averages). These exercise the *plan shape* of IVF build /
+  assign / n_probe search: explode→aggregate→rebuild, broadcast argmin
+  assignment, probe-pruned candidate join, exact top-k.
+- **KMeans variants** (rows-only + recall tests in tests/test_ivf.py):
+  pyspark.ml KMeans centroids are seed-stable but no SQL oracle can
+  reproduce them (SURVEY.md §7 risk 2).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.distance import euclidean
+from vector_db_spark.io import load_table
+from vector_db_spark.operators.ivf import IVFIndex
+from vector_db_spark.operators.topk import top_k_per_group
+from vector_db_spark.queries import register
+
+DIM = 64
+N_QUERIES = 10
+N_PROBE = 3
+TOP_K = 5
+
+# Shared SQL fragments -------------------------------------------------------
+
+_CENT_FLAT_SQL = """
+  SELECT label AS cluster_id, i::INTEGER AS dim_idx,
+         CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_val
+  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v, unnest(range(0, 64)) AS i
+        FROM embeddings)
+  GROUP BY label, i
+"""
+
+_CENT_LIST_SQL = f"""
+  SELECT cluster_id, list(centroid_val ORDER BY dim_idx) AS centroid
+  FROM ({_CENT_FLAT_SQL})
+  GROUP BY cluster_id
+"""
+
+_ASSIGN_SQL = f"""
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.embedding::DOUBLE[], c.centroid), 6), c.cluster_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN ({_CENT_LIST_SQL}) c
+  ) WHERE rn = 1
+"""
+
+
+def _centroids_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, dim_idx, centroid_val): per-label mean, decimal-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.col("label").alias("cluster_id"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim_idx", "v"),
+        )
+        .groupBy("cluster_id", "dim_idx")
+        .agg(
+            (
+                F.sum(F.expr("CAST(v AS DECIMAL(18,9))")).cast("double") / F.count("*")
+            ).alias("centroid_val")
+        )
+    )
+
+
+def _centroids_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, centroid array<double>) rebuilt in dimension order."""
+    flat = _centroids_flat(spark, sf_dir)
+    return flat.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "centroid_val"))),
+            lambda s: s.centroid_val,
+        ).alias("centroid")
+    )
+
+
+def _assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id): broadcast-centroid argmin (IVF add path V11)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids_arrays(spark, sf_dir)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cluster_id",
+        F.round(euclidean("embedding", "centroid"), 6).alias("cdist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cdist").asc(), F.col("cluster_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id")
+    )
+
+
+# --- V10 build: the centroid table itself ------------------------------------
+
+@register("ivf_centroids_det", oracle=f"SELECT * FROM ({_CENT_FLAT_SQL})")
+def ivf_centroids_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _centroids_flat(spark, sf_dir)
+
+
+# --- V11 assignment -----------------------------------------------------------
+
+@register("ivf_assign_det", oracle=_ASSIGN_SQL)
+def ivf_assign_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assign(spark, sf_dir)
+
+
+# --- V13 n_probe search (+V8 top-k), fully deterministic ------------------------
+
+@register(
+    "ivf_search_det",
+    oracle=f"""
+WITH cent AS ({_CENT_LIST_SQL}),
+assign AS ({_ASSIGN_SQL}),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, qv, cluster_id FROM (
+    SELECT q.query_id, q.qv, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_distance(q.qv, c.centroid), 6), c.cluster_id
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(list_distance(p.qv, e.embedding::DOUBLE[]), 6) AS dist
+  FROM probes p
+  JOIN assign a ON a.cluster_id = p.cluster_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, dist, rank::INTEGER AS rank FROM (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {TOP_K}
+""",
+)
+def ivf_search_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF read path as one deterministic plan: probe ranking →
+    cluster-membership join (the partition-pruning join in the persisted
+    index) → exact distance → per-query top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids_arrays(spark, sf_dir)
+    assign = _assign(spark, sf_dir)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < N_QUERIES)
+
+    probes = top_k_per_group(
+        queries.crossJoin(F.broadcast(cents)).withColumn(
+            "cdist", F.round(euclidean("query_vec", "centroid"), 6)
+        ),
+        ["query_id"],
+        [F.col("cdist").asc(), F.col("cluster_id").asc()],
+        N_PROBE,
+    ).select("query_id", "query_vec", "cluster_id")
+
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cluster_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(euclidean("query_vec", "embedding"), 6).alias("dist"),
+        )
+    )
+    return top_k_per_group(
+        cand, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], TOP_K
+    )
+
+
+# --- KMeans variants (rows-only: no SQL oracle can reproduce the fit) ---------
+
+@register("ivf_search_kmeans")
+def ivf_search_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real pyspark.ml KMeans IVF: build (V10) + n_probe search (V13).
+    Correctness guarantees live in tests/test_ivf.py (recall@5 ≥ 0.7 vs
+    brute force, conservation, self-match)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_kmeans_") + "/index"
+    idx = IVFIndex.build(spark, emb, k=10, path=path)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < N_QUERIES)
+    return idx.search(queries, k=TOP_K, n_probe=4)
+
+
+@register("ivf_stats_kmeans")
+def ivf_stats_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster statistics over a fresh KMeans build (reference A1,
+    ivf.py:207-215)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_stats_") + "/index"
+    idx = IVFIndex.build(spark, emb, k=10, path=path)
+    return idx.stats()
