@@ -51,6 +51,10 @@ try:
 except ImportError:  # phase 2/3+
     pass
 try:
+    from vector_db_spark.queries import pquant  # noqa: E402,F401
+except ImportError:  # phase 3+
+    pass
+try:
     from vector_db_spark.queries import stream  # noqa: E402,F401
 except ImportError:  # phase 5+
     pass
