@@ -1,0 +1,180 @@
+"""Unit tests for text functions, dedup suite, embedding stub, LSH search,
+and multimodal plumbing (Phase 4 north-star operators)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.embedding import embed_column, stub_embedder
+from vector_db_spark.functions.text import (
+    bpe_ish_tokens,
+    shingles,
+    simhash64,
+    tokens,
+)
+from vector_db_spark.io import load_table
+from vector_db_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_pairs_minhash,
+    shingle_table,
+)
+from vector_db_spark.operators.knn import knn_join
+from vector_db_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image_features,
+    resize_images,
+    sample_video_frames,
+)
+from vector_db_spark.operators.similarity import lsh_search
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# --- text functions -----------------------------------------------------------
+
+def test_tokens_and_shingles(spark):
+    df = _docs(spark, ["The quick  Brown fox", "a b", ""])
+    rows = df.select(
+        tokens("text").alias("t"), shingles(tokens("text"), 3).alias("s")
+    ).collect()
+    assert rows[0].t == ["the", "quick", "brown", "fox"]
+    assert rows[0].s == ["the quick brown", "quick brown fox"]
+    assert rows[1].s == []  # shorter than n → empty, not null
+
+
+def test_bpe_ish_tokens(spark):
+    df = _docs(spark, ["Hello, world! x2"])
+    toks = df.select(bpe_ish_tokens("text").alias("t")).collect()[0].t
+    assert toks == ["hello", ",", "world", "!", "x", "2"]
+
+
+def test_simhash_locality(spark):
+    """Near-identical token streams → small Hamming distance; unrelated
+    ones → larger (locality property, not exact values)."""
+    base = "spark query engine join filter aggregate window shuffle " * 4
+    near = base + "extra"
+    far = "completely different words about cooking pasta dinner tonight " * 4
+    df = _docs(spark, [base, near, far])
+    h = [r.sh for r in df.select(simhash64(tokens("text")).alias("sh")).collect()]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h[0], h[1]) <= ham(h[0], h[2])
+    assert ham(h[0], h[1]) <= 4
+
+
+# --- dedup --------------------------------------------------------------------
+
+def test_exact_dedup_survivors(spark):
+    df = _docs(spark, ["a b c", "a  B c", "x y z", "a b c d e f"])
+    out = exact_dedup(df).collect()
+    # "a b c" and "a  B c" normalize identically → one survivor (min id)
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {0, 2, 3}
+    assert by_id[0].group_size == 2
+
+
+def test_minhash_near_dup_finds_planted_pair(spark):
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rng = np.random.default_rng(5)
+    texts = [" ".join(rng.choice(words, 40)) for _ in range(20)]
+    texts.append(texts[3] + " mu")      # planted near-dup of doc 3
+    df = _docs(spark, texts)
+    pairs = near_dup_pairs_minhash(df, threshold=0.5).collect()
+    assert any({p.doc_a, p.doc_b} == {3, 20} for p in pairs), pairs
+    for p in pairs:
+        assert p.jaccard >= 0.5
+
+
+def test_shingle_table_distinct(spark):
+    df = _docs(spark, ["a b a b a b"])  # repeating shingles collapse
+    sh = shingle_table(df, n=2).collect()
+    assert sorted(r.shingle for r in sh) == ["a b", "b a"]
+
+
+# --- embedding stub -----------------------------------------------------------
+
+def test_stub_embedder_deterministic_and_unit(spark):
+    df = _docs(spark, ["hello world", "hello world", "other text"])
+    out = embed_column(df, "text", dim=32).collect()
+    v0, v1, v2 = (np.array(r.embedding) for r in out)
+    assert np.allclose(v0, v1)          # same text → same vector
+    assert not np.allclose(v0, v2)
+    assert abs(np.linalg.norm(v0) - 1.0) < 1e-5
+
+
+def test_semantic_dedup_via_stub_embeddings(spark):
+    """Pipeline: embed texts → cosine near-dup finds the exact-dup pair."""
+    df = _docs(spark, ["aaa bbb ccc", "totally different", "aaa bbb ccc"])
+    emb = embed_column(df, "text", dim=32).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    from vector_db_spark.operators.dedup import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(emb, threshold=0.99).collect()
+    assert len(pairs) == 1 and {pairs[0].id_a, pairs[0].id_b} == {0, 2}
+
+
+# --- LSH ANN ------------------------------------------------------------------
+
+def test_lsh_search_recall(spark, sf_smoke):
+    """Bucketed ANN achieves reasonable recall vs exact on fixtures."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 10)
+    exact = knn_join(queries, emb, 5)
+    approx = lsh_search(queries, emb, 5)
+    truth, got = {}, {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / 5 for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    # self is always in its own bucket → rank-1 self-match
+    for r in approx.collect():
+        if r.rank == 1:
+            assert r.neighbor_id == r.query_id
+
+
+# --- multimodal plumbing ------------------------------------------------------
+
+@pytest.fixture
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes 1", (64, 64, None, None, "png")),
+        (2, "image", b"\x89PNG fake bytes 2", (128, 128, None, None, "png")),
+        (3, "audio", b"RIFF fake", (None, None, 16000, 2500, "wav")),
+        (4, "video", b"\x00\x00ftyp fake", (640, 480, None, 3500, "mp4")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_fake_decoder(spark, media):
+    out = decode_image_features(media, decoder="fake").collect()
+    assert {r.media_id for r in out} == {1, 2}  # only images
+    assert all(len(r.features) == 16 for r in out)
+    again = decode_image_features(media, decoder="fake").collect()
+    assert sorted(map(tuple, ((r.media_id, tuple(r.features)) for r in out))) == sorted(
+        map(tuple, ((r.media_id, tuple(r.features)) for r in again))
+    )  # deterministic
+
+
+def test_strict_decoder_raises(media):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image_features(media, decoder="strict")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        sample_video_frames(media, decoder="strict")
+
+
+def test_resize_and_frame_sampling_fake(spark, media):
+    resized = resize_images(media, 32, 32, decoder="fake").collect()
+    assert all(len(r.payload) == 32 * 32 // 64 for r in resized)
+    frames = sample_video_frames(media, every_ms=1000, decoder="fake").collect()
+    assert [r.frame_idx for r in frames] == [0, 1, 2]  # 3500ms → 3 frames
+    assert frames[1].ts_ms == 1000

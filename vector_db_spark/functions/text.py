@@ -1,0 +1,102 @@
+"""Text-analysis column functions (north-star LLM-data-pipeline operators).
+
+All are native Spark SQL expressions (JVM-side, codegen'd) — the hot path
+of a 100 TB text pipeline must not cross into Python per row. Each has an
+exact DuckDB-SQL equivalent used by the oracle queries in
+``vector_db_spark.queries.text``.
+
+The reference has no text operators (its content column is opaque,
+storage.py:163-181); these extend the engine per the north-star brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword votes for the n-gram/stopword language-ID heuristic. Tiny on
+# purpose: broadcast-joined as a literal table; a production list would be
+# a few hundred words per language (still broadcastable).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is", "in", "that", "it", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "una"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不", "人", "这"],
+}
+
+PUNCT_CLASS = r"[^.,!?;:]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lower-cased trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """A BPE-ish regex split: words, numbers, and single punctuation marks
+    as separate tokens (the GPT-2 pre-tokenizer shape, minus byte tricks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(
+        F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    t = tokens(col)
+    return F.when(F.length(F.trim(F.col(col) if isinstance(col, str) else col)) == 0, F.lit(0)).otherwise(F.size(t))
+
+
+def shingles(tokens_col: Column, n: int) -> Column:
+    """Word n-grams: ``['a b c', 'b c d', ...]``; empty when fewer than n
+    tokens. The unit of MinHash / Jaccard dedup."""
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens_col) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(c, PUNCT_CLASS, "")) / F.length(c)
+    )
+
+
+def doc_fingerprint(col: Column | str, prefix_tokens: int | None = None) -> Column:
+    """Content fingerprint: md5 of the normalized token stream (optionally
+    only its first ``prefix_tokens`` — prefix fingerprints catch
+    truncation/expansion duplicates that full-hash dedup misses)."""
+    t = tokens(col)
+    if prefix_tokens is not None:
+        t = F.slice(t, 1, prefix_tokens)
+    return F.md5(F.concat_ws(" ", t))
+
+
+def simhash64(tokens_col: Column) -> Column:
+    """16-bit SimHash from the first 16 nibbles of each token's md5: bit p
+    is set when the mean nibble value at position p is >= 7.5 (integer
+    compare ``2*sum >= 15*count`` — no float drift). Near-identical token
+    multisets land within small Hamming distance."""
+    nibble_bits = []
+    for p in range(16):
+        nib = F.aggregate(
+            tokens_col,
+            F.lit(0).cast("long"),
+            lambda acc, tok: acc
+            + F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(tok), p + 1, 1))
+            - 1,
+        )
+        bit = F.when(
+            (F.lit(2) * nib) >= (F.lit(15) * F.size(tokens_col)), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        nibble_bits.append(F.shiftleft(bit, p))
+    out = nibble_bits[0]
+    for b in nibble_bits[1:]:
+        out = out + b
+    return out

@@ -1,0 +1,182 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+North-star extensions (the reference has no dedup surface). Every operator
+is DataFrame-in/DataFrame-out, built from shuffle-conscious primitives:
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle on the
+  16-byte digest, survivor = min id per group.
+- **MinHash + LSH**: shingle → per-seed min-hash signature → band-bucket
+  join. The candidate join is an equi-join on (band, band_key) — no O(n²)
+  pair enumeration ever materializes; only same-bucket pairs shuffle.
+- **SimHash**: 16-bit locality-sensitive fingerprint (functions.text).
+- **n-gram Jaccard verify**: exact similarity for candidate pairs only.
+- **embedding cosine**: near-dup by semantic similarity; brute self-join
+  for small corpora, hyperplane-LSH blocking at scale
+  (vector_db_spark.operators.similarity).
+
+Hashes are md5-based so every step is reproducible in any engine — the
+oracle queries in queries/text.py hash-match DuckDB end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.distance import cosine_similarity
+from vector_db_spark.functions.text import doc_fingerprint, shingles, tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Keep the lowest-id document per content fingerprint. Adds
+    ``fingerprint`` and ``group_size``; survivors only."""
+    fp = df.withColumn("fingerprint", doc_fingerprint(text_col, prefix_tokens))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("group_size"))
+        .join(fp.select(id_col, text_col), id_col)
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct — the exploded unit of MinHash and Jaccard."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 8
+) -> DataFrame:
+    """(id, hash_idx, minhash): per seed, the lexicographic min of
+    ``md5(seed || ':' || shingle)`` — a min-wise independent family that
+    any engine reproduces exactly. Partial ``min`` aggregates map-side, so
+    the shuffle carries one row per (doc, seed)."""
+    seeds = sh.sparkSession.range(n_hashes).select(
+        F.col("id").cast("int").alias("hash_idx")
+    )
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy(id_col, "hash_idx")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws(":", F.col("hash_idx"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", n_bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows n_hashes/n_bands per band), bucket by the
+    band digest, emit same-bucket pairs (a < b). Docs agreeing on ALL
+    hashes of any band become candidates — the standard LSH guarantee."""
+    max_idx = sig.agg(F.max("hash_idx")).collect()[0][0]
+    if max_idx is None:  # no doc had enough tokens for a single shingle
+        return sig.sparkSession.createDataFrame([], "doc_a long, doc_b long")
+    rows_per_band = max(1, (max_idx + 1) // n_bands)
+    banded = (
+        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("hash_idx", "minhash"))),
+                        lambda s: s.minhash,
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), "band", "band_key"
+    )
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    sh: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs only: |A∩B| via a shingle
+    join restricted to the candidates, |A∪B| from per-doc counts."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    candidate join → exact Jaccard verify. Never enumerates O(n²) pairs."""
+    sh = shingle_table(df, text_col, id_col, n)
+    sig = minhash_signatures(sh, id_col, n_hashes)
+    cands = lsh_candidate_pairs(sig, id_col, n_bands)
+    return jaccard_verify(sh, cands, id_col, threshold)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cosine near-dup pairs by brute self-join — exact, O(n²) scored but
+    nothing materialized beyond the passing pairs. For corpora where n²
+    scoring is prohibitive, block first with
+    ``similarity.hyperplane_lsh_buckets`` and verify within buckets."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_similarity("va", "vb"), 6))
+        .filter(F.col("cos_sim") > threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

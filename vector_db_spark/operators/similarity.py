@@ -1,0 +1,156 @@
+"""Similarity search beyond exact brute force: LSH-bucketed ANN.
+
+Two interchangeable blockers:
+
+- ``hyperplane_lsh_buckets`` — sign-of-dot-product random hyperplanes.
+  The hyperplanes are module-level constants from a seeded RNG and are
+  embedded as array literals into both the Spark plan and the DuckDB
+  oracle SQL, so the whole ANN pipeline is *exactly* reproducible (unlike
+  pyspark.ml's LSH, whose model state is opaque).
+- ``brp_lsh_similarity_join`` — pyspark.ml BucketedRandomProjectionLSH
+  ``approxSimilarityJoin``, the built-in cross-check (rows-only).
+
+Search = bucket queries with the same hyperplanes → equi-join on
+(table_idx, bucket) → exact distance → per-query top-k. With L tables of
+h bits, the candidate join touches ~L·n/2^h corpus rows per query instead
+of n — the same sublinear shape as the reference's HNSW beam search
+(hnsw.py:330-374), but as a data-parallel equi-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.distance import METRICS, dot_product
+from vector_db_spark.operators.topk import top_k_per_group
+
+DIM = 64
+N_TABLES = 4
+N_BITS = 4
+_rng = np.random.default_rng(42)
+# (L, h, dim) rounded so SQL literals are compact and bit-exact everywhere
+HYPERPLANES: list[list[list[float]]] = [
+    [[round(float(x), 6) for x in plane] for plane in table]
+    for table in _rng.standard_normal((N_TABLES, N_BITS, DIM))
+]
+
+
+def _bucket_expr(vec_col: str, table_idx: int) -> Column:
+    """Bit string, one sign bit per hyperplane: e.g. '101100'."""
+    bits = [
+        F.when(
+            dot_product(
+                F.col(vec_col), F.array(*[F.lit(x) for x in plane])
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in HYPERPLANES[table_idx]
+    ]
+    return F.concat(*bits)
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, table_idx, bucket): L bucket assignments per vector."""
+    per_table = [
+        df.select(
+            F.col(id_col),
+            F.lit(t).alias("table_idx"),
+            _bucket_expr(vec_col, t).alias("bucket"),
+        )
+        for t in range(N_TABLES)
+    ]
+    out = per_table[0]
+    for p in per_table[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    metric: str = "euclidean",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ANN top-k within the union of the query's L buckets."""
+    cbuckets = hyperplane_lsh_buckets(corpus, vec_col, id_col)
+    qbuckets = hyperplane_lsh_buckets(queries, query_vec_col, query_id_col).withColumnRenamed(
+        query_id_col, "query_id"
+    )
+    qside = F.broadcast(
+        qbuckets.join(
+            queries.select(
+                F.col(query_id_col).alias("query_id"), F.col(query_vec_col)
+            ),
+            "query_id",
+        )
+    )
+    cand = (
+        qside.join(cbuckets, ["table_idx", "bucket"])
+        .select("query_id", query_vec_col, F.col(id_col).alias("neighbor_id"))
+        .distinct()  # a pair can collide in several tables
+        .join(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        METRICS[metric](F.col(query_vec_col), F.col(vec_col)).alias("dist"),
+    )
+    if round_to is not None:
+        scored = scored.withColumn("dist", F.round("dist", round_to))
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
+    )
+
+
+def brp_lsh_similarity_join(
+    df: DataFrame,
+    threshold: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Built-in cross-check: pyspark.ml BucketedRandomProjectionLSH
+    approxSimilarityJoin on euclidean distance (rows-only; model state is
+    not engine-reproducible)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, threshold, distCol="dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def oracle_hyperplane_literal_sql(table_idx: int, bit_idx: int) -> str:
+    """The same hyperplane as a DuckDB array literal (oracle SQL builder)."""
+    vals = ", ".join(repr(x) for x in HYPERPLANES[table_idx][bit_idx])
+    return f"[{vals}]::DOUBLE[]"

@@ -1,0 +1,364 @@
+"""Text-analysis / dedup / similarity-search queries (north-star
+LLM-data-pipeline operators), oracle-checked end-to-end where the operator
+is deterministic.
+
+All md5-based hashing (fingerprints, MinHash, band keys, SimHash) is chosen
+precisely because both engines implement md5 identically — the *entire*
+MinHash+LSH near-dup pipeline hash-matches DuckDB, not just its inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.distance import euclidean
+from vector_db_spark.functions.embedding import embed_column
+from vector_db_spark.functions.text import (
+    LANG_STOPWORDS,
+    doc_fingerprint,
+    simhash64,
+    tokens,
+)
+from vector_db_spark.io import load_table
+from vector_db_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dup_pairs_minhash,
+    shingle_table,
+)
+from vector_db_spark.operators.similarity import (
+    HYPERPLANES,
+    N_TABLES,
+    brp_lsh_similarity_join,
+    lsh_search,
+)
+from vector_db_spark.queries import register
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# --- text statistics ---------------------------------------------------------
+
+@register(
+    "text_stats",
+    oracle=f"""
+SELECT doc_id, lang,
+       len({_TOKS})::BIGINT AS n_tokens,
+       CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
+         / len({_TOKS}) AS avg_token_len,
+       CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS distinct_ratio
+FROM documents
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(t).cast("long").alias("n_tokens"),
+        (
+            F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).cast("double")
+            / F.size(t)
+        ).alias("avg_token_len"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "token_histogram",
+    oracle=f"""
+SELECT tok, COUNT(*)::BIGINT AS cnt FROM (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+""",
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, global top-20 (TakeOrderedAndProject over
+    the exploded stream — the vocabulary-building primitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(20)
+    )
+
+
+# --- language identification (stopword-vote heuristic) -----------------------
+
+_STOPWORD_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in LANG_STOPWORDS.items() for w in ws
+)
+
+@register(
+    "lang_id_pred",
+    oracle=f"""
+WITH votes AS (
+  SELECT d.doc_id, v.lang AS cand, COUNT(*) AS hits
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) d
+  JOIN (VALUES {_STOPWORD_VALUES}) v(lang, word) ON d.tok = v.word
+  GROUP BY d.doc_id, v.lang
+),
+best AS (
+  SELECT doc_id, cand FROM (
+    SELECT doc_id, cand,
+           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, COALESCE(b.cand, 'unknown') AS pred_lang
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+""",
+)
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID: explode tokens, broadcast-join the
+    stopword table, argmax votes per doc; 'unknown' when nothing matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_STOPWORDS.items() for w in ws],
+        "cand string, word string",
+    )
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    votes = (
+        toks.join(F.broadcast(stop), toks.tok == stop.word)
+        .groupBy("doc_id", "cand")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "cand")
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return docs.select("doc_id").join(best.select("doc_id", "cand"), "doc_id", "left").select(
+        "doc_id", F.coalesce("cand", F.lit("unknown")).alias("pred_lang")
+    )
+
+
+# --- quality scoring ----------------------------------------------------------
+
+@register(
+    "doc_quality",
+    oracle=f"""
+SELECT doc_id,
+       round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
+           + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6
+       ) AS quality
+FROM documents
+""",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + lexical diversity
+    (punctuation/stopword terms omitted — this corpus has none)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.round(
+            0.5 * F.least(F.size(t) / F.lit(100.0), F.lit(1.0))
+            + 0.5 * (F.size(F.array_distinct(t)).cast("double") / F.size(t)),
+            6,
+        ).alias("quality"),
+    )
+
+
+# --- fingerprinting + exact dedup ---------------------------------------------
+
+@register(
+    "dedup_exact_prefix",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string(list_slice({_TOKS}, 1, 5), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*)::BIGINT AS group_size
+FROM fp GROUP BY fingerprint
+""",
+)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 5-token-prefix fingerprint: hash-groupBy, survivor
+    = min id (catches truncation/extension duplicates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, prefix_tokens=5).select(
+        "fingerprint", "doc_id", "group_size"
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+WITH nib AS (
+  SELECT doc_id, p,
+         SUM(strpos('0123456789abcdef', substring(md5(tok), p + 1, 1)) - 1) AS nibsum,
+         COUNT(*) AS n
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS p)
+  GROUP BY doc_id, p
+)
+SELECT doc_id,
+       SUM(CASE WHEN 2 * nibsum >= 15 * n THEN 1::BIGINT << p ELSE 0 END)::BIGINT AS simhash
+FROM nib GROUP BY doc_id
+""",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(tokens("text")).alias("simhash"))
+
+
+# --- MinHash + LSH near-dup pipeline ------------------------------------------
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
+  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 0))) AS i
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents))
+"""
+
+_MINHASH_SQL = f"""
+  SELECT doc_id, hash_idx::INTEGER AS hash_idx,
+         MIN(md5(hash_idx::VARCHAR || ':' || shingle)) AS minhash
+  FROM ({_SHINGLES_SQL}) CROSS JOIN (SELECT unnest(range(0, 8)) AS hash_idx)
+  GROUP BY doc_id, hash_idx
+"""
+
+_BANDS_SQL = f"""
+  SELECT doc_id, (hash_idx // 2) AS band,
+         md5(string_agg(minhash, ',' ORDER BY hash_idx)) AS band_key
+  FROM ({_MINHASH_SQL})
+  GROUP BY doc_id, (hash_idx // 2)
+"""
+
+_CAND_SQL = f"""
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@register("minhash_signatures", oracle=_MINHASH_SQL)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(shingle_table(docs), n_hashes=8)
+
+
+@register("lsh_candidates", oracle=_CAND_SQL)
+def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingle_table(docs), n_hashes=8)
+    return lsh_candidate_pairs(sig, n_bands=4)
+
+
+@register(
+    "near_dup_jaccard",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+cands AS ({_CAND_SQL}),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) AS jaccard
+FROM common JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
+WHERE round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+""",
+)
+def near_dup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup: shingle → sign → band → candidates →
+    exact Jaccard ≥ 0.5. End-to-end engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs_minhash(docs, threshold=0.5)
+
+
+# --- embedding-cosine near-dup -------------------------------------------------
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.45
+""",
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.45)
+
+
+# --- hyperplane-LSH ANN search --------------------------------------------------
+
+def _bucket_sql(table_idx: int) -> str:
+    bits = []
+    for plane in HYPERPLANES[table_idx]:
+        vals = ", ".join(repr(x) for x in plane)
+        bits.append(
+            f"(CASE WHEN list_inner_product(v, [{vals}]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+_LSH_BUCKETS_SQL = " UNION ALL ".join(
+    f"""
+  SELECT vec_id, {t} AS table_idx, {_bucket_sql(t)} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+    for t in range(N_TABLES)
+)
+
+
+@register(
+    "ann_lsh_search",
+    oracle=f"""
+WITH buckets AS ({_LSH_BUCKETS_SQL}),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buckets qb JOIN buckets cb
+    ON qb.table_idx = cb.table_idx AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < 10
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_distance(q.qv, e.embedding::DOUBLE[]), 6) AS dist
+  FROM cand c JOIN q ON q.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, dist, rank::INTEGER AS rank FROM (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_lsh_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN: candidates share a bucket in any of the
+    L tables; exact re-rank within candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 10)
+    return lsh_search(queries, emb, 5)
+
+
+# --- embedding UDF + built-in LSH cross-check (rows-only) -----------------------
+
+@register("embed_stub_docs")
+def embed_stub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 embedding generation (deterministic stub; Arrow-batched).
+    No SQL oracle (UDF), but deterministic: same text → same vector."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = embed_column(docs, "text", dim=64)
+    return out.select("doc_id", F.size("embedding").alias("dim"),
+                      F.round(euclidean("embedding", "embedding"), 6).alias("self_dist"))
+
+
+@register("near_dup_brp_lsh")
+def near_dup_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml BucketedRandomProjectionLSH approxSimilarityJoin — the
+    built-in ANN cross-check (model state opaque → rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brp_lsh_similarity_join(emb, threshold=1.0)
