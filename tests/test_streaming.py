@@ -1,0 +1,137 @@
+"""Structured Streaming tests: micro-batch ingest with checkpoint resume,
+cross-batch stateful dedup, session-gap semantics, watermark late-data
+handling (SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.streaming.ingest import (
+    first_seen_filter_stream,
+    hourly_counts_stream,
+    ingest_stream,
+    run_to_memory,
+    session_windows_stream,
+)
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def _write_file(spark, path, rows):
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _ev(i, ts, user=1, etype="click", value=1.0):
+    import datetime
+
+    return (i, datetime.datetime.fromisoformat(ts), user, etype, value, "{}")
+
+
+def _stream_events(spark, path, max_files=None):
+    reader = spark.readStream.schema(EV_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.parquet(path)
+
+
+def test_session_window_gap_semantics(spark, tmp_path):
+    """Two events 30min apart share a session; a 2h-later event opens a new
+    one. Session end = last event + gap (1h)."""
+    src = str(tmp_path / "src")
+    _write_file(
+        spark,
+        src,
+        [
+            _ev(1, "2024-01-01 10:00:00"),
+            _ev(2, "2024-01-01 10:30:00"),
+            _ev(3, "2024-01-01 13:00:00"),
+        ],
+    )
+    out = run_to_memory(
+        session_windows_stream(_stream_events(spark, src)), output_mode="complete"
+    ).orderBy("session_start").collect()
+    assert len(out) == 2
+    assert out[0].n_events == 2
+    assert out[0].session_end.isoformat() == "2024-01-01T11:30:00"
+    assert out[1].n_events == 1
+    assert out[1].session_end.isoformat() == "2024-01-01T14:00:00"
+
+
+def test_first_seen_state_survives_across_batches(spark, tmp_path):
+    """File 1 processes first (one file per trigger); when file 2 arrives
+    with another event for the same key, state says 'seen' and nothing new
+    is emitted — cross-micro-batch GroupState."""
+    src = str(tmp_path / "src")
+    _write_file(spark, src, [_ev(1, "2024-01-01 10:00:00"), _ev(2, "2024-01-01 11:00:00", user=2)])
+    time.sleep(1.1)  # distinct modTime → deterministic file order
+    _write_file(spark, src, [_ev(3, "2024-01-01 09:00:00")])  # same key as event 1
+    out = run_to_memory(
+        first_seen_filter_stream(_stream_events(spark, src, max_files=1)),
+        output_mode="append",
+    ).collect()
+    got = {(r.user_id, r.event_type): r.event_id for r in out}
+    # event 3 is *earlier* in event time but arrives in a later batch: the
+    # operator is first-SEEN (stream order), so event 1 wins and 3 is dropped
+    assert got == {(1, "click"): 1, (2, "click"): 2}
+
+
+def test_ingest_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """foreachBatch ingest is exactly-once per file: re-running with the
+    same checkpoint ingests nothing; a new source file ingests only itself."""
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    vecs = [(i, [float(i), 0.0]) for i in range(10)]
+    spark.createDataFrame(vecs, "vec_id long, embedding array<float>").coalesce(2).write.parquet(src)
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 0.0])], "cluster_id int, centroid array<double>"
+    )
+    from vector_db_spark.operators.ivf import assign_to_centroids
+
+    def run():
+        q = ingest_stream(
+            spark, src, sink,
+            lambda b: assign_to_centroids(b, cents),
+            schema="vec_id long, embedding array<float>",
+            checkpoint_dir=ckpt, max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+
+    run()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 10
+    run()  # replay with same checkpoint → no duplicates
+    assert spark.read.parquet(sink).count() == 10
+    spark.createDataFrame([(100, [8.0, 0.0])], "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run()  # only the new file is processed
+    corpus = spark.read.parquet(sink)
+    assert corpus.count() == 11
+    assert corpus.filter(F.col("vec_id") == 100).collect()[0].cluster_id == 1
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: once a window's
+    state has been finalized and evicted (watermark passed its end at a
+    batch boundary), a late row for it is dropped. Spark evicts lazily — a
+    late row arriving while the state still lives is merged — so the drop
+    needs the eviction to happen one batch before the late arrival."""
+    src = str(tmp_path / "src")
+    _write_file(spark, src, [
+        _ev(1, "2024-01-01 10:05:00"),
+        _ev(2, "2024-01-01 15:00:00"),  # advances watermark to 14:50
+    ])
+    time.sleep(1.1)
+    _write_file(spark, src, [_ev(3, "2024-01-01 16:00:00")])  # evicts 10:00 window
+    time.sleep(1.1)
+    _write_file(spark, src, [_ev(4, "2024-01-01 10:10:00")])  # late by ~5h → dropped
+    out = run_to_memory(
+        hourly_counts_stream(_stream_events(spark, src, max_files=1), watermark="10 minutes"),
+        output_mode="append",
+    ).collect()
+    by_window = {r.window_start.isoformat(): r.n_events for r in out}
+    # the 10:00 window finalized with ONE event; the late row never counted
+    assert by_window.get("2024-01-01T10:00:00") == 1

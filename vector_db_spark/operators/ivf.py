@@ -30,6 +30,29 @@ from vector_db_spark.functions.distance import METRICS, euclidean
 from vector_db_spark.operators.topk import top_k_per_group
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment (reference ivf.py:109-110 argmin):
+    broadcast the k×dim centroid table, window-argmin per vector. Shared by
+    the index add path and the streaming ingest pipeline."""
+    dist = euclidean(vec_col, "centroid")
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn("__dist", dist)
+    w = Window.partitionBy(id_col).orderBy(F.col("__dist").asc(), F.col("cluster_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__dist", "centroid")
+    )
+
+
 class IVFIndex:
     """A persisted IVF index: ``<path>/centroids`` (cluster_id, centroid)
     and ``<path>/corpus`` partitioned by ``cluster_id``."""
@@ -101,16 +124,9 @@ class IVFIndex:
     # -- incremental add (reference ivf.py:87-117) -----------------------------
 
     def assign(self, vectors: DataFrame) -> DataFrame:
-        """Nearest-centroid assignment: broadcast the k×dim centroid table,
-        argmin by exact distance (ivf.py:109-110's numpy argmin as a window)."""
-        scored = vectors.crossJoin(F.broadcast(self.centroids())).withColumn(
-            "__dist", euclidean(self.vec_col, "centroid")
-        )
-        w = Window.partitionBy(self.id_col).orderBy(F.col("__dist").asc(), F.col("cluster_id").asc())
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__dist", "centroid")
+        """Nearest-centroid assignment (ivf.py:109-110's numpy argmin)."""
+        return assign_to_centroids(
+            vectors, self.centroids(), id_col=self.id_col, vec_col=self.vec_col
         )
 
     def add(self, new_vectors: DataFrame) -> None:

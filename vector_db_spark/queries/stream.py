@@ -1,0 +1,163 @@
+"""Streaming queries (SURVEY.md §2.8): each registered entry runs a real
+Structured Streaming query over a bounded source to completion and returns
+the batch result. Event-time aggregation over a bounded source is
+deterministic, so tumbling/session windows and the stateful first-seen
+dedup all hash-match batch SQL oracles — the streaming plans are checked
+for *semantics*, not just liveness.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_spark.io import load_table
+from vector_db_spark.operators.ivf import assign_to_centroids
+from vector_db_spark.queries import register
+from vector_db_spark.queries.indexing import _centroids_arrays
+from vector_db_spark.streaming.ingest import (
+    first_seen_filter_stream,
+    hourly_counts_stream,
+    ingest_stream,
+    read_events_stream,
+    run_to_memory,
+    session_windows_stream,
+    sliding_counts_stream,
+)
+
+
+@register(
+    "stream_hourly_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, run as a real streaming
+    query (availableNow) and checked against the batch oracle."""
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_to_memory(hourly_counts_stream(events), output_mode="complete")
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+WITH offsets AS (SELECT unnest([0, 1]) AS off)
+SELECT date_trunc('hour', ts) - (off || ' hours')::INTERVAL AS window_start,
+       date_trunc('hour', ts) - (off || ' hours')::INTERVAL + INTERVAL 2 HOUR AS window_end,
+       event_type, COUNT(*)::BIGINT AS n_events
+FROM events CROSS JOIN offsets
+GROUP BY 1, 2, 3
+""",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h / 1h): every event contributes to two windows —
+    the oracle materializes the same two-window expansion."""
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_to_memory(sliding_counts_stream(events), output_mode="complete")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL OR us - prev > 3600000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM e
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1 HOUR AS session_end,
+       COUNT(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap session windows per user: streaming session_window == the batch
+    lag/cumsum sessionization (session ends 1 gap after its last event)."""
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_to_memory(session_windows_stream(events), output_mode="complete")
+
+
+@register(
+    "stream_first_seen",
+    oracle="""
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): first event per
+    (user, event_type). Single bounded batch → equals the global argmin
+    oracle; cross-batch state is exercised in tests/test_streaming.py."""
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_to_memory(first_seen_filter_stream(events), output_mode="append")
+
+
+@register(
+    "stream_ingest_cluster_counts",
+    oracle="""
+WITH cent AS (
+  SELECT cluster_id, list(centroid_val ORDER BY dim_idx) AS centroid
+  FROM (
+    SELECT label AS cluster_id, i::INTEGER AS dim_idx,
+           CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_val
+    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v, unnest(range(0, 64)) AS i
+          FROM embeddings)
+    GROUP BY label, i
+  ) GROUP BY cluster_id
+),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.embedding::DOUBLE[], c.centroid), 6), c.cluster_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT cluster_id, COUNT(*)::BIGINT AS n_vectors FROM assign GROUP BY cluster_id
+""",
+)
+def stream_ingest_cluster_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's write path end-to-end as micro-batches: the
+    embeddings corpus is re-staged as 4 files, streamed one file per
+    trigger through foreachBatch (assign cluster → append partitioned
+    corpus), and the final corpus must match the batch assignment exactly —
+    commit boundaries don't change semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids_arrays(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ingest_")
+    src, sink, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
+    emb.select("vec_id", "embedding").repartition(4).write.parquet(src)
+
+    q = ingest_stream(
+        spark,
+        src,
+        sink,
+        lambda batch: assign_to_centroids(batch, cents, round_to=6),
+        schema="vec_id long, embedding array<float>",
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    corpus = spark.read.parquet(sink)
+    return corpus.groupBy("cluster_id").agg(F.count("*").alias("n_vectors"))

@@ -1,0 +1,199 @@
+"""Structured Streaming operators.
+
+The reference's ingest path is record-at-a-time: HTTP insert → storage
+append → incremental index update → threshold-triggered flush
+(``/root/reference/src/vector_db/api/app.py:119-160``, flush at
+``services/indexing_service.py:77-89,137-144``). The Spark mapping
+(SURVEY.md §2.8):
+
+- insert stream → ``readStream`` over a growing file/Kafka source
+- incremental index update → per-micro-batch centroid assignment inside
+  ``foreachBatch`` → append to the cluster-partitioned corpus
+- ``flush_threshold`` → the micro-batch/commit boundary itself
+  (``maxFilesPerTrigger`` / trigger interval); checkpointing replaces the
+  dirty-flag save (indexing_service.py:117-126) with exactly-once commits.
+
+Plus the stream-analytics surface the reference lacks: watermarked
+tumbling/sliding windows and gap session windows over event time, and a
+custom stateful operator (cross-batch first-seen dedup) via
+``applyInPandasWithState``.
+
+Every function returns either a *streaming* DataFrame (composable) or runs
+a bounded source to completion and returns the batch result
+(``run_to_memory`` — the test/oracle harness; event-time aggregation over
+a bounded source is deterministic, so these hash-match batch SQL).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA_NANOS = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Stream the events table from a parquet directory. The fixture's
+    TIMESTAMP(NANOS) column arrives as long nanos (same legacy conf as the
+    batch reader) and is converted to a microsecond timestamp.
+
+    The streaming file source requires a *directory*; a single-file source
+    (the fixture layout) is staged as a symlink inside a temp dir."""
+    if os.path.isfile(source_dir):
+        staged = tempfile.mkdtemp(prefix="events_src_")
+        os.symlink(source_dir, os.path.join(staged, os.path.basename(source_dir)))
+        source_dir = staged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Watermarked tumbling-window aggregation (1h windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.expr("CAST(value AS DECIMAL(18,4))")).cast("double").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Sliding windows: 2h length, 1h slide — each event lands in 2 windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows_stream(events: DataFrame, gap: str = "1 hour", watermark: str = "30 days") -> DataFrame:
+    """Gap-based session windows per user (the streaming form of the batch
+    ``user_sessions`` query): a session spans [first_event, last_event+gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def first_seen_filter_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: emit only the
+    FIRST event per (user_id, event_type) across the whole stream — the
+    streaming form of exact dedup, with cross-micro-batch state."""
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            cand = pdf.sort_values(["ts", "event_id"]).iloc[0]
+            if first is None or (cand.ts, cand.event_id) < (first.ts, first.event_id):
+                first = cand
+        if first is not None:
+            state.update((True,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "event_id": [first.event_id],
+                    "ts": [first.ts],
+                }
+            )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory(sdf: DataFrame, *, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming DataFrame over its (bounded) source to completion
+    via the memory sink; return the result as a batch DataFrame."""
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    assign_batch,
+    *,
+    schema: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """The reference's write path as micro-batches: each batch is assigned
+    a ``cluster_id`` (the incremental index update, ivf.py:87-117) and
+    appended to the cluster-partitioned corpus. ``assign_batch`` is a
+    (batch_df) -> df-with-cluster_id function (e.g. IVFIndex.assign).
+    Returns the StreamingQuery (caller awaits termination)."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        assigned = assign_batch(batch_df)
+        assigned.write.mode("append").partitionBy("cluster_id").parquet(sink_path)
+
+    return (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
