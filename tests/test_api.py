@@ -1,0 +1,93 @@
+"""Service-facade integration tests — the reference's API test surface
+(tests/integration/test_search_api.py, test_embed_api.py) without HTTP:
+insert→search roundtrip, metadata-filter semantics, empty-filter
+short-circuit, health, persistence across 'restarts'."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_db_spark.api import VectorDBService
+
+
+@pytest.fixture
+def service(spark, tmp_path):
+    svc = VectorDBService(spark, str(tmp_path / "svc"), dim=32)
+    docs = spark.createDataFrame(
+        [
+            ("Red Apple", {"color": "red", "kind": "fruit"}),
+            ("Green Apple", {"color": "green", "kind": "fruit"}),
+            ("Red Car", {"color": "red", "kind": "car"}),
+            ("Blue Bicycle", {"color": "blue", "kind": "vehicle"}),
+        ],
+        "content string, metadata map<string,string>",
+    )
+    assert svc.insert_documents(docs) == 4
+    return svc
+
+
+def test_insert_search_roundtrip(service):
+    """Searching an inserted text returns it as the top hit at distance ~0
+    (test_embed_api.py / test_search_api.py roundtrip)."""
+    hits = service.search(["Red Apple"], top_k=2).collect()
+    top = [h for h in hits if h.rank == 1][0]
+    assert top.content == "Red Apple"
+    assert top.distance < 1e-6
+
+
+def test_metadata_filter_excludes_nonmatching(service):
+    """Reference semantics (test_search_api.py:149-172): filtering
+    color=red must exclude 'Green Apple' even for an apple query."""
+    hits = service.search(["Green Apple"], top_k=4, metadata_filter={"color": "red"}).collect()
+    contents = {h.content for h in hits}
+    assert "Green Apple" not in contents
+    assert contents <= {"Red Apple", "Red Car"}
+    # conjunction: two pairs → only Red Apple
+    hits = service.search(
+        ["Apple"], top_k=4, metadata_filter={"color": "red", "kind": "fruit"}
+    ).collect()
+    assert {h.content for h in hits} == {"Red Apple"}
+
+
+def test_empty_filter_returns_no_rows(service):
+    """Empty candidate set short-circuits to zero rows, no error
+    (app.py:186-192, test_search_api.py:175-185)."""
+    assert service.search(["Apple"], metadata_filter={"color": "mauve"}).count() == 0
+
+
+def test_health_and_index_lifecycle(service):
+    h = service.health()
+    assert h == {"status": "healthy", "storage_nodes": 4, "index": False}
+    service.build_index(k=2)
+    h = service.health()
+    assert h["index"] and h["index_vectors"] == 4 and h["index_clusters"] <= 2
+    # indexed search (filtered + unfiltered) still correct
+    top = [r for r in service.search(["Red Car"], top_k=1, n_probe=2).collect() if r.rank == 1][0]
+    assert top.content == "Red Car"
+    hits = service.search(["Red Car"], top_k=4, n_probe=2, metadata_filter={"kind": "fruit"}).collect()
+    assert {h.content for h in hits} == {"Red Apple", "Green Apple"}
+
+
+def test_incremental_insert_updates_index(spark, service):
+    """Inserting after build_index incrementally extends the index
+    (reference insert path, app.py:149 → indexing_service.insert_node)."""
+    service.build_index(k=2)
+    more = spark.createDataFrame(
+        [("Purple Plum", {"color": "purple", "kind": "fruit"})],
+        "content string, metadata map<string,string>",
+    )
+    service.insert_documents(more)
+    assert service.health()["index_vectors"] == 5
+    top = [r for r in service.search(["Purple Plum"], top_k=1, n_probe=2).collect() if r.rank == 1][0]
+    assert top.content == "Purple Plum"
+    assert top.distance < 1e-6
+
+
+def test_persistence_across_restart(spark, service):
+    """A new service instance over the same path sees everything
+    (test_embed_api.py:190-210 index-file persistence)."""
+    service.build_index(k=2)
+    svc2 = VectorDBService(spark, service.base_path, dim=32)
+    assert svc2.health()["storage_nodes"] == 4
+    top = [r for r in svc2.search(["Blue Bicycle"], top_k=1).collect() if r.rank == 1][0]
+    assert top.content == "Blue Bicycle"

@@ -1,0 +1,174 @@
+"""The reference's service surface as a batch library facade.
+
+Maps the two-service FastAPI architecture (``/root/reference/src/vector_db/
+api/app.py``; embedding service at ``docker/embedding-service/app.py``) onto
+the engine: each HTTP endpoint becomes a method whose body is one composed
+DataFrame plan (SURVEY.md §3 — the process/HTTP boundaries become plan
+boundaries):
+
+| reference endpoint | here |
+|---|---|
+| ``POST /embed`` insert (app.py:119-160): embed → next id → storage save → incremental index insert | :meth:`insert_documents`: embed UDF → max+row_number ids → NodeTable append → centroid-assign append to the IVF corpus |
+| ``POST /search`` (app.py:165-233): embed query → metadata filter → ANN search → format | :meth:`search`: embed → Catalyst predicate filter (pushed down, not post-hoc like the reference's hnsw filter_ids) → IVF n_probe search (or exact brute force) → join content/metadata |
+| ``GET /health`` (app.py:107-116) | :meth:`health` |
+| service startup / index load-on-start (app.py:42-101, L3) | the constructor — index state is Parquet, "loading" is ``spark.read`` |
+
+Online single-query serving is explicitly out of scope for a Spark engine
+(BASELINE.json north star); a "query" here is a row in a query table, and
+one-text convenience wrappers build a one-row table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.embedding import stub_embedder
+from vector_db_spark.operators.ivf import IVFIndex
+from vector_db_spark.operators.knn import knn_join
+from vector_db_spark.storage import NODE_SCHEMA, NodeTable
+
+
+class VectorDBService:
+    """insert / search / stats over a persisted corpus + optional IVF index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        *,
+        dim: int = 64,
+        embedder=None,
+    ):
+        self.spark = spark
+        self.base_path = base_path
+        self.dim = dim
+        self.embedder = embedder if embedder is not None else stub_embedder(dim)
+        self.nodes = NodeTable(spark, os.path.join(base_path, "nodes"), dim=dim)
+        self.index_path = os.path.join(base_path, "ivf")
+
+    # -- startup state (L3) ---------------------------------------------------
+
+    def _has_corpus(self) -> bool:
+        try:
+            self.nodes.df().limit(1).collect()
+            return True
+        except Exception:
+            return False
+
+    def _index(self) -> IVFIndex | None:
+        idx = IVFIndex(self.spark, self.index_path, id_col="id", vec_col="embedding")
+        try:
+            idx.centroids().limit(1).collect()
+            return idx
+        except Exception:
+            return None
+
+    # -- write path (POST /embed) ---------------------------------------------
+
+    def insert_documents(self, docs: DataFrame) -> int:
+        """``docs``: (content string, metadata map<string,string>). Embeds,
+        assigns dense ids (max+1 semantics, storage.py:276-280), persists,
+        and incrementally extends the IVF index when one exists
+        (indexing_service.py:77-89). Returns the number inserted."""
+        embedded = docs.withColumn("embedding", self.embedder(F.col("content")))
+        n = embedded.count()
+        if self._has_corpus():
+            self.nodes.append_with_ids(
+                embedded.select(
+                    F.lit(None).cast("long").alias("id"), "embedding", "content", "metadata"
+                )
+            )
+        else:
+            from pyspark.sql import Window
+
+            w = Window.orderBy(F.monotonically_increasing_id())
+            self.nodes.init(
+                embedded.select(
+                    F.row_number().over(w).cast("long").alias("id"),
+                    "embedding",
+                    "content",
+                    "metadata",
+                ).select([f.name for f in NODE_SCHEMA.fields])
+            )
+        idx = self._index()
+        if idx is not None:
+            new_ids = (
+                self.nodes.df()
+                .join(idx.corpus().select(F.col("id")), "id", "left_anti")
+                .select("id", "embedding")
+            )
+            idx.add(new_ids)
+        return n
+
+    # -- index build (V10) -----------------------------------------------------
+
+    def build_index(self, k: int = 10, max_iter: int = 20, seed: int = 42) -> None:
+        IVFIndex.build(
+            self.spark,
+            self.nodes.df().select("id", "embedding"),
+            k,
+            self.index_path,
+            id_col="id",
+            vec_col="embedding",
+            max_iter=max_iter,
+            seed=seed,
+        )
+
+    # -- read path (POST /search) ----------------------------------------------
+
+    def search(
+        self,
+        query_texts: list[str],
+        top_k: int = 5,
+        *,
+        metadata_filter: dict[str, str] | None = None,
+        n_probe: int = 10,
+        exact: bool = False,
+    ) -> DataFrame:
+        """Returns (query_id, id, content, metadata, distance, rank) — the
+        reference's response rows (app.py:214-227). ``query_id`` indexes
+        into ``query_texts``. Filter semantics are the reference's F1+F2:
+        every metadata pair must match, applied BEFORE the search."""
+        queries = self.spark.createDataFrame(
+            [(i, t) for i, t in enumerate(query_texts)], "query_id long, content string"
+        ).withColumn("query_vec", self.embedder(F.col("content"))).select(
+            "query_id", "query_vec"
+        )
+        corpus = (
+            self.nodes.filter_by_metadata(metadata_filter)
+            if metadata_filter
+            else self.nodes.df()
+        )
+        idx = self._index()
+        if exact or idx is None:
+            hits = knn_join(
+                queries, corpus.select("id", "embedding"), top_k,
+                id_col="id", vec_col="embedding", impl="batch",
+            )
+        else:
+            # the filter prunes candidates BEFORE distances/top-k — unlike
+            # the reference's during-traversal id check (hnsw.py:126-131),
+            # a filtered search still fills k results when k matches exist
+            allowed = corpus.select("id") if metadata_filter else None
+            hits = idx.search(queries, top_k, n_probe, allowed_ids=allowed)
+        return (
+            hits.withColumnRenamed("neighbor_id", "id")
+            .join(self.nodes.df().select("id", "content", "metadata"), "id")
+            .select("query_id", "id", "content", "metadata",
+                    F.col("dist").alias("distance"), "rank")
+        )
+
+    # -- health (GET /health) ---------------------------------------------------
+
+    def health(self) -> dict:
+        idx = self._index()
+        n = self.nodes.size() if self._has_corpus() else 0
+        out = {"status": "healthy", "storage_nodes": n, "index": idx is not None}
+        if idx is not None:
+            stats = idx.stats().collect()[0]
+            out["index_vectors"] = stats.total_vectors
+            out["index_clusters"] = stats.n_clusters
+        return out

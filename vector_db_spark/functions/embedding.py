@@ -82,3 +82,47 @@ def embed_column(df, text_col: str, out_col: str = "embedding", dim: int = DEFAU
     """E1/E2: add an embedding column (reference embed_text/embed_texts)."""
     fn = embedder if embedder is not None else stub_embedder(dim)
     return df.withColumn(out_col, fn(F.col(text_col)))
+
+
+def remote_embed(df, text_col: str, *, endpoint: str, dim: int = DEFAULT_DIM,
+                 batch_size: int = 64, transport=None, out_col: str = "embedding"):
+    """E3: remote embedding client (reference ``services/embedding_client.py:
+    33-146`` — HTTP POST /embed/batch to the embedding service) as a
+    ``mapInPandas`` with one session per partition and batched requests.
+
+    ``transport(endpoint, texts) -> list[vector]`` is injectable; the
+    default uses urllib (JSON {"texts": [...]} → {"embeddings": [...]}),
+    matching the reference's wire shape (docker/embedding-service/
+    app.py:74-90). Executors make the calls — the driver never sees a
+    payload."""
+
+    def default_transport(url: str, texts: list[str]) -> list[list[float]]:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            url,
+            data=json.dumps({"texts": texts}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read())["embeddings"]
+
+    call = transport if transport is not None else default_transport
+    # df.schema is the DataFrame's cached StructType — .add() would mutate
+    # it in place; build a fresh copy
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs: list[list[float]] = []
+            texts = pdf[text_col].fillna("").tolist()
+            for s in range(0, len(texts), batch_size):
+                vecs.extend(call(endpoint, texts[s : s + batch_size]))
+            yield pdf.assign(**{out_col: vecs})
+
+    return df.mapInPandas(kernel, schema)

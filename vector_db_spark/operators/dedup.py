@@ -47,10 +47,14 @@ def exact_dedup(
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) distinct — the exploded unit of MinHash and Jaccard."""
-    return (
-        df.select(F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("shingle"))
-        .distinct()
+    """(id, shingle) distinct — the exploded unit of MinHash and Jaccard.
+
+    Distinctness is per document (a shingle *set*), so it is computed with
+    ``array_distinct`` BEFORE the explode — map-side, no shuffle. A naive
+    ``explode().distinct()`` would shuffle the entire exploded corpus."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle"),
     )
 
 
@@ -59,19 +63,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, hash_idx, minhash): per seed, the lexicographic min of
     ``md5(seed || ':' || shingle)`` — a min-wise independent family that
-    any engine reproduces exactly. Partial ``min`` aggregates map-side, so
-    the shuffle carries one row per (doc, seed)."""
-    seeds = sh.sparkSession.range(n_hashes).select(
-        F.col("id").cast("int").alias("hash_idx")
-    )
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy(id_col, "hash_idx")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws(":", F.col("hash_idx"), F.col("shingle")))
-            ).alias("minhash")
-        )
+    any engine reproduces exactly.
+
+    All ``n_hashes`` minima are computed as ONE wide aggregation over the
+    shingle table (one shuffle, map-side partial mins, one row per doc) —
+    not a seed×shingle explode, which would blow the pre-shuffle data up
+    n_hashes× at 100 TB."""
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"__mh_{i}")
+        for i in range(n_hashes)
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"__mh_{i}") for i in range(n_hashes)])).alias(
+            "hash_idx", "minhash"
+        ),
     )
 
 
@@ -99,7 +106,7 @@ def lsh_candidate_pairs(
                 )
             ).alias("band_key")
         )
-    )
+    ).cache()  # self-joined below: without this the whole minhash lineage runs twice
     a = banded.select(
         F.col(id_col).alias("doc_a"), "band", "band_key"
     )
@@ -119,7 +126,18 @@ def jaccard_verify(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs only: |A∩B| via a shingle
-    join restricted to the candidates, |A∪B| from per-doc counts."""
+    join restricted to the candidates, |A∪B| from per-doc counts.
+
+    The shingle table is first cut down to candidate docs with a broadcast
+    semi-join (candidate pairs are tiny by construction), so the heavy
+    (doc, shingle) equi-join only ever shuffles near-duplicate docs'
+    shingles, not the corpus."""
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -154,10 +172,15 @@ def near_dup_pairs_minhash(
     threshold: float = 0.5,
 ) -> DataFrame:
     """The full MinHash+LSH near-dup pipeline: shingle → sign → band →
-    candidate join → exact Jaccard verify. Never enumerates O(n²) pairs."""
-    sh = shingle_table(df, text_col, id_col, n)
+    candidate join → exact Jaccard verify. Never enumerates O(n²) pairs.
+
+    The shingle table feeds the signatures AND both sides of the verify
+    join — cached so it materializes once (at cluster scale: persist to
+    Parquet instead; same plan shape)."""
+    sh = shingle_table(df, text_col, id_col, n).cache()
     sig = minhash_signatures(sh, id_col, n_hashes)
-    cands = lsh_candidate_pairs(sig, id_col, n_bands)
+    # candidates are consumed twice by the verify (doc cut + pair join)
+    cands = lsh_candidate_pairs(sig, id_col, n_bands).cache()
     return jaccard_verify(sh, cands, id_col, threshold)
 
 

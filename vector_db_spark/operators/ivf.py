@@ -167,13 +167,19 @@ class IVFIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
         round_to: int | None = 6,
+        allowed_ids: DataFrame | None = None,
     ) -> DataFrame:
         """n_probe search: rank centroids per query (ivf.py:170-171's argsort
         as a windowed top-n_probe over the broadcast centroid join), then an
         equi-join on ``cluster_id`` against the partitioned corpus — Catalyst
         turns the tiny probe side into dynamic partition pruning, the
         distributed form of "only scan the probed inverted lists"
-        (ivf.py:174-178) — then exact distances and a per-query top-k."""
+        (ivf.py:174-178) — then exact distances and a per-query top-k.
+
+        ``allowed_ids`` (one column named like ``id_col``) pre-filters the
+        candidate set — metadata-filtered search (reference F2,
+        app.py:184-199) as a semi-join BEFORE distances and top-k, so a
+        filtered search still returns k results when k matches exist."""
         probes = top_k_per_group(
             queries.crossJoin(F.broadcast(self.centroids())).withColumn(
                 "__cdist", euclidean(query_vec_col, "centroid")
@@ -183,7 +189,10 @@ class IVFIndex:
             n_probe,
         ).select(query_id_col, query_vec_col, "cluster_id")
 
-        cand = F.broadcast(probes).join(self.corpus(), "cluster_id")
+        corpus = self.corpus()
+        if allowed_ids is not None:
+            corpus = corpus.join(allowed_ids, self.id_col, "left_semi")
+        cand = F.broadcast(probes).join(corpus, "cluster_id")
         scored = cand.select(
             F.col(query_id_col).alias("query_id"),
             F.col(self.id_col).alias("neighbor_id"),

@@ -462,6 +462,52 @@ def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cube (all grouping-set combinations) ------------------------------------
+
+@register(
+    "orders_cube",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum("o_totalprice", "total_value", scale=2),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+# --- approximate aggregates (rows-only: sketch outputs are engine-specific) ---
+
+@register("approx_stats")
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) + percentile_approx over
+    lineitem — the sketch surface. Accuracy vs exact is asserted in
+    tests/test_relational_extras.py; sketches are not oracle-hashable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_quantity", [0.25, 0.75]).alias("qty_quartiles"),
+    )
+
+
 # --- global top-k (V8: ORDER BY ... LIMIT → TakeOrderedAndProject) ----------
 
 @register(
