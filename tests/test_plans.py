@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the scale posture, regression-guarded.
+
+These tests read `.explain`-style plan strings and pin the properties that
+matter at 100 TB: filters reach the Parquet scan, projections prune
+columns, dimension joins broadcast, the IVF probe join triggers partition
+pruning, and aggregations keep map-side partial phases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.io import load_table
+from vector_db_spark.queries import QUERIES
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet_scan(spark, sf_smoke):
+    """doc_filter_eq's predicates appear as PushedFilters on the scan."""
+    df = QUERIES["doc_filter_eq"](spark, sf_smoke)
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    assert "EqualTo(source,src3)" in plan and "EqualTo(lang,en)" in plan
+
+
+def test_column_pruning_projection_only_reads_needed(spark, sf_smoke):
+    """Selecting id+embedding must not read text columns (the reference's
+    hot/cold layer split, free via Parquet — SURVEY §1.5)."""
+    emb = load_table(spark, sf_smoke, "documents").select("doc_id", "n_chars")
+    plan = plan_of(emb)
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read and "n_chars" in read
+    assert "text" not in read and "lang" not in read
+
+
+def test_dim_joins_broadcast_in_snowflake(spark, sf_smoke):
+    """regional_revenue: supplier/nation/region joins are broadcast — no
+    shuffle for dimension tables."""
+    plan = plan_of(QUERIES["regional_revenue"](spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_ivf_probe_join_prunes_partitions(spark, sf_smoke, tmp_path):
+    """IVF search: the corpus scan carries dynamic pruning on cluster_id —
+    the distributed form of 'scan only the probed inverted lists'."""
+    from vector_db_spark.operators.ivf import IVFIndex
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = IVFIndex.build(spark, emb, 8, str(tmp_path / "ivf"))
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).limit(2)
+    plan = plan_of(idx.search(q, k=3, n_probe=2))
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_aggregation_has_partial_phase(spark, sf_smoke):
+    """pricing_summary keeps a map-side partial HashAggregate before the
+    exchange — decimal sums combine associatively, no single-point agg."""
+    plan = plan_of(QUERIES["pricing_summary"](spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan.lower()
+
+
+def test_global_topk_is_take_ordered(spark, sf_smoke):
+    """ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition
+    partial top-k, the argpartition trick built into the operator)."""
+    plan = plan_of(QUERIES["top_events_global"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_sql_stays_jvm_side(spark, sf_smoke):
+    """The native-SQL knn path contains no Python evaluation nodes — the
+    distance fold runs inside the JVM."""
+    plan = plan_of(QUERIES["knn_exact_sql"](spark, sf_smoke))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast queries, corpus streams
+
+
+def test_empty_relation_propagates(spark, sf_smoke):
+    """A provably-empty filter collapses the whole plan (reference F3
+    short-circuit, free from Catalyst's PropagateEmptyRelation)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    df = emb.filter(F.lit(False)).join(emb, "vec_id")
+    assert "LocalRelation <empty>" in optimized_of(df) or "Empty" in optimized_of(df)

@@ -619,7 +619,140 @@ def above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- SQL-surface demonstration: same engine via spark.sql -------------------
+# --- as-of (point-in-time) join: operator Spark lacks natively ---------------
+
+@register(
+    "asof_last_order",
+    oracle="""
+WITH matched AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         (SELECT MAX(o.o_orderdate) FROM orders o
+          WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_time
+  FROM events e
+)
+SELECT m.event_id, m.user_id, m.ts, m.asof_time,
+       (SELECT MAX(o.o_totalprice) FROM orders o
+        WHERE o.o_custkey = m.user_id AND o.o_orderdate = m.asof_time) AS asof_o_totalprice
+FROM matched m
+""",
+)
+def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the user's most recent order as of the event
+    time (feature-store / point-in-time-correct lookup). Equal-date orders
+    resolve to the max totalprice deterministically."""
+    from vector_db_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_totalprice"
+    )
+    return as_of_join(
+        ev, o,
+        on="user_id", left_time="ts", right_time="o_orderdate",
+        value_cols=["o_totalprice"], tiebreak_cols=["o_totalprice"],
+    ).select("event_id", "user_id", "ts", "asof_time", F.col("asof_o_totalprice"))
+
+
+# --- exact percentiles + ordered string aggregation ---------------------------
+
+@register(
+    "price_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: linear interpolation
+    over the sorted values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+    )
+
+
+@register(
+    "nation_supplier_roster",
+    oracle="""
+SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS roster,
+       COUNT(*)::BIGINT AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (sorted collect → concat: deterministic
+    regardless of partitioning)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("roster"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+# --- salting: skew-resistant two-stage aggregation (same exact result) --------
+
+@register(
+    "salted_type_counts",
+    oracle="""
+SELECT p_type, COUNT(*)::BIGINT AS n,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM part GROUP BY p_type
+""",
+)
+def salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: stage 1 groups by (key, salt) spreading
+    a hot key over 8 reducers, stage 2 merges partials. Bit-identical to the
+    direct groupBy (counts and decimal sums are associative) — the manual
+    fallback when AQE skew handling isn't enough."""
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "__salt", F.pmod(F.hash("p_partkey"), F.lit(8))
+    )
+    partial = p.groupBy("p_type", "__salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.expr("CAST(p_retailprice AS DECIMAL(18,2))")).alias("pt"),
+    )
+    return partial.groupBy("p_type").agg(
+        F.sum("pn").alias("n"), F.sum("pt").cast("double").alias("total")
+    )
+
+
+# --- deterministic stratified sampling ----------------------------------------
+
+@register(
+    "stratified_sample_det",
+    oracle="""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':salt'), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':salt'), 2, 1)) - 1) AS bucket
+  FROM documents
+) WHERE bucket < 51
+""",
+)
+def stratified_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~20% sample via content hashing (md5 first byte < 51):
+    the training-data sampling pattern where reruns — and engines — must
+    agree on exact membership. Seeded ``df.sample`` is NOT reproducible
+    across engines; hash-membership is."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":salt")))
+    bucket = (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    )
+    return docs.withColumn("bucket", bucket).filter(F.col("bucket") < 51).select(
+        "doc_id", "lang"
+    )
 
 @register(
     "sql_order_priority_counts",
