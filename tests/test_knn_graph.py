@@ -1,0 +1,55 @@
+"""k-NN graph export tests: degree bounds, determinism, and the
+reference's connectivity invariant (test_hnsw.py:155-185, ≥ 90%)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.io import load_table
+from vector_db_spark.operators.ivf import IVFIndex
+from vector_db_spark.operators.knn_graph import graph_connectivity, knn_graph
+
+
+@pytest.fixture(scope="module")
+def graph(spark, sf_smoke, tmp_path_factory):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = IVFIndex.build(spark, emb, 6, str(tmp_path_factory.mktemp("g") / "ivf"))
+    return knn_graph(idx.corpus(), m=8, centroids=idx.centroids())
+
+
+def test_degree_and_self_exclusion(spark, sf_smoke, graph):
+    rows = graph.collect()
+    assert len(rows) == load_table(spark, sf_smoke, "embeddings").count()
+    for r in rows[:100]:
+        assert len(r.neighbors) == 8
+        assert r.vec_id not in r.neighbors
+
+
+def test_graph_deterministic(spark, sf_smoke, graph):
+    """A fresh build (same seed) produces the identical adjacency."""
+    import tempfile
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = IVFIndex.build(spark, emb, 6, tempfile.mkdtemp() + "/ivf")
+    again = knn_graph(idx.corpus(), m=8, centroids=idx.centroids())
+    a = sorted((r.vec_id, tuple(r.neighbors)) for r in graph.collect())
+    b = sorted((r.vec_id, tuple(r.neighbors)) for r in again.collect())
+    assert a == b
+
+
+def test_connectivity_invariant(graph):
+    """≥ 90% of nodes reachable (undirected) from the entry node — the
+    reference's HNSW structural test carried over to the exported graph."""
+    assert graph_connectivity(graph) >= 0.9
+
+
+def test_tiny_cluster_graceful(spark):
+    """Cluster smaller than m+1: neighbors = all others, no error."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [9.0, 9.0], 1)],
+        "vec_id long, embedding array<float>, cluster_id int",
+    )
+    rows = {r.vec_id: r.neighbors for r in knn_graph(df, m=8).collect()}
+    assert rows[1] == [2] and rows[2] == [1]
+    assert rows[3] == []  # singleton cluster → no neighbors

@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis): engine operators vs plain-Python
+reference implementations on randomized inputs. Example counts are kept
+small — every example runs real Spark jobs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.distance import euclidean
+from vector_db_spark.operators.asof import as_of_join
+from vector_db_spark.operators.dedup import exact_dedup
+from vector_db_spark.operators.topk import top_k_per_group
+
+SETTINGS = dict(max_examples=5, deadline=None)
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from vector_db_spark.session import get_spark
+
+        _spark = get_spark("props", cpus=8)
+    return _spark
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(1, 5),
+)
+def test_topk_matches_python(rows, k):
+    spark = _get_spark()
+    # unique tiebreaker per row
+    data = [(g, v, i) for i, (g, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, v long, uid long")
+    got = {
+        (r.g, r.uid): r.rank
+        for r in top_k_per_group(df, ["g"], [F.col("v").asc(), F.col("uid").asc()], k).collect()
+    }
+    expect = {}
+    by_g: dict[int, list] = {}
+    for g, v, uid in data:
+        by_g.setdefault(g, []).append((v, uid))
+    for g, items in by_g.items():
+        for rank, (v, uid) in enumerate(sorted(items)[:k], 1):
+            expect[(g, uid)] = rank
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=30),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=0, max_size=30),
+)
+def test_asof_matches_merge_asof(left, right):
+    spark = _get_spark()
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # unique right times per key → tie-free, merge_asof semantics well-defined
+    rseen = set()
+    rrows = []
+    for kk, t in right:
+        if (kk, t) not in rseen:
+            rseen.add((kk, t))
+            rrows.append((kk, base + dt.timedelta(minutes=t), float(t)))
+    lrows = [
+        (kk, base + dt.timedelta(minutes=t), i) for i, (kk, t) in enumerate(left)
+    ]
+    ldf = spark.createDataFrame(lrows, "k long, t timestamp, uid long")
+    rdf = spark.createDataFrame(
+        rrows or [(99, base, 0.0)], "k long, rt timestamp, val double"
+    )
+    got = {
+        r.uid: (r.asof_time, r.asof_val)
+        for r in as_of_join(
+            ldf, rdf, on="k", left_time="t", right_time="rt", value_cols=["val"]
+        ).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["k", "t", "uid"]).sort_values("t")
+    rp = pd.DataFrame(rrows or [(99, base, 0.0)], columns=["k", "rt", "val"]).sort_values("rt")
+    m = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k", direction="backward")
+    for _, row in m.iterrows():
+        at, av = got[row.uid]
+        if pd.isna(row.rt):
+            assert at is None and av is None
+        else:
+            assert at == row.rt.to_pydatetime() and av == row.val
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=25
+    )
+)
+def test_exact_dedup_partitions_by_normalized_text(texts):
+    spark = _get_spark()
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = exact_dedup(df).collect()
+    norm = lambda t: " ".join(t.lower().split())
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(norm(t), []).append(i)
+    assert {r.doc_id for r in out} == {min(v) for v in groups.values()}
+    sizes = {norm(texts[r.doc_id]): r.group_size for r in out}
+    assert sizes == {kk: len(v) for kk, v in groups.items()}
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-10, 10, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_euclidean_column_matches_numpy(vecs):
+    spark = _get_spark()
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    pairs = df.alias("a").crossJoin(df.alias("b")).select(
+        F.col("a.id").alias("ia"),
+        F.col("b.id").alias("ib"),
+        euclidean(F.col("a.v"), F.col("b.v")).alias("d"),
+    )
+    arr = np.array(vecs, dtype=np.float32).astype(np.float64)
+    for r in pairs.collect():
+        expect = float(np.linalg.norm(arr[r.ia] - arr[r.ib]))
+        assert abs(r.d - expect) <= 1e-9 * max(1.0, expect)

@@ -1,0 +1,136 @@
+"""Distributed k-NN graph construction — the export-artifact replacement
+for the reference's HNSW build.
+
+The reference's HNSW insert (``/root/reference/src/vector_db/indexing/
+hnsw.py:143-225``) is a sequential mutable-graph algorithm and is
+deliberately NOT ported (SURVEY.md §2.3 V5): it cannot be expressed as a
+data-parallel plan. What a Spark pipeline CAN produce at scale is the
+*graph artifact* a serving layer needs: for every vector, its m nearest
+neighbors.
+
+Construction: every vector joins the groups of its ``n_probe`` nearest
+IVF clusters (multi-probe membership — the cross-cluster bridges that a
+single-cluster build lacks), each group runs an exact in-memory kNN inside
+``applyInPandas`` (group size is bounded by cluster size × n_probe), and a
+final per-vector merge keeps the m nearest across groups. Memory per task
+is (group_size × dim) floats regardless of corpus size.
+
+Output schema matches the reference's adjacency shape
+(``InternalNode.neighbors``, hnsw.py:23-28): ``(id, neighbors array<long>)``.
+The reference's connectivity invariant (≥ 90% reachable,
+tests/indexing/test_hnsw.py:155-185) is enforced in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.distance import euclidean
+
+
+def knn_graph(
+    corpus: DataFrame,
+    m: int = 8,
+    *,
+    centroids: DataFrame | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """(id, neighbors): each vector's m nearest, exact within the union of
+    its n_probe nearest clusters.
+
+    ``corpus`` must carry ``cluster_col`` (an IVF corpus). With
+    ``centroids`` given, multi-probe membership adds cross-cluster edges;
+    without it, a single-cluster build (n_probe forced to 1)."""
+    if centroids is not None and n_probe > 1:
+        scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(centroids)).withColumn(
+            "__d", euclidean(vec_col, "centroid")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col(cluster_col).asc())
+        member = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_probe)
+            .select(id_col, vec_col, cluster_col)
+        )
+    else:
+        member = corpus.select(id_col, vec_col, cluster_col)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        n = len(ids)
+        take = min(m, n - 1)
+        if take <= 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "dist": pd.Series([], dtype="float64"),
+                }
+            )
+        d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+        np.fill_diagonal(d2, np.inf)
+        idx = np.argpartition(d2, take - 1, axis=1)[:, :take]
+        src = np.repeat(ids, take)
+        dst = ids[idx].ravel()
+        dist = np.take_along_axis(d2, idx, axis=1).ravel()
+        return pd.DataFrame({id_col: src, "neighbor_id": dst, "dist": np.sqrt(dist)})
+
+    edges = member.groupBy(cluster_col).applyInPandas(
+        build, f"{id_col} long, neighbor_id long, dist double"
+    )
+    # merge across groups: per vector keep the m nearest distinct neighbors
+    merged = (
+        edges.groupBy(id_col, "neighbor_id")
+        .agg(F.min(F.round("dist", 9)).alias("dist"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    topm = merged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= m)
+    adjacency = topm.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dist", "neighbor_id"))),
+            lambda s: s.neighbor_id,
+        ).alias("neighbors")
+    )
+    # isolated vectors (singleton clusters) keep an empty adjacency row
+    return (
+        corpus.select(id_col)
+        .distinct()
+        .join(adjacency, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("neighbors", F.array().cast("array<bigint>")).alias("neighbors"),
+        )
+    )
+
+
+def graph_connectivity(graph: DataFrame, id_col: str = "vec_id") -> float:
+    """Fraction of nodes reachable from the min-id node by undirected BFS —
+    the reference's structural invariant (tests/indexing/
+    test_hnsw.py:155-185 demands ≥ 0.9). Driver-side BFS over the edge
+    list; for huge graphs use an iterative Pregel-style join instead."""
+    edges = graph.select(id_col, F.explode("neighbors").alias("dst")).collect()
+    adj: dict[int, set[int]] = {}
+    for r in edges:
+        adj.setdefault(r[0], set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r[0])
+    nodes = {r[0] for r in graph.select(id_col).collect()}
+    if not nodes:
+        return 1.0
+    start = min(nodes)
+    seen = {start}
+    frontier = [start]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    nxt.append(v)
+        frontier = nxt
+    return len(seen & nodes) / len(nodes)

@@ -256,3 +256,50 @@ def ivf_stats_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster statistics over the KMeans build (reference A1,
     ivf.py:207-215)."""
     return _kmeans_index(spark, sf_dir).stats()
+
+
+# --- k-NN graph export (the HNSW-replacement artifact, SURVEY §2.3 V5) --------
+
+@register("knn_graph_export")
+def knn_graph_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster exact k-NN graph (id, degree, min/max neighbor) — the
+    base-layer adjacency a navigable-graph server ingests. Rows-only
+    (depends on the KMeans clustering); connectivity asserted in
+    tests/test_knn_graph.py."""
+    from vector_db_spark.operators.knn_graph import knn_graph
+
+    idx = _kmeans_index(spark, sf_dir)
+    graph = knn_graph(idx.corpus(), m=8, centroids=idx.centroids())
+    return graph.select(
+        "vec_id",
+        F.size("neighbors").cast("long").alias("degree"),
+        F.array_min("neighbors").alias("nearest"),
+        F.array_max("neighbors").alias("farthest_id"),
+    )
+
+
+# --- end-to-end semantic search pipeline (embed -> index -> search) -----------
+
+@register("semantic_search_docs")
+def semantic_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full lifecycle in one plan chain: embed documents
+    (stub UDF) -> build IVF -> embed query texts -> n_probe search ->
+    attach document text. Rows-only (stub vectors + KMeans)."""
+    import tempfile
+
+    from vector_db_spark.functions.embedding import embed_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    embedded = embed_column(docs, "text", dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="semsearch_") + "/index"
+    idx = IVFIndex.build(spark, embedded, k=8, path=path)
+    queries = embed_column(
+        docs.select("doc_id", "text").filter(F.col("doc_id") < 5), "text", dim=64
+    ).select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    hits = idx.search(queries, k=3, n_probe=3)
+    return hits.join(
+        docs.select(F.col("doc_id").alias("neighbor_id"), F.col("lang").alias("neighbor_lang")),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "neighbor_lang", "dist", "rank")
