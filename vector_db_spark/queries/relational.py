@@ -754,6 +754,47 @@ def stratified_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang"
     )
 
+
+@register(
+    "qty_price_corr",
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS syy
+  FROM lineitem
+)
+SELECT n, round((n * sxy - sx * sy)
+        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
+FROM m
+""",
+)
+def qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation assembled from decimal-exact moments — the
+    order-independent form of a statistic whose streaming implementations
+    (Welford etc.) differ per engine. Same five exact sums → identical
+    double arithmetic → hashable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("double").alias("sx"),
+        F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(18,4))")).cast("double").alias("sy"),
+        F.sum(F.expr("CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))")).cast("double").alias("sxy"),
+        F.sum(F.expr("CAST(l_quantity * l_quantity AS DECIMAL(24,6))")).cast("double").alias("sxx"),
+        F.sum(F.expr("CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))")).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"])
+    return m.select(
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 9
+        ).alias("corr_qty_price"),
+    )
+
+
 @register(
     "sql_order_priority_counts",
     oracle="""
