@@ -58,3 +58,7 @@ try:
     from vector_db_spark.queries import stream  # noqa: E402,F401
 except ImportError:  # phase 5+
     pass
+try:
+    from vector_db_spark.queries import multimodal  # noqa: E402,F401
+except ImportError:  # phase 4+
+    pass
