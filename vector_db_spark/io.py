@@ -48,6 +48,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def write_small_parquet(path: str, table) -> None:
+    """Overwrite ``path`` with one Parquet file holding a driver-side
+    pyarrow Table — for index state that is small by definition (k×dim
+    centroids, PQ codebooks). Skips a full Spark job (scheduler + commit
+    protocol) for data that never left the driver; ``spark.read.parquet``
+    reads the result exactly like a Spark-written table."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow input across the cluster before compute-heavy
+    stages (hashing, distance math, encoding).
+
+    Small fixture files arrive as a single scan partition, which would
+    serialize every downstream expression onto one core. At 100 TB inputs
+    are already wide, so this only ever scales UP (round-robin, one cheap
+    shuffle of the narrow input) and is a no-op on well-partitioned data.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

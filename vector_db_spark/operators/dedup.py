@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from vector_db_spark.functions.distance import cosine_similarity
 from vector_db_spark.functions.text import doc_fingerprint, shingles, tokens
+from vector_db_spark.io import ensure_parallelism
 
 
 def exact_dedup(
@@ -51,65 +52,83 @@ def shingle_table(
 
     Distinctness is per document (a shingle *set*), so it is computed with
     ``array_distinct`` BEFORE the explode — map-side, no shuffle. A naive
-    ``explode().distinct()`` would shuffle the entire exploded corpus."""
+    ``explode().distinct()`` would shuffle the entire exploded corpus.
+
+    The input is spread across cores first (``ensure_parallelism``): the
+    md5-heavy signature stage downstream must never run on one scan split."""
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle"),
     )
 
 
-def minhash_signatures(
+def minhash_wide(
     sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 8
 ) -> DataFrame:
-    """(id, hash_idx, minhash): per seed, the lexicographic min of
-    ``md5(seed || ':' || shingle)`` — a min-wise independent family that
-    any engine reproduces exactly.
-
-    All ``n_hashes`` minima are computed as ONE wide aggregation over the
-    shingle table (one shuffle, map-side partial mins, one row per doc) —
-    not a seed×shingle explode, which would blow the pre-shuffle data up
-    n_hashes× at 100 TB."""
+    """(id, sig array<string>): all ``n_hashes`` minima — per seed, the
+    lexicographic min of ``md5(seed || ':' || shingle)``, a min-wise
+    independent family any engine reproduces exactly — computed as ONE wide
+    aggregation over the shingle table (one shuffle, map-side partial mins,
+    one row per doc). Not a seed×shingle explode, which would blow the
+    pre-shuffle data up n_hashes× at 100 TB."""
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"__mh_{i}")
         for i in range(n_hashes)
     ]
-    wide = sh.groupBy(id_col).agg(*aggs)
-    return wide.select(
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__mh_{i}") for i in range(n_hashes)]).alias("sig"),
+        )
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 8
+) -> DataFrame:
+    """Long form (id, hash_idx, minhash) of :func:`minhash_wide` — the
+    interchange layout (one row per signature cell)."""
+    return minhash_wide(sh, id_col, n_hashes).select(
         F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"__mh_{i}") for i in range(n_hashes)])).alias(
-            "hash_idx", "minhash"
-        ),
+        F.posexplode("sig").alias("hash_idx", "minhash"),
     )
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", n_bands: int = 4
+    wide: DataFrame, id_col: str = "doc_id", n_bands: int = 4
 ) -> DataFrame:
-    """Band the signature (rows n_hashes/n_bands per band), bucket by the
-    band digest, emit same-bucket pairs (a < b). Docs agreeing on ALL
-    hashes of any band become candidates — the standard LSH guarantee."""
-    max_idx = sig.agg(F.max("hash_idx")).collect()[0][0]
-    if max_idx is None:  # no doc had enough tokens for a single shingle
-        return sig.sparkSession.createDataFrame([], "doc_a long, doc_b long")
-    rows_per_band = max(1, (max_idx + 1) // n_bands)
-    banded = (
-        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("hash_idx", "minhash"))),
-                        lambda s: s.minhash,
-                    ),
-                )
-            ).alias("band_key")
-        )
-    ).cache()  # self-joined below: without this the whole minhash lineage runs twice
-    a = banded.select(
-        F.col(id_col).alias("doc_a"), "band", "band_key"
-    )
+    """Band the wide signature (n_hashes/n_bands cells per band), bucket by
+    the band digest, emit same-bucket pairs (a < b). Docs agreeing on ALL
+    hashes of any band become candidates — the standard LSH guarantee.
+
+    Band keys are derived map-side from the wide signature row (md5 of the
+    comma-joined band slice) — no re-aggregation of an exploded signature,
+    so the whole banding costs zero extra shuffles; the only shuffle is the
+    (band, band_key) equi-join itself."""
+    banded = wide.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            "sig",
+                            b * (F.size("sig") / n_bands).cast("int") + 1,
+                            F.greatest(
+                                (F.size("sig") / n_bands).cast("int"), F.lit(1)
+                            ),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_key"),
+    ).cache()  # self-joined below: without this the minhash lineage runs twice
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
         a.join(b, ["band", "band_key"])
@@ -178,9 +197,9 @@ def near_dup_pairs_minhash(
     join — cached so it materializes once (at cluster scale: persist to
     Parquet instead; same plan shape)."""
     sh = shingle_table(df, text_col, id_col, n).cache()
-    sig = minhash_signatures(sh, id_col, n_hashes)
+    wide = minhash_wide(sh, id_col, n_hashes)
     # candidates are consumed twice by the verify (doc cut + pair join)
-    cands = lsh_candidate_pairs(sig, id_col, n_bands).cache()
+    cands = lsh_candidate_pairs(wide, id_col, n_bands).cache()
     return jaccard_verify(sh, cands, id_col, threshold)
 
 

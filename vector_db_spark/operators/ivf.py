@@ -5,7 +5,7 @@ indexing/ivf.py``) Spark-first:
 
 | reference                                   | here |
 |---------------------------------------------|------|
-| ``build_index``: scipy ``kmeans2`` + Python inverted lists (ivf.py:49-85) | ``pyspark.ml.clustering.KMeans`` fit; "inverted list" = the corpus written ``partitionBy("cluster_id")`` — probing a cluster IS partition pruning |
+| ``build_index``: scipy ``kmeans2`` + Python inverted lists (ivf.py:49-85) | bounded-sample k-means++/Lloyd (operators.kmeans; ``trainer="ml"`` for a fully-distributed ``pyspark.ml`` fit) + distributed broadcast-argmin assignment; "inverted list" = the corpus written ``partitionBy("cluster_id")`` — probing a cluster IS partition pruning |
 | ``add``: argmin over centroids, append to list (ivf.py:87-117) | broadcast-centroid argmin join → append to the partitioned table |
 | ``delete``: remove id from all lists (ivf.py:119-136) | dynamic partition overwrite of only the affected clusters |
 | ``search``: rank centroids, scan n_probe lists, exact top-k (ivf.py:138-199) | probe ranking via broadcast centroid join → semi-join on ``cluster_id`` (partition pruning) → exact distance → windowed top-k |
@@ -32,15 +32,57 @@ from vector_db_spark.operators.topk import top_k_per_group
 
 def assign_to_centroids(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
 ) -> DataFrame:
-    """Nearest-centroid assignment (reference ivf.py:109-110 argmin):
-    broadcast the k×dim centroid table, window-argmin per vector. Shared by
-    the index add path and the streaming ingest pipeline."""
+    """Nearest-centroid assignment (reference ivf.py:109-110 argmin).
+
+    The centroid table is k×dim — small by definition — so it is inlined
+    as a literal array of (dist, cluster_id) structs and the argmin becomes
+    ``array_min`` per row: a pure map-side expression, ZERO shuffle. At
+    100 TB this is the difference between a narrow stage and shuffling the
+    whole corpus through a window. Ties break on lowest cluster_id via
+    struct ordering, identical to the former (dist, cluster_id) sort.
+
+    For very large codebooks (k×dim beyond sane codegen size) it falls back
+    to the broadcast-join + min_by form — still one shuffle-free broadcast
+    join plus a groupBy on the (narrow) id.
+
+    ``centroids`` may be the (cluster_id, centroid) table or a plain
+    ``[(cluster_id, centroid), ...]`` list — the build path already holds
+    the centers in memory and skips a pointless DataFrame round-trip."""
+    if isinstance(centroids, DataFrame):
+        rows = centroids.select("cluster_id", "centroid").collect()  # k×dim only
+        rows = [(int(r.cluster_id), list(r.centroid)) for r in rows]
+    else:
+        rows = [(int(c), list(v)) for c, v in centroids]
+
+    if sum(len(v) for _, v in rows) <= 65536:
+        # one F.expr over a generated SQL string: a single py4j call no
+        # matter how many centroids (building k Column trees of lambda
+        # expressions costs seconds of driver round-trips)
+        def dist_sql(center) -> str:
+            arr = "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in center) + ")"
+            d = (
+                f"sqrt(aggregate(zip_with(CAST(`{vec_col}` AS array<double>), {arr}, "
+                "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v))"
+            )
+            return f"round({d}, {round_to})" if round_to is not None else d
+
+        structs = ",".join(
+            f"named_struct('dist', {dist_sql(v)}, 'cluster_id', {c})" for c, v in rows
+        )
+        return df.withColumn(
+            "cluster_id", F.expr(f"array_min(array({structs})).cluster_id")
+        )
+
+    if not isinstance(centroids, DataFrame):
+        centroids = df.sparkSession.createDataFrame(
+            rows, "cluster_id int, centroid array<double>"
+        )
     dist = euclidean(vec_col, "centroid")
     if round_to is not None:
         dist = F.round(dist, round_to)
@@ -93,32 +135,64 @@ class IVFIndex:
         vec_col: str = "embedding",
         max_iter: int = 20,
         seed: int = 42,
+        trainer: str = "sample",
     ) -> "IVFIndex":
-        """KMeans fit → assign → write corpus partitioned by cluster, plus
-        the centroid table. The fit itself is cluster-parallel (Lloyd's with
-        kmeans|| init); nothing but the k×dim centers lands on the driver."""
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+        """Quantizer fit → distributed assign → write corpus partitioned by
+        cluster, plus the centroid table.
 
-        feat = corpus.select(
-            F.col(id_col),
-            F.col(vec_col),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
-        )
-        model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="__features").fit(feat)
-        assigned = (
-            model.transform(feat)
-            .select(id_col, vec_col, F.col("prediction").alias("cluster_id"))
-        )
+        ``trainer="sample"`` (default): k-means++/Lloyd on a bounded random
+        sample (operators.kmeans) — the FAISS-style scale design; only the
+        capped sample and the k×dim centers ever land on the driver, and
+        assignment is a broadcast-argmin over the full corpus.
+        ``trainer="ml"``: fully-distributed ``pyspark.ml`` KMeans for when
+        training must see more rows than the driver can sample.
+        """
+        if trainer == "sample":
+            from vector_db_spark.operators.kmeans import train_centroids
+
+            cents = train_centroids(
+                corpus, vec_col, k, max_iter=max_iter, seed=seed
+            )
+            centers = [(int(i), c) for i, c in enumerate(cents)]
+            assigned = assign_to_centroids(
+                corpus.select(id_col, vec_col), centers,
+                id_col=id_col, vec_col=vec_col,
+            )
+        elif trainer == "ml":
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            feat = corpus.select(
+                F.col(id_col),
+                F.col(vec_col),
+                array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+            )
+            model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="__features").fit(feat)
+            assigned = (
+                model.transform(feat)
+                .select(id_col, vec_col, F.col("prediction").alias("cluster_id"))
+            )
+            centers = [
+                (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+            ]
+        else:
+            raise ValueError(f"unknown trainer {trainer!r} (use 'sample' or 'ml')")
         assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
             os.path.join(path, "corpus")
         )
-        centers = [
-            (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-        ]
-        spark.createDataFrame(
-            centers, "cluster_id int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        import pyarrow as pa
+
+        from vector_db_spark.io import write_small_parquet
+
+        write_small_parquet(
+            os.path.join(path, "centroids"),
+            pa.table(
+                {
+                    "cluster_id": pa.array([c for c, _ in centers], pa.int32()),
+                    "centroid": pa.array([v for _, v in centers], pa.list_(pa.float64())),
+                }
+            ),
+        )
         return cls(spark, path, id_col=id_col, vec_col=vec_col)
 
     # -- incremental add (reference ivf.py:87-117) -----------------------------

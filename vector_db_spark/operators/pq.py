@@ -6,7 +6,7 @@ inference/pq.py``) Spark-first:
 | reference | here |
 |---|---|
 | ``_chunk_embeddings``: reshape (N,D)→(m,N,D/m) (pq.py:48-62) | ``slice(embedding, c*sub+1, sub)`` column expressions — no data movement |
-| ``_compute_centroids``: per-chunk k-means, ProcessPoolExecutor (pq.py:64-75) | one ``pyspark.ml`` KMeans fit per subspace, submitted concurrently from a driver thread pool — each fit is itself cluster-parallel |
+| ``_compute_centroids``: per-chunk k-means, ProcessPoolExecutor (pq.py:64-75) | bounded-sample numpy fits per subspace over ONE collected sample (operators.kmeans), or ``trainer="ml"``: one ``pyspark.ml`` KMeans fit per subspace from a driver thread pool — each fit cluster-parallel |
 | ``_find_nearest_centroid`` / ``_compress_embedding``: argmin encode (pq.py:77-89) | Arrow-batched pandas UDF over a broadcast (m,k,sub) codebook tensor — one vectorized pass, no shuffle |
 | codes ``int64[N, chunks]`` (pq.py:82-89) | ``codes array<int>`` column |
 | codebook list of (k,sub) arrays (pq.py:37, 98-100) | Parquet table (chunk_idx, code, centroid) — broadcastable, engine-readable |
@@ -75,37 +75,67 @@ class PQModel:
         vec_col: str = "embedding",
         max_iter: int = 20,
         seed: int = 42,
+        trainer: str = "sample",
     ) -> "PQModel":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector, vector_to_array
-
         dim = len(corpus.select(vec_col).first()[0])
         if dim % n_chunks != 0:
             raise ValueError(
                 f"embedding dim {dim} not divisible into {n_chunks} chunks"
             )
         sub = dim // n_chunks
-        vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("v")).cache()
-        vecs.count()
+        if trainer == "sample":
+            # one bounded sample collect feeds every subspace fit (the
+            # reference's ProcessPoolExecutor parallelism collapses into
+            # m in-driver numpy fits on slices of the same array); encode /
+            # search stay fully distributed against the broadcast tensor
+            from vector_db_spark.operators.kmeans import collect_sample, kmeans_fit
 
-        def fit_chunk(c: int) -> list[tuple[int, int, list[float]]]:
-            feat = vecs.select(
-                array_to_vector(F.slice("v", c * sub + 1, sub)).alias("__features")
-            )
-            model = KMeans(k=k, maxIter=max_iter, seed=seed + c, featuresCol="__features").fit(feat)
-            return [
-                (c, int(code), [float(x) for x in center])
-                for code, center in enumerate(model.clusterCenters())
+            x = collect_sample(corpus, vec_col, seed=seed)
+            all_rows = [
+                (c, int(code), [float(v) for v in center])
+                for c in range(n_chunks)
+                for code, center in enumerate(
+                    kmeans_fit(x[:, c * sub : (c + 1) * sub], k, max_iter=max_iter, seed=seed + c)
+                )
             ]
+        elif trainer == "ml":
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
 
-        # the reference's process-parallel codebook training (pq.py:64-75):
-        # concurrent Spark jobs from driver threads, each fit cluster-parallel
-        with ThreadPoolExecutor(max_workers=min(n_chunks, 4)) as ex:
-            all_rows = [row for rows in ex.map(fit_chunk, range(n_chunks)) for row in rows]
-        vecs.unpersist()
-        spark.createDataFrame(
-            all_rows, "chunk_idx int, code int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+            vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("v")).cache()
+            vecs.count()
+
+            def fit_chunk(c: int) -> list[tuple[int, int, list[float]]]:
+                feat = vecs.select(
+                    array_to_vector(F.slice("v", c * sub + 1, sub)).alias("__features")
+                )
+                model = KMeans(k=k, maxIter=max_iter, seed=seed + c, featuresCol="__features").fit(feat)
+                return [
+                    (c, int(code), [float(x) for x in center])
+                    for code, center in enumerate(model.clusterCenters())
+                ]
+
+            # the reference's process-parallel codebook training (pq.py:64-75):
+            # concurrent Spark jobs from driver threads, each fit cluster-parallel
+            with ThreadPoolExecutor(max_workers=min(n_chunks, 4)) as ex:
+                all_rows = [row for rows in ex.map(fit_chunk, range(n_chunks)) for row in rows]
+            vecs.unpersist()
+        else:
+            raise ValueError(f"unknown trainer {trainer!r} (use 'sample' or 'ml')")
+        import pyarrow as pa
+
+        from vector_db_spark.io import write_small_parquet
+
+        write_small_parquet(
+            os.path.join(path, "codebooks"),
+            pa.table(
+                {
+                    "chunk_idx": pa.array([r[0] for r in all_rows], pa.int32()),
+                    "code": pa.array([r[1] for r in all_rows], pa.int32()),
+                    "centroid": pa.array([r[2] for r in all_rows], pa.list_(pa.float64())),
+                }
+            ),
+        )
         return cls(spark, path, id_col=id_col, vec_col=vec_col)
 
     # -- encode (reference pq.py:77-89) ---------------------------------------

@@ -26,6 +26,7 @@ from vector_db_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_wide,
     near_dup_pairs_minhash,
     shingle_table,
 )
@@ -243,8 +244,8 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("lsh_candidates", oracle=_CAND_SQL)
 def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(shingle_table(docs), n_hashes=8)
-    return lsh_candidate_pairs(sig, n_bands=4)
+    wide = minhash_wide(shingle_table(docs), n_hashes=8)
+    return lsh_candidate_pairs(wide, n_bands=4)
 
 
 @register(
