@@ -30,6 +30,7 @@ HEADLINE = [
     "ivf_search_det",
     "ivf_search_kmeans",
     "pq_adc_kmeans",
+    "ivfpq_search_kmeans",
     "near_dup_jaccard",
     "ann_lsh_search",
     "stream_hourly_counts",

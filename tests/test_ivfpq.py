@@ -1,0 +1,104 @@
+"""IVFPQ (IVFADC) tests — composition of the reference's IVF and PQ
+components (reference test surfaces: tests/indexing/test_ivf.py:17-364,
+tests/inference/test_pq.py:11-176): conservation, self-match, recall vs
+brute force with exact re-rank, ADC-only path, persistence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.io import load_table
+from vector_db_spark.operators.ivfpq import IVFPQIndex
+from vector_db_spark.operators.knn import knn_join
+
+K_COARSE = 10
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_smoke, tmp_path_factory):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    # the fixture embeddings are near-random (PQ's hard case: no subspace
+    # structure to exploit) so the codebook budget is sized up: 16 chunks
+    # of 6-bit codes. Real embedding corpora cluster far better.
+    return IVFPQIndex.build(
+        spark, emb, path, k_coarse=K_COARSE, n_chunks=16, k_codes=64
+    )
+
+
+def _queries(spark, sf_smoke, n):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < n)
+
+
+def test_codes_conservation(spark, sf_smoke, index):
+    """Every corpus vector gets exactly one code word; codes and raw corpus
+    agree on the partitioning (reference invariant test_ivf.py:44)."""
+    total = load_table(spark, sf_smoke, "embeddings").count()
+    assert index.codes().count() == total
+    assert index.corpus().count() == total
+    code_parts = {r.cluster_id for r in index.codes().select("cluster_id").distinct().collect()}
+    corpus_parts = {r.cluster_id for r in index.corpus().select("cluster_id").distinct().collect()}
+    assert code_parts == corpus_parts
+    assert len(code_parts) <= K_COARSE
+
+
+def test_code_shape(index):
+    """m codes per vector, each in [0, k_codes)."""
+    row = index.codes().first()
+    assert len(row.codes) == 16
+    assert all(0 <= c < 64 for c in row.codes)
+
+
+def test_self_match_reranked(spark, sf_smoke, index):
+    """With exact re-rank, a member vector finds itself at distance ~0 even
+    probing only its own cluster (reference test_ivf.py:117-125)."""
+    res = index.search(_queries(spark, sf_smoke, 5), k=1, n_probe=1, refine=4).collect()
+    assert len(res) == 5
+    for r in res:
+        assert r.query_id == r.neighbor_id
+        assert r.dist < 1e-6
+
+
+def test_recall_vs_bruteforce(spark, sf_smoke, index):
+    """recall@5 ≥ 0.7 on ≥ 80% of 10 queries, probing half the clusters —
+    the BASELINE.md floor (stricter of the reference's two ANN thresholds).
+    Residual PQ + refine=8 exact re-rank is the quality mechanism."""
+    qs = _queries(spark, sf_smoke, 10)
+    exact = knn_join(qs, load_table(spark, sf_smoke, "embeddings"), 5)
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = index.search(qs, k=5, n_probe=5, refine=8)
+    got: dict[int, set] = {}
+    for r in approx.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1 for q in truth if len(truth[q] & got.get(q, set())) / len(truth[q]) >= 0.7
+    )
+    assert hits >= 8, f"only {hits}/10 queries reached recall 0.7"
+
+
+def test_adc_only_path(spark, sf_smoke, index):
+    """refine=None returns pure ADC distances — k rows per query, and the
+    approximate self-match still ranks the query itself on top."""
+    res = index.search(_queries(spark, sf_smoke, 5), k=3, n_probe=5, refine=None)
+    rows = res.collect()
+    assert len(rows) == 15
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    top1 = {q: min(rs, key=lambda r: (r.dist, r.neighbor_id)) for q, rs in by_q.items()}
+    self_hits = sum(1 for q, r in top1.items() if r.neighbor_id == q)
+    assert self_hits >= 4  # ADC is approximate; allow one quantization miss
+
+
+def test_persistence_reopen(spark, sf_smoke, index):
+    """Index state is plain Parquet — a new handle on the same path serves
+    searches (reference pickle round-trip, ivf.py:217-241)."""
+    reopened = IVFPQIndex(spark, index.path)
+    res = reopened.search(_queries(spark, sf_smoke, 3), k=1, n_probe=1).collect()
+    assert len(res) == 3

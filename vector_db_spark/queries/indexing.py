@@ -258,6 +258,35 @@ def ivf_stats_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans_index(spark, sf_dir).stats()
 
 
+_IVFPQ_CACHE: dict[str, object] = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    from vector_db_spark.operators.ivfpq import IVFPQIndex
+
+    if sf_dir not in _IVFPQ_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="ivfpq_") + "/index"
+        _IVFPQ_CACHE[sf_dir] = IVFPQIndex.build(
+            spark, emb, path, k_coarse=10, n_chunks=16, k_codes=64
+        )
+    return _IVFPQ_CACHE[sf_dir]
+
+
+@register("ivfpq_search_kmeans")
+def ivfpq_search_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (operators.ivfpq): coarse probe → residual-PQ ADC scan over
+    the codes-only partitions → exact re-rank of refine×k candidates. The
+    composition the reference's separate IVF + PQ components exist for.
+    Rows-only (k-means + sketch — no SQL oracle); recall floor pinned in
+    tests/test_ivfpq.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < N_QUERIES)
+    return _ivfpq_index(spark, sf_dir).search(queries, k=TOP_K, n_probe=4, refine=4)
+
+
 # --- k-NN graph export (the HNSW-replacement artifact, SURVEY §2.3 V5) --------
 
 @register("knn_graph_export")
