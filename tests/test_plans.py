@@ -90,3 +90,27 @@ def test_empty_relation_propagates(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     df = emb.filter(F.lit(False)).join(emb, "vec_id")
     assert "LocalRelation <empty>" in optimized_of(df) or "Empty" in optimized_of(df)
+
+
+def test_ivfpq_codes_scan_prunes_columns_and_partitions(spark, sf_smoke, tmp_path):
+    """IVFPQ ADC: the compressed-corpus scan reads ONLY ids+codes (never the
+    raw embedding column — the point of PQ at 100 TB) and carries dynamic
+    pruning on cluster_id from the probe join."""
+    from vector_db_spark.operators.ivfpq import IVFPQIndex
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "ivfpq"), k_coarse=8, n_chunks=8, k_codes=16
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).limit(2)
+    plan = plan_of(idx.search(q, k=3, n_probe=2, refine=None))
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+    codes_scans = [
+        seg.split("\n")[0]
+        for seg in plan.split("FileScan parquet")
+        if "codes:array<int>" in seg.split("\n")[0]
+    ]
+    assert codes_scans, "expected a FileScan over the codes table"
+    assert "embedding" not in codes_scans[0].split("ReadSchema")[1]
