@@ -137,6 +137,13 @@ class IVFPQIndex:
         #    residuals (no second scan of the corpus)
         d2 = ((x[:, None, :].astype(np.float64) - centers[None, :, :]) ** 2).sum(axis=2)
         resid = x.astype(np.float64) - centers[d2.argmin(axis=1)]
+        # codebook fits need ~256 training points per centroid (the FAISS
+        # heuristic) — cap the per-subspace sample so driver-side training
+        # stays O(k_codes), not O(corpus sample)
+        cap = 256 * k_codes
+        if resid.shape[0] > cap:
+            pick = np.random.default_rng(seed).choice(resid.shape[0], cap, replace=False)
+            resid = resid[pick]
         tensor = np.stack(
             [
                 kmeans_fit(
@@ -144,6 +151,7 @@ class IVFPQIndex:
                     k_codes,
                     max_iter=max_iter,
                     seed=seed + 1 + c,
+                    n_init=2,
                 )
                 for c in range(n_chunks)
             ]
@@ -297,19 +305,16 @@ class IVFPQIndex:
                 out, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
             )
 
-        # exact re-rank: refine×k candidate rows per query — a tiny join
-        # back to the raw corpus, then true distances
+        # exact re-rank: refine×k candidate rows per query — broadcast the
+        # (tiny) candidate list so the raw corpus is streamed, never
+        # shuffled, and its scan can prune on the candidates' clusters
         qside = queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
         )
         exact = (
-            adc_top.select("query_id", "neighbor_id")
-            .join(
-                self.corpus().select(
-                    F.col(self.id_col).alias("neighbor_id"), self.vec_col
-                ),
-                "neighbor_id",
-            )
+            self.corpus()
+            .select(F.col(self.id_col).alias("neighbor_id"), self.vec_col)
+            .join(F.broadcast(adc_top.select("query_id", "neighbor_id")), "neighbor_id")
             .join(F.broadcast(qside), "query_id")
             .select(
                 "query_id",
