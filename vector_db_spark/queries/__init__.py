@@ -1,14 +1,27 @@
 """Registry of driver-checkable queries.
 
-Every implemented operator from SURVEY.md §2 gets a named entry here: a
-callable ``(spark, sf_dir) -> DataFrame`` plus (for deterministic operators)
-an equivalent DuckDB SQL string the driver runs side-by-side as a
-correctness oracle. Approximate / nondeterministic operators (k-means
-derived, ANN) register with ``oracle=None`` → rows-only check, with recall
-assertions living in ``tests/``.
+Two tiers:
+
+- ``QUERIES``/``ORACLES`` — the **driver contract** (exposed through
+  ``__spark_entry__``). The correctness driver verifies at most 50 queries
+  per round (r01 recorded rows for exactly the first 50 registry entries),
+  so this tier is capped at 50 entries chosen to cover every operator
+  family in SURVEY.md §2 plus the LLM-pipeline extensions. Every entry has
+  a DuckDB oracle: deterministic operators are hash-checked value-by-value;
+  model-derived operators (k-means ANN, stub embeddings) register an
+  *invariant projection* — the query runs the full operator pipeline, then
+  emits exactly-checkable facts (self-hit rank, recall ≥ floor, arity,
+  norms) that the oracle reproduces, which is strictly stronger than a
+  rows-only check.
+- ``EXTRA_QUERIES``/``EXTRA_ORACLES`` — additional variants (alternate
+  physical strategies, redundant relational demos, superseded shapes) kept
+  oracle-tested locally in ``tests/test_queries_oracle.py`` and available
+  to ``bench.py``, but not spent against the driver's 50-row budget.
 
 Column-name discipline: every computed column is aliased identically in the
 Spark code and the oracle SQL (the driver hash compares columns by name).
+Output schemas stay scalar-typed — the driver canonicalizer sorts rows by
+every column and cannot hash array/struct cells.
 """
 
 from __future__ import annotations
@@ -21,44 +34,47 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+EXTRA_QUERIES: dict[str, QueryFn] = {}
+EXTRA_ORACLES: dict[str, str] = {}
+
+DRIVER_QUERY_BUDGET = 50
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None = None, *, extra: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        if name in QUERIES:
+        if name in QUERIES or name in EXTRA_QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+        queries, oracles = (EXTRA_QUERIES, EXTRA_ORACLES) if extra else (QUERIES, ORACLES)
+        queries[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            oracles[name] = oracle
         return fn
 
     return deco
 
 
-# import for side effect: populate the registry
-from vector_db_spark.queries import vector  # noqa: E402,F401
+def all_queries() -> dict[str, QueryFn]:
+    return {**QUERIES, **EXTRA_QUERIES}
 
-try:
-    from vector_db_spark.queries import relational  # noqa: E402,F401
-except ImportError:  # phase 1+
-    pass
-try:
-    from vector_db_spark.queries import text  # noqa: E402,F401
-except ImportError:  # phase 4+
-    pass
-try:
-    from vector_db_spark.queries import indexing  # noqa: E402,F401
-except ImportError:  # phase 2/3+
-    pass
-try:
-    from vector_db_spark.queries import pquant  # noqa: E402,F401
-except ImportError:  # phase 3+
-    pass
-try:
-    from vector_db_spark.queries import stream  # noqa: E402,F401
-except ImportError:  # phase 5+
-    pass
-try:
-    from vector_db_spark.queries import multimodal  # noqa: E402,F401
-except ImportError:  # phase 4+
-    pass
+
+def all_oracles() -> dict[str, str]:
+    return {**ORACLES, **EXTRA_ORACLES}
+
+
+# import for side effect: populate the registry. Imports are unconditional —
+# a broken query module must fail loudly, not silently shrink the driver
+# contract (an ImportError here means the registry is wrong, full stop).
+from vector_db_spark.queries import vector  # noqa: E402,F401  isort: skip
+from vector_db_spark.queries import relational  # noqa: E402,F401  isort: skip
+from vector_db_spark.queries import text  # noqa: E402,F401  isort: skip
+from vector_db_spark.queries import indexing  # noqa: E402,F401  isort: skip
+from vector_db_spark.queries import pquant  # noqa: E402,F401  isort: skip
+from vector_db_spark.queries import stream  # noqa: E402,F401  isort: skip
+from vector_db_spark.queries import multimodal  # noqa: E402,F401  isort: skip
+
+assert len(QUERIES) <= DRIVER_QUERY_BUDGET, (
+    f"{len(QUERIES)} driver queries registered, budget is {DRIVER_QUERY_BUDGET}; "
+    "move variants to extra=True"
+)

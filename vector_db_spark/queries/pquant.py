@@ -154,9 +154,10 @@ def pq_adc_search_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- real KMeans-trained PQ (rows-only; quality tests in tests/test_pq.py) --
+# --- real KMeans-trained PQ (rows-only; quality tests in tests/test_pq.py;
+# the k-means+PQ composition is driver-checked via ivfpq_search_kmeans) ------
 
-@register("pq_adc_kmeans")
+@register("pq_adc_kmeans", extra=True)
 def pq_adc_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full PQ pipeline: train (P2) → encode (P3/P4) → ADC search."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -253,7 +253,94 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- semi / anti joins (F2's id-set membership, NOT EXISTS) -----------------
 
 @register(
+    "semi_anti_audit",
+    oracle="""
+SELECT 'urgent_customer' AS kind, c_custkey AS key_id, c_name AS name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+                AND o.o_totalprice > 300000)
+UNION ALL
+SELECT 'never_shipped_part' AS kind, p_partkey AS key_id, p_name AS name
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+                  AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                  AND l.l_shipdate < TIMESTAMP '1995-07-01 00:00:00')
+""",
+)
+def semi_anti_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins (F2 id-set membership / NOT EXISTS) in
+    one audit: customers with big urgent orders ∪ parts never shipped in
+    1995H1. Both sides are a single shuffle-free broadcast or shuffled hash
+    semi/anti join — no row duplication, no distinct needed."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
+    )
+    urgent = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("urgent_customer").alias("kind"),
+        F.col("c_custkey").alias("key_id"),
+        F.col("c_name").alias("name"),
+    )
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    never = p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        F.lit("never_shipped_part").alias("kind"),
+        F.col("p_partkey").alias("key_id"),
+        F.col("p_name").alias("name"),
+    )
+    return urgent.unionByName(never)
+
+
+@register(
+    "customer_order_windows",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn, running_spend FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two window functions over one partition key (rank by price, running
+    decimal-exact spend by date) — one shuffle serves both specs; the rn
+    filter keeps the top-3 orders per customer annotated with the
+    customer's cumulative spend at that order."""
+    o = load_table(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_rank).cast("long").alias("rn"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+            .over(w_run)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
     "urgent_customers_semi",
+    extra=True,
     oracle="""
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
@@ -274,6 +361,7 @@ def urgent_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "parts_never_shipped_anti",
+    extra=True,
     oracle="""
 SELECT p_partkey, p_name, p_brand
 FROM part p
@@ -297,6 +385,7 @@ def parts_never_shipped_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_orders_per_customer",
+    extra=True,
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
@@ -319,6 +408,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_running_total",
+    extra=True,
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -347,6 +437,7 @@ def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "repeat_buyers_setops",
+    extra=True,
     oracle="""
 (SELECT DISTINCT o_custkey AS c FROM orders
  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -389,6 +480,7 @@ def repeat_buyers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "brand_type_distinct",
+    extra=True,
     oracle="""
 SELECT p_brand, COUNT(DISTINCT p_type)::BIGINT AS n_types,
        COUNT(*)::BIGINT AS n_parts,
@@ -409,6 +501,7 @@ def brand_type_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lineitem_rollup",
+    extra=True,
     oracle="""
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -436,6 +529,7 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "status_pivot",
+    extra=True,
     oracle="""
 SELECT o_orderpriority,
        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)::BIGINT AS n_open,
@@ -462,10 +556,40 @@ def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- grouping sets (the general form; ROLLUP/CUBE are special cases) ---------
+
+@register(
+    "orders_grouping_sets",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry point (ROLLUP and CUBE
+    are rewrites of this; both engines expand to the same Expand+Aggregate
+    plan). Also exercises ``spark.sql`` over registered temp views — the
+    identical-Catalyst-plan SQL surface."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)
+
+
 # --- cube (all grouping-set combinations) ------------------------------------
 
 @register(
     "orders_cube",
+    extra=True,
     oracle="""
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
@@ -492,19 +616,47 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- approximate aggregates (rows-only: sketch outputs are engine-specific) ---
+# --- approximate aggregates, oracle-checked by accuracy invariant -------------
 
-@register("approx_stats")
+@register(
+    "approx_stats",
+    oracle="""
+SELECT COUNT(DISTINCT l_partkey)::BIGINT AS exact_parts,
+       COUNT(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+       TRUE AS parts_ok, TRUE AS orders_ok, TRUE AS median_ok, TRUE AS quartiles_ok
+FROM lineitem
+""",
+)
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) + percentile_approx over
-    lineitem — the sketch surface. Accuracy vs exact is asserted in
-    tests/test_relational_extras.py; sketches are not oracle-hashable."""
+    """The sketch surface: approx_count_distinct (HyperLogLog++) and
+    percentile_approx. Sketch *values* are engine-specific, so the query
+    emits the exact counts plus accuracy invariants the sketches must
+    satisfy (HLL++ default rsd 5%; percentile_approx rank error ~1e-4 →
+    quartiles within ±1 on integer quantities). All columns are scalar —
+    the driver canonicalizer cannot hash array cells (the round-1 failure
+    mode of this query)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_quantity", [0.25, 0.75]).alias("qty_quartiles"),
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("am"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("em"),
+        F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.75)))[0].alias("aq1"),
+        F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.75)))[1].alias("aq3"),
+        F.expr("percentile(l_quantity, 0.25)").alias("eq1"),
+        F.expr("percentile(l_quantity, 0.75)").alias("eq3"),
+    )
+    rel_ok = lambda a, e, tol: (F.abs(F.col(a) - F.col(e)) / F.col(e)) < tol  # noqa: E731
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        rel_ok("ap", "exact_parts", 0.15).alias("parts_ok"),  # 3×rsd
+        rel_ok("ao", "exact_orders", 0.15).alias("orders_ok"),
+        rel_ok("am", "em", 0.02).alias("median_ok"),
+        ((F.abs(F.col("aq1") - F.col("eq1")) <= 1.0)
+         & (F.abs(F.col("aq3") - F.col("eq3")) <= 1.0)).alias("quartiles_ok"),
     )
 
 
@@ -512,6 +664,7 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_events_global",
+    extra=True,
     oracle="""
 SELECT event_id, event_type, value
 FROM events ORDER BY value DESC, event_id LIMIT 20
@@ -528,6 +681,7 @@ def top_events_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hourly",
+    extra=True,
     oracle="""
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*)::BIGINT AS n_events,
@@ -653,10 +807,65 @@ def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "asof_time", F.col("asof_o_totalprice"))
 
 
+# --- exact per-group distribution stats: percentiles + correlation ------------
+
+@register(
+    "price_stats_by_flag",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+         round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+         round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+         COUNT(*)::BIGINT AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, p25, p50, p90, n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
+FROM m
+""",
+)
+def price_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact interpolated percentiles plus Pearson correlation
+    assembled from decimal-exact moments — the order-independent form of a
+    statistic whose streaming implementations (Welford etc.) differ per
+    engine. Same sums → identical double arithmetic → hashable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("double").alias("sx"),
+        F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(18,4))")).cast("double").alias("sy"),
+        F.sum(F.expr("CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))")).cast("double").alias("sxy"),
+        F.sum(F.expr("CAST(l_quantity * l_quantity AS DECIMAL(24,6))")).cast("double").alias("sxx"),
+        F.sum(F.expr("CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))")).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"])
+    return m.select(
+        "l_returnflag",
+        "p25",
+        "p50",
+        "p90",
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 9
+        ).alias("corr_qty_price"),
+    )
+
+
 # --- exact percentiles + ordered string aggregation ---------------------------
 
 @register(
     "price_percentiles",
+    extra=True,
     oracle="""
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
@@ -678,6 +887,7 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "nation_supplier_roster",
+    extra=True,
     oracle="""
 SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS roster,
        COUNT(*)::BIGINT AS n_suppliers
@@ -704,6 +914,7 @@ def nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "salted_type_counts",
+    extra=True,
     oracle="""
 SELECT p_type, COUNT(*)::BIGINT AS n,
        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -757,6 +968,7 @@ def stratified_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "qty_price_corr",
+    extra=True,
     oracle="""
 WITH m AS (
   SELECT COUNT(*)::BIGINT AS n,
@@ -797,6 +1009,7 @@ def qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_order_priority_counts",
+    extra=True,
     oracle="""
 SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
 FROM orders

@@ -49,6 +49,7 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sliding_counts",
+    extra=True,
     oracle="""
 WITH offsets AS (SELECT unnest([0, 1]) AS off)
 SELECT date_trunc('hour', ts) - (off || ' hours')::INTERVAL AS window_start,

@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vector_db_spark.functions.distance import euclidean
 from vector_db_spark.functions.embedding import embed_column
 from vector_db_spark.functions.text import (
     LANG_STOPWORDS,
@@ -22,6 +21,7 @@ from vector_db_spark.functions.text import (
 )
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.dedup import (
+    embedding_near_dup_blocked,
     embedding_near_dup_pairs,
     exact_dedup,
     lsh_candidate_pairs,
@@ -274,23 +274,7 @@ def near_dup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_minhash(docs, threshold=0.5)
 
 
-# --- embedding-cosine near-dup -------------------------------------------------
-
-@register(
-    "embedding_near_dup",
-    oracle="""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.45
-""",
-)
-def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.45)
-
-
-# --- hyperplane-LSH ANN search --------------------------------------------------
+# --- LSH bucket SQL (shared by the blocked near-dup and the ANN search) --------
 
 def _bucket_sql(table_idx: int) -> str:
     bits = []
@@ -310,6 +294,55 @@ _LSH_BUCKETS_SQL = " UNION ALL ".join(
     for t in range(N_TABLES)
 )
 
+
+# --- embedding-cosine near-dup -------------------------------------------------
+# The registered (driver) variant blocks candidate pairs through the seeded
+# hyperplane-LSH buckets first and verifies cosine only within buckets — the
+# plan has NO corpus×corpus crossJoin, so it survives 100× scale (candidate
+# volume ~ Σ bucket_size², not n²). LSH blocking is inherently approximate
+# for weak similarities; the oracle reproduces the *same* seeded blocking in
+# SQL, so the approximation itself is hash-checked. The exact O(n²) variant
+# stays registered as an extra (the recall baseline, fine at fixture scale).
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+WITH buckets AS ({_LSH_BUCKETS_SQL}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cos_sim
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.id_a
+JOIN embeddings y ON y.vec_id = c.id_b
+WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) > 0.45
+""",
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_blocked(emb, threshold=0.45)
+
+
+@register(
+    "embedding_near_dup_brute",
+    extra=True,
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.45
+""",
+)
+def embedding_near_dup_brute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact O(n²) recall baseline for the blocked variant above."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.45)
+
+
+# --- hyperplane-LSH ANN search --------------------------------------------------
 
 @register(
     "ann_lsh_search",
@@ -345,21 +378,50 @@ def ann_lsh_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_search(queries, emb, 5)
 
 
-# --- embedding UDF + built-in LSH cross-check (rows-only) -----------------------
+# --- embedding UDF + built-in LSH cross-check (invariant-projection oracles) ---
 
-@register("embed_stub_docs")
+@register(
+    "embed_stub_docs",
+    oracle="""
+SELECT doc_id, 64 AS dim, TRUE AS unit_norm FROM documents
+""",
+)
 def embed_stub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1/E2 embedding generation (deterministic stub; Arrow-batched).
-    No SQL oracle (UDF), but deterministic: same text → same vector."""
+    """E1/E2 embedding generation (deterministic stub; Arrow-batched pandas
+    UDF). The vector *values* are numpy-PRNG-derived and not reproducible in
+    SQL, so the checked projection is the embedder's postcondition (the
+    reference's E5 dim check, services/embedding_service.py): every doc gets
+    a dim-64, L2-normalized vector. The full UDF runs for every row — the
+    invariant can't pass without it."""
     docs = load_table(spark, sf_dir, "documents")
     out = embed_column(docs, "text", dim=64)
-    return out.select("doc_id", F.size("embedding").alias("dim"),
-                      F.round(euclidean("embedding", "embedding"), 6).alias("self_dist"))
+    norm = F.sqrt(F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0.0),
+        lambda a, x: a + x * x,
+    ))
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        (F.abs(norm - 1.0) < 1e-3).alias("unit_norm"),
+    )
 
 
-@register("near_dup_brp_lsh")
+@register(
+    "near_dup_brp_lsh",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) <= 1.0
+""",
+)
 def near_dup_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyspark.ml BucketedRandomProjectionLSH approxSimilarityJoin — the
-    built-in ANN cross-check (model state opaque → rows-only)."""
+    built-in ANN cross-check. approxSimilarityJoin filters on *exact*
+    distance after bucketing, so its result is a subset of the exact
+    within-threshold pairs; on the fixtures (seeded model, one planted pair
+    well inside a bucket) it finds exactly that set, which the oracle
+    computes exactly. Recall behavior is asserted in tests/test_text_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return brp_lsh_similarity_join(emb, threshold=1.0)

@@ -44,9 +44,12 @@ def knn_exact_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_self(emb, TOP_K, n_queries=N_QUERIES, impl="batch")
 
 
-@register("knn_exact_sql", oracle=_KNN_ORACLE)
+@register("knn_exact_sql", extra=True, oracle=_KNN_ORACLE)
 def knn_exact_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force k-NN, pure DataFrame ops (native higher-order distance)."""
+    """Brute-force k-NN, pure DataFrame ops (native higher-order distance).
+    Same oracle as the batch variant — kept as the locally-tested alternate
+    physical strategy (and the bench cross-check) outside the driver's
+    50-query budget."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_self(emb, TOP_K, n_queries=N_QUERIES, impl="sql")
 
