@@ -100,6 +100,27 @@ def test_delete(spark, index):
     assert index.corpus().filter(F.col("vec_id") == victim).count() == 0
 
 
+def test_delete_entire_cluster_removes_partition(spark, index):
+    """Deleting every vector of a cluster must leave nothing searchable —
+    the partition directory itself is removed (a dynamic partition
+    overwrite would silently keep the stale files, resurrecting the
+    'deleted' ids)."""
+    target = index.cluster_sizes().orderBy("cluster_size", "cluster_id").first().cluster_id
+    victims = [
+        r.vec_id
+        for r in index.corpus().filter(F.col("cluster_id") == target).select("vec_id").collect()
+    ]
+    before = index.stats().collect()[0].total_vectors
+    index.delete(victims)
+    corpus = index.corpus()
+    assert corpus.filter(F.col("cluster_id") == target).count() == 0
+    assert corpus.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert index.stats().collect()[0].total_vectors == before - len(victims)
+    import os
+
+    assert not os.path.exists(os.path.join(index.corpus_path, f"cluster_id={target}"))
+
+
 def test_persistence_reopen(spark, sf_smoke, index):
     """Index state is just Parquet: a fresh handle sees identical search
     results (reference pickle round-trip, test_ivf.py save/load)."""

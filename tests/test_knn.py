@@ -95,3 +95,23 @@ def test_empty_filter_short_circuit(spark, sf_smoke):
     ).limit(2)
     corpus = emb.filter(F.col("label") == -1)
     assert knn_join(queries, corpus, 5).count() == 0
+
+
+def test_batch_tiebreak_at_partition_boundary(spark):
+    """Every corpus vector ties at the same rounded distance; the batch
+    kernel's per-batch selection must keep the *lowest ids*, not arbitrary
+    argpartition survivors, so batch == sql under any partition layout.
+    Corpus ids are reversed across many partitions to maximize the chance
+    an unrounded/unordered cut would surface a high id."""
+    dim = 8
+    n = 200
+    # all one-hot vectors scaled identically: every pairwise distance equal
+    rows = [(n - 1 - j, np.eye(dim)[j % dim]) for j in range(n)]
+    corpus = _vec_df(spark, rows).repartition(16)
+    queries = spark.createDataFrame(
+        [(0, [0.0] * dim)], "query_id long, query_vec array<float>"
+    )
+    got_batch = knn_join(queries, corpus, 5, impl="batch").collect()
+    got_sql = knn_join(queries, corpus, 5, impl="sql").collect()
+    assert [r.neighbor_id for r in got_batch] == [0, 1, 2, 3, 4]
+    assert [tuple(r) for r in got_batch] == [tuple(r) for r in got_sql]

@@ -8,7 +8,12 @@ from pyspark.sql import functions as F
 
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.ivf import IVFIndex
-from vector_db_spark.operators.knn_graph import graph_connectivity, knn_graph
+from vector_db_spark.operators.knn_graph import (
+    connected_components,
+    graph_connectivity,
+    graph_connectivity_distributed,
+    knn_graph,
+)
 
 
 @pytest.fixture(scope="module")
@@ -42,6 +47,42 @@ def test_connectivity_invariant(graph):
     """≥ 90% of nodes reachable (undirected) from the entry node — the
     reference's HNSW structural test carried over to the exported graph."""
     assert graph_connectivity(graph) >= 0.9
+
+
+def test_mega_cluster_salt_split(spark):
+    """One deliberately skewed cluster (all 400 vectors): with
+    max_group=64 the kernel never sees more than ~64 rows per task, yet
+    every vector still gets m neighbors and the union of the independent
+    salt rounds keeps the graph connected."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)], 0) for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cluster_id int"
+    )
+    g = knn_graph(df, m=4, max_group=64, salt_rounds=2)
+    rows = g.collect()
+    assert len(rows) == 400
+    assert all(len(r.neighbors) == 4 and r.vec_id not in r.neighbors for r in rows)
+    assert graph_connectivity(g) >= 0.9
+
+
+def test_distributed_connectivity_agrees_with_bfs(spark, graph):
+    """Pregel-style hash-min result == driver BFS, on the real fixture
+    graph and on a deliberately disconnected one."""
+    assert abs(graph_connectivity_distributed(graph) - graph_connectivity(graph)) < 1e-9
+
+    two_islands = spark.createDataFrame(
+        [(0, [1]), (1, [0]), (10, [11, 12]), (11, [10]), (12, [10])],
+        "vec_id long, neighbors array<bigint>",
+    )
+    assert graph_connectivity(two_islands) == 0.4
+    assert graph_connectivity_distributed(two_islands) == 0.4
+    comps = {r.vec_id: r.component for r in connected_components(two_islands).collect()}
+    assert comps == {0: 0, 1: 0, 10: 10, 11: 10, 12: 10}
 
 
 def test_tiny_cluster_graceful(spark):

@@ -107,6 +107,41 @@ def test_stub_embedder_deterministic_and_unit(spark):
     assert abs(np.linalg.norm(v0) - 1.0) < 1e-5
 
 
+def _fake_torch(cuda: bool, mps: bool | None):
+    """Minimal torch lookalike; mps=None models an old torch without the
+    backends.mps attribute."""
+    from types import SimpleNamespace
+
+    backends = SimpleNamespace()
+    if mps is not None:
+        backends.mps = SimpleNamespace(is_available=lambda: mps)
+    return SimpleNamespace(
+        cuda=SimpleNamespace(is_available=lambda: cuda), backends=backends
+    )
+
+
+def test_get_device_resolution():
+    """E4 (reference inference/device.py:17-56): preference → concrete
+    device, per availability."""
+    from vector_db_spark.functions.embedding import get_device
+
+    both = _fake_torch(cuda=True, mps=True)
+    neither = _fake_torch(cuda=False, mps=False)
+    old = _fake_torch(cuda=False, mps=None)
+    assert get_device("cpu", both) == "cpu"
+    assert get_device("cuda", both) == "cuda"
+    assert get_device("cuda", neither) == "cpu"
+    assert get_device("mps", both) == "mps"
+    assert get_device("mps", neither) == "cpu"
+    assert get_device("mps", old) == "cpu"
+    assert get_device("auto", both) == "cuda"          # cuda beats mps
+    assert get_device("auto", _fake_torch(False, True)) == "mps"
+    assert get_device("auto", neither) == "cpu"
+    assert get_device("auto", old) == "cpu"
+    # no torch importable at all → cpu (torch isn't in this environment)
+    assert get_device("auto") == "cpu"
+
+
 def test_semantic_dedup_via_stub_embeddings(spark):
     """Pipeline: embed texts → cosine near-dup finds the exact-dup pair."""
     df = _docs(spark, ["aaa bbb ccc", "totally different", "aaa bbb ccc"])

@@ -52,12 +52,48 @@ def stub_embedder(dim: int = DEFAULT_DIM):
     return embed
 
 
+def get_device(device: str = "auto", torch_module=None) -> str:
+    """E4 device selection (reference ``inference/device.py:17-56``):
+    resolve a device *preference* to a concrete torch device string.
+
+    - ``"cpu"`` — always cpu
+    - ``"cuda"`` / ``"mps"`` — that accelerator if available, else cpu
+    - ``"auto"`` — best available: cuda > mps > cpu
+    - no torch importable — cpu
+
+    This runs executor-local (each python worker picks its own GPU view);
+    ``torch_module`` is injectable for tests — by default torch is imported
+    here, lazily, so the driver never needs the model stack."""
+    if torch_module is None:
+        try:
+            import torch as torch_module  # noqa: F811
+        except ImportError:
+            return "cpu"
+    torch = torch_module
+    if device == "cpu":
+        return "cpu"
+    if device == "cuda":
+        return "cuda" if torch.cuda.is_available() else "cpu"
+    mps_ok = hasattr(torch.backends, "mps") and torch.backends.mps.is_available()
+    if device == "mps":
+        return "mps" if mps_ok else "cpu"
+    # auto
+    if torch.cuda.is_available():
+        return "cuda"
+    return "mps" if mps_ok else "cpu"
+
+
 def sentence_transformer_embedder(
-    model_name: str = "sentence-transformers/all-MiniLM-L6-v2", dim: int = 384
+    model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+    dim: int = 384,
+    device: str = "auto",
 ):
     """Real-model embedder (reference config.yaml:1-3 defaults). The model
     loads lazily once per executor worker and is reused across batches —
-    the iterator form keeps load cost out of the per-batch path."""
+    the iterator form keeps load cost out of the per-batch path. The device
+    preference resolves *inside the worker* via :func:`get_device` (E4,
+    reference ``inference/device.py``) — heterogeneous executors each pick
+    their own accelerator."""
     try:
         import sentence_transformers  # noqa: F401
     except ImportError as exc:  # pragma: no cover - model stack not in CI
@@ -70,7 +106,7 @@ def sentence_transformer_embedder(
     def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         from sentence_transformers import SentenceTransformer
 
-        model = SentenceTransformer(model_name)
+        model = SentenceTransformer(model_name, device=get_device(device))
         for s in batches:
             vecs = model.encode(s.fillna("").tolist(), convert_to_numpy=True)
             yield pd.Series([[float(x) for x in v] for v in vecs])

@@ -211,8 +211,14 @@ class IVFIndex:
     # -- delete (reference ivf.py:119-136) -------------------------------------
 
     def delete(self, ids: list[int]) -> None:
-        """Rewrite only the partitions that contain the deleted ids
-        (dynamic partition overwrite) — never touches cold clusters."""
+        """Rewrite only the partitions that contain the deleted ids — never
+        touches cold clusters. The rewrite is staged through a tmp dir and
+        swapped per-partition via the Hadoop FileSystem API, so (a) the job
+        never overwrites files it is still reading, (b) a cluster whose
+        every vector is deleted has its partition directory *removed*
+        (dynamic partition overwrite would silently leave the stale files —
+        deleted ids would stay searchable), and (c) no session conf is
+        mutated."""
         corpus = self.corpus()
         affected = (
             corpus.filter(F.col(self.id_col).isin(ids))
@@ -226,8 +232,17 @@ class IVFIndex:
         remaining = corpus.filter(
             F.col("cluster_id").isin(clusters) & ~F.col(self.id_col).isin(ids)
         )
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        remaining.write.mode("overwrite").partitionBy("cluster_id").parquet(self.corpus_path)
+        tmp = self.corpus_path.rstrip("/") + ".tmp-delete"
+        remaining.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path
+        fs = jpath(self.corpus_path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        for c in clusters:
+            dst = jpath(os.path.join(self.corpus_path, f"cluster_id={c}"))
+            src = jpath(os.path.join(tmp, f"cluster_id={c}"))
+            fs.delete(dst, True)
+            if fs.exists(src):  # absent when the whole cluster was deleted
+                fs.rename(src, dst)
+        fs.delete(jpath(tmp), True)
 
     # -- search (reference ivf.py:138-199) --------------------------------------
 

@@ -103,16 +103,43 @@ def knn_join(
         scored = _batch_score(
             queries, corpus, k,
             metric=metric, query_id_col=query_id_col, query_vec_col=query_vec_col,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, round_to=round_to,
         )
     else:
         raise ValueError(f"unknown impl {impl!r}")
 
     if round_to is not None:
+        # no-op for impl="batch" (kernel already rounds before selecting),
+        # kept so both impls share one output expression
         scored = scored.withColumn("dist", F.round("dist", round_to))
     return top_k_per_group(
         scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], k
     )
+
+
+def _partial_topk(
+    dists: np.ndarray, cids: np.ndarray, k: int, round_to: int | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-query top-k within one batch under the FINAL ordering
+    (rounded dist, neighbor id) — ``(idx (k, q), rounded dists (n, q))``.
+
+    Rounding must happen *before* selection: an unrounded argpartition can
+    cut a candidate that ties at the boundary after rounding yet wins the
+    id tiebreak globally, making the result depend on partition layout.
+    lexsort keys are (secondary=id, primary=dist) per numpy convention."""
+    if round_to is not None:
+        dists = np.round(dists, round_to)
+    kk = min(k, dists.shape[0])
+    idx = np.empty((kk, dists.shape[1]), dtype=np.int64)
+    for q in range(dists.shape[1]):
+        d = dists[:, q]
+        # O(n) cut by distance, then exact (dist, id) order over the cut
+        # plus every boundary tie — never drops an id-tiebreak winner
+        part = np.argpartition(d, kk - 1)[:kk]
+        cand = np.flatnonzero(d <= d[part].max())
+        order = np.lexsort((cids[cand], d[cand]))[:kk]
+        idx[:, q] = cand[order]
+    return idx, dists
 
 
 def _batch_score(
@@ -125,6 +152,7 @@ def _batch_score(
     query_vec_col: str,
     id_col: str,
     vec_col: str,
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Map-side scored + partially-top-k'd (query, neighbor, dist) triples."""
     qrows = queries.select(query_id_col, query_vec_col).collect()  # small side only
@@ -142,9 +170,8 @@ def _batch_score(
             cvecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             dists = _numpy_distances(metric, cvecs, mat)  # (n, q)
-            kk = min(k, dists.shape[0])
-            # per-query partial top-k within this batch (argpartition = O(n))
-            idx = np.argpartition(dists, kk - 1, axis=0)[:kk, :]  # (kk, q)
+            idx, dists = _partial_topk(dists, cids, k, round_to)
+            kk = idx.shape[0]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(ids[None, :], kk, axis=0).ravel(),

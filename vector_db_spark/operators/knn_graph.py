@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 from vector_db_spark.functions.distance import euclidean
 
 
+MAX_GROUP = 4096  # kernel memory ≈ max_group² doubles ≈ 128 MiB — fits a task
+
+
 def knn_graph(
     corpus: DataFrame,
     m: int = 8,
@@ -40,13 +43,25 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "cluster_id",
+    max_group: int = MAX_GROUP,
+    salt_rounds: int = 2,
 ) -> DataFrame:
     """(id, neighbors): each vector's m nearest, exact within the union of
     its n_probe nearest clusters.
 
     ``corpus`` must carry ``cluster_col`` (an IVF corpus). With
     ``centroids`` given, multi-probe membership adds cross-cluster edges;
-    without it, a single-cluster build (n_probe forced to 1)."""
+    without it, a single-cluster build (n_probe forced to 1).
+
+    **Mega-cluster guard**: the per-group kernel is O(group²) memory, so a
+    skewed cluster would blow one task. Any probe-group larger than
+    ``max_group`` is sub-split by salting — ``salt_rounds`` independent
+    hash partitions of the cluster (each round caps the group at
+    ``max_group``), so the kernel memory bound holds for ANY skew, and the
+    independent rounds overlap differently, bridging shards the way
+    multi-probe bridges clusters. Within a mega-cluster the graph is then
+    approximate (neighbors found within shared shards only); normal-sized
+    clusters are untouched and exact."""
     if centroids is not None and n_probe > 1:
         scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(centroids)).withColumn(
             "__d", euclidean(vec_col, "centroid")
@@ -59,6 +74,28 @@ def knn_graph(
         )
     else:
         member = corpus.select(id_col, vec_col, cluster_col)
+
+    # mega-cluster guard: k-row size table, broadcast back onto members
+    sizes = member.groupBy(cluster_col).agg(F.count("*").alias("__gsz"))
+    member = (
+        member.join(F.broadcast(sizes), cluster_col)
+        .withColumn(
+            "__nsplit",
+            F.greatest(F.lit(1), F.ceil(F.col("__gsz") / max_group)).cast("int"),
+        )
+        .withColumn(
+            "__round",
+            F.explode(
+                F.when(
+                    F.col("__nsplit") > 1, F.sequence(F.lit(0), F.lit(salt_rounds - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col), F.col("__round")), F.col("__nsplit"))
+        )
+        .select(id_col, vec_col, cluster_col, "__round", "__salt")
+    )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
@@ -73,7 +110,10 @@ def knn_graph(
                     "dist": pd.Series([], dtype="float64"),
                 }
             )
-        d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+        # ||a-b||² = ||a||² + ||b||² - 2a·b — O(n²) memory, not O(n²·dim)
+        sq = (x * x).sum(axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+        np.maximum(d2, 0.0, out=d2)
         np.fill_diagonal(d2, np.inf)
         idx = np.argpartition(d2, take - 1, axis=1)[:, :take]
         src = np.repeat(ids, take)
@@ -81,7 +121,7 @@ def knn_graph(
         dist = np.take_along_axis(d2, idx, axis=1).ravel()
         return pd.DataFrame({id_col: src, "neighbor_id": dst, "dist": np.sqrt(dist)})
 
-    edges = member.groupBy(cluster_col).applyInPandas(
+    edges = member.groupBy(cluster_col, "__round", "__salt").applyInPandas(
         build, f"{id_col} long, neighbor_id long, dist double"
     )
     # merge across groups: per vector keep the m nearest distinct neighbors
@@ -109,11 +149,67 @@ def knn_graph(
     )
 
 
+def connected_components(
+    graph: DataFrame, id_col: str = "vec_id", max_iter: int = 50
+) -> DataFrame:
+    """(id, component) by hash-min label propagation — the Pregel-style
+    connectivity that scales to corpus-sized graphs (no driver-side edge
+    list). Each iteration every node adopts the minimum label in its closed
+    neighborhood; converges in O(diameter) iterations, each one join + one
+    aggregation. ``localCheckpoint`` truncates the growing lineage so the
+    plan stays O(1) per iteration. Agreement with the driver BFS is pinned
+    in tests/test_knn_graph.py."""
+    edges = graph.select(F.col(id_col).alias("src"), F.explode("neighbors").alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = graph.select(F.col(id_col).alias("src"), F.col(id_col).cast("long").alias("comp"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.select(F.col("src").alias("dst"), "comp"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(nbr, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")).alias("__chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("__chg")).limit(1).count()
+        labels = updated.select("src", "comp")
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_col), F.col("comp").alias("component"))
+
+
+def graph_connectivity_distributed(graph: DataFrame, id_col: str = "vec_id") -> float:
+    """Corpus-scale version of :func:`graph_connectivity`: fraction of
+    nodes sharing the min-id node's component, computed without ever
+    collecting edges (two scalar aggregates over ``connected_components``)."""
+    comp = connected_components(graph, id_col)
+    # hash-min labels every component by its min member id, so the min-id
+    # start node's component is exactly the global min label
+    row = (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("sz"))
+        .agg(F.sum("sz").alias("n"), F.min_by("sz", "component").alias("reach"))
+        .collect()[0]
+    )
+    return 1.0 if not row.n else row.reach / row.n
+
+
 def graph_connectivity(graph: DataFrame, id_col: str = "vec_id") -> float:
     """Fraction of nodes reachable from the min-id node by undirected BFS —
     the reference's structural invariant (tests/indexing/
     test_hnsw.py:155-185 demands ≥ 0.9). Driver-side BFS over the edge
-    list; for huge graphs use an iterative Pregel-style join instead."""
+    list; test/fixture-scale only — pipelines must use
+    :func:`graph_connectivity_distributed`."""
     edges = graph.select(id_col, F.explode("neighbors").alias("dst")).collect()
     adj: dict[int, set[int]] = {}
     for r in edges:

@@ -216,7 +216,11 @@ class PQModel:
         id_col = self.id_col
         kk = top_k
 
+        rt = round_to
+
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from vector_db_spark.operators.knn import _partial_topk
+
             ids, tables = bc.value  # (q,), (q, m, k)
             for pdf in batches:
                 if pdf.empty:
@@ -226,8 +230,10 @@ class PQModel:
                 # dists[n, q] = sum_m tables[q, m, codes[n, m]]
                 gathered = tables[:, np.arange(codes.shape[1])[None, :], codes]  # (q, n, m)
                 dists = np.sqrt(gathered.sum(axis=2)).T  # (n, q)
-                take = min(kk, dists.shape[0])
-                idx = np.argpartition(dists, take - 1, axis=0)[:take, :]
+                # select under the final (rounded dist, id) order — an
+                # unrounded cut can lose a boundary tie that wins globally
+                idx, dists = _partial_topk(dists, cids, kk, rt)
+                take = idx.shape[0]
                 yield pd.DataFrame(
                     {
                         "query_id": np.repeat(ids[None, :], take, axis=0).ravel(),

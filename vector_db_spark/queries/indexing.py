@@ -5,9 +5,13 @@
   per-dimension averages). These exercise the *plan shape* of IVF build /
   assign / n_probe search: explode→aggregate→rebuild, broadcast argmin
   assignment, probe-pruned candidate join, exact top-k.
-- **KMeans variants** (rows-only + recall tests in tests/test_ivf.py):
-  pyspark.ml KMeans centroids are seed-stable but no SQL oracle can
-  reproduce them (SURVEY.md §7 risk 2).
+- **k-means variants** (invariant-projection oracles + recall tests in
+  tests/test_ivf.py): the default trainer is the bounded-sample
+  k-means++/Lloyd fit (operators.kmeans, ``trainer="sample"``; a
+  fully-distributed pyspark.ml fit stays behind ``trainer="ml"``). Either
+  way no SQL oracle can reproduce the centroids (SURVEY.md §7 risk 2), so
+  these queries emit exactly-checkable contract facts (k results/query,
+  recall ≥ floor vs brute force) instead of raw neighbor lists.
 """
 
 from __future__ import annotations
