@@ -71,12 +71,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     _time_builds(spark, timings)
+    # two timed runs per query, min reported: the machine shares CPU with
+    # other tenants and a single sample regularly inflates 1.5-3×; min-of-2
+    # is the steady-state number the regression gate should track
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        t0 = time.perf_counter()
-        n = QUERIES[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

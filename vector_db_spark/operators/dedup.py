@@ -66,18 +66,31 @@ def shingle_table(
 def minhash_wide(
     sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 8
 ) -> DataFrame:
-    """(id, sig array<string>): all ``n_hashes`` minima — per seed, the
-    lexicographic min of ``md5(seed || ':' || shingle)``, a min-wise
-    independent family any engine reproduces exactly — computed as ONE wide
-    aggregation over the shingle table (one shuffle, map-side partial mins,
-    one row per doc). Not a seed×shingle explode, which would blow the
-    pre-shuffle data up n_hashes× at 100 TB."""
+    """(id, sig array<string>): all ``n_hashes`` minima, computed as ONE
+    wide aggregation over the shingle table (one shuffle, map-side partial
+    mins, one row per doc). Not a seed×shingle explode, which would blow
+    the pre-shuffle data up n_hashes× at 100 TB.
+
+    Hash family: each md5 digest is sliced into four independent 32-bit
+    hex words (hash i ← word i%4 of ``md5(i//4 || ':' || shingle)``), so
+    ``n_hashes`` minima cost ⌈n/4⌉ digests per shingle instead of n —
+    md5 dominates the signature stage, and any engine reproduces the
+    slicing exactly (lexicographic min over fixed-width hex = numeric
+    min)."""
+    n_seeds = (n_hashes + 3) // 4
+    digests = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat_ws(":", F.lit(s), F.col("shingle"))).alias(f"__h{s}")
+            for s in range(n_seeds)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"__mh_{i}")
+        F.min(F.substring(F.col(f"__h{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"__mh_{i}")
         for i in range(n_hashes)
     ]
     return (
-        sh.groupBy(id_col)
+        digests.groupBy(id_col)
         .agg(*aggs)
         .select(
             F.col(id_col),

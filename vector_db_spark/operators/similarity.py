@@ -55,19 +55,22 @@ def _bucket_expr(vec_col: str, table_idx: int) -> Column:
 def hyperplane_lsh_buckets(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """(id, table_idx, bucket): L bucket assignments per vector."""
-    per_table = [
-        df.select(
-            F.col(id_col),
-            F.lit(t).alias("table_idx"),
-            _bucket_expr(vec_col, t).alias("bucket"),
-        )
-        for t in range(N_TABLES)
-    ]
-    out = per_table[0]
-    for p in per_table[1:]:
-        out = out.unionByName(p)
-    return out
+    """(id, table_idx, bucket): L bucket assignments per vector.
+
+    One scan: all L·h sign bits are computed in a single projection and
+    exploded to L rows (a per-table union would re-scan the corpus L
+    times)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_idx"), _bucket_expr(vec_col, t).alias("bucket")
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(entries).alias("__e")).select(
+        id_col, "__e.table_idx", "__e.bucket"
+    )
 
 
 def lsh_search(
@@ -87,19 +90,23 @@ def lsh_search(
     qbuckets = hyperplane_lsh_buckets(queries, query_vec_col, query_id_col).withColumnRenamed(
         query_id_col, "query_id"
     )
-    qside = F.broadcast(
-        qbuckets.join(
-            queries.select(
-                F.col(query_id_col).alias("query_id"), F.col(query_vec_col)
-            ),
-            "query_id",
-        )
-    )
-    cand = (
-        qside.join(cbuckets, ["table_idx", "bucket"])
-        .select("query_id", query_vec_col, F.col(id_col).alias("neighbor_id"))
+    # dedup collisions on bare (query_id, neighbor_id) ids — carrying the
+    # query vector through the distinct would shuffle the float arrays as
+    # part of the grouping key; the vectors re-attach afterwards (query
+    # side broadcast, corpus side equi-join)
+    cand_ids = (
+        F.broadcast(qbuckets)
+        .join(cbuckets, ["table_idx", "bucket"])
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
         .distinct()  # a pair can collide in several tables
-        .join(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id")
+    )
+    cand = cand_ids.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id"
+    ).join(
+        F.broadcast(
+            queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col))
+        ),
+        "query_id",
     )
     scored = cand.select(
         "query_id",

@@ -216,7 +216,8 @@ _SHINGLES_SQL = f"""
 
 _MINHASH_SQL = f"""
   SELECT doc_id, hash_idx::INTEGER AS hash_idx,
-         MIN(md5(hash_idx::VARCHAR || ':' || shingle)) AS minhash
+         MIN(substring(md5((hash_idx // 4)::VARCHAR || ':' || shingle),
+                       (hash_idx % 4) * 8 + 1, 8)) AS minhash
   FROM ({_SHINGLES_SQL}) CROSS JOIN (SELECT unnest(range(0, 8)) AS hash_idx)
   GROUP BY doc_id, hash_idx
 """
