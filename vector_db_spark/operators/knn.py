@@ -129,15 +129,22 @@ def _partial_topk(
     lexsort keys are (secondary=id, primary=dist) per numpy convention."""
     if round_to is not None:
         dists = np.round(dists, round_to)
-    kk = min(k, dists.shape[0])
-    idx = np.empty((kk, dists.shape[1]), dtype=np.int64)
-    for q in range(dists.shape[1]):
-        d = dists[:, q]
-        # O(n) cut by distance, then exact (dist, id) order over the cut
-        # plus every boundary tie — never drops an id-tiebreak winner
-        part = np.argpartition(d, kk - 1)[:kk]
-        cand = np.flatnonzero(d <= d[part].max())
-        order = np.lexsort((cids[cand], d[cand]))[:kk]
+    n, nq = dists.shape
+    kk = min(k, n)
+    # vectorized O(n) cut across ALL queries at once; per-query work below
+    # touches only the kk-row cut (plus, rarely, boundary ties)
+    part = np.argpartition(dists, kk - 1, axis=0)[:kk]  # (kk, q), ties arbitrary
+    thresh = np.take_along_axis(dists, part, axis=0).max(axis=0)  # (q,)
+    n_le = (dists <= thresh[None, :]).sum(axis=0)  # candidates per query
+    idx = np.empty((kk, nq), dtype=np.int64)
+    for q in range(nq):
+        if n_le[q] == kk:
+            cand = part[:, q]  # the cut IS the exact candidate set
+        else:
+            # distance ties straddle the cut boundary: widen to every tie so
+            # an id-tiebreak winner below the cut is never dropped
+            cand = np.flatnonzero(dists[:, q] <= thresh[q])
+        order = np.lexsort((cids[cand], dists[cand, q]))[:kk]
         idx[:, q] = cand[order]
     return idx, dists
 
