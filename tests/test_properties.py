@@ -137,3 +137,44 @@ def test_euclidean_column_matches_numpy(vecs):
     for r in pairs.collect():
         expect = float(np.linalg.norm(arr[r.ia] - arr[r.ib]))
         assert abs(r.d - expect) <= 1e-9 * max(1.0, expect)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=0, max_size=30
+    ),
+    n_nodes=st.integers(1, 16),
+)
+def test_connected_components_matches_union_find(edges, n_nodes):
+    """Pregel-style hash-min labels == plain union-find on random graphs
+    (self-loops and out-of-range neighbors dropped)."""
+    from vector_db_spark.operators.knn_graph import connected_components
+
+    spark = _get_spark()
+    adj: dict[int, list[int]] = {i: [] for i in range(n_nodes)}
+    for a, b in edges:
+        if a < n_nodes and b < n_nodes and a != b:
+            adj[a].append(b)
+    graph = spark.createDataFrame(
+        [(i, sorted(set(ns))) for i, ns in adj.items()],
+        "vec_id long, neighbors array<bigint>",
+    )
+    got = {r.vec_id: r.component for r in connected_components(graph).collect()}
+
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, ns in adj.items():
+        for b in ns:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component, matching hash-min
+    expect = {i: min(j for j in range(n_nodes) if find(j) == find(i)) for i in range(n_nodes)}
+    assert got == expect
