@@ -1030,3 +1030,48 @@ def sql_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         GROUP BY o_orderpriority
     """)
+
+
+# --- range join (bucketized interval join — north-star extension) -----------
+
+@register(
+    "range_join_user_activity",
+    extra=True,
+    oracle="""
+WITH iv AS (
+  SELECT user_id AS iv_user, (epoch_us(ts) // 86400000000) AS day_idx,
+         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+  FROM events WHERE user_id <= 3 GROUP BY 1, 2
+)
+SELECT iv_user, day_idx, COUNT(*)::BIGINT AS n_events
+FROM iv JOIN (SELECT epoch_us(ts) AS us FROM events) e
+  ON e.us >= iv.start_us AND e.us < iv.end_us
+GROUP BY iv_user, day_idx
+""",
+)
+def range_join_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators.rangejoin): per-day activity
+    windows of users 1-3 joined to the full event stream. The plan is a
+    bucketized equi-join (1-hour microsecond buckets), never an inequality
+    theta-join — the oracle expresses the same semantics AS the theta-join,
+    proving the bucketization exact."""
+    from vector_db_spark.operators.rangejoin import point_in_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    day_us = 86_400_000_000
+    iv = (
+        ev.filter(F.col("user_id") <= 3)
+        .groupBy(
+            F.col("user_id").alias("iv_user"),
+            F.floor(F.col("us") / day_us).cast("long").alias("day_idx"),
+        )
+        .agg(F.min("us").alias("start_us"), F.max("us").alias("end_us"))
+    )
+    joined = point_in_interval_join(
+        ev.select("us"), iv,
+        point_col="us", start_col="start_us", end_col="end_us",
+        bucket=3_600_000_000,
+    )
+    return joined.groupBy("iv_user", "day_idx").agg(F.count("*").alias("n_events"))
