@@ -116,3 +116,23 @@ def test_ivfpq_codes_scan_prunes_columns_and_partitions(spark, sf_smoke, tmp_pat
     ]
     assert codes_scans, "expected a FileScan over the codes table"
     assert "embedding" not in codes_scans[0].split("ReadSchema")[1]
+
+
+def test_range_join_is_equi_join_not_theta(spark, sf_smoke):
+    """range_join_user_activity: the bucketized interval join plans as a
+    hash equi-join — no BroadcastNestedLoopJoin / CartesianProduct, which
+    is what a naive inequality join degenerates to."""
+    plan = plan_of(QUERIES["range_join_user_activity"](spark, sf_smoke))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # it IS a join...
+    assert "__bucket" in plan  # ...keyed by the time bucket
+
+
+def test_lsh_search_single_corpus_scan(spark, sf_smoke):
+    """ann_lsh_search: bucketing computes all tables' bits in ONE corpus
+    scan (explode), not one scan per hash table."""
+    plan = plan_of(QUERIES["ann_lsh_search"](spark, sf_smoke))
+    # 4 scans: corpus buckets, corpus vector fetch, query buckets, query
+    # vectors (both query scans pruned to the 10 query rows). The old
+    # per-table union shape cost N_TABLES corpus scans (7 total here).
+    assert plan.count("Scan parquet") <= 4

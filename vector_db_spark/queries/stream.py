@@ -145,7 +145,11 @@ def stream_ingest_cluster_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), and the final corpus must match the batch assignment exactly —
     commit boundaries don't change semantics."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _centroids_arrays(spark, sf_dir)
+    # materialize the (k × dim) centroid table once — foreachBatch re-executes
+    # referenced lineage per micro-batch, and the index state is loaded once
+    # in the path this models (reference indexing_service.py:56-67)
+    cents = _centroids_arrays(spark, sf_dir).cache()
+    cents.count()
     work = tempfile.mkdtemp(prefix="ingest_")
     src, sink, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
     emb.select("vec_id", "embedding").repartition(4).write.parquet(src)
