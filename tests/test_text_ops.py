@@ -13,12 +13,14 @@ from vector_db_spark.functions.text import (
     shingles,
     simhash64,
     tokens,
+    winnow_fingerprints,
 )
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.dedup import (
     exact_dedup,
     near_dup_pairs_minhash,
     shingle_table,
+    winnow_candidate_pairs,
 )
 from vector_db_spark.operators.knn import knn_join
 from vector_db_spark.operators.multimodal import (
@@ -97,6 +99,44 @@ def test_shingle_table_distinct(spark):
 
 
 # --- embedding stub -----------------------------------------------------------
+
+def test_winnow_guarantee_and_short_docs(spark):
+    """Winnowing's detection guarantee: a shared substring of length
+    ≥ w + k - 1 (= 11 normalized chars at k=8, w=4) must yield at least
+    one shared fingerprint; docs shorter than that get an empty set."""
+    common = "an identical stolen passage that is plenty long enough"
+    df = _docs(
+        spark,
+        [
+            f"AAA prefix one. {common} suffix alpha.",
+            f"totally different opening here -- {common} -- other tail",
+            "short",  # < k + w - 1 normalized chars
+            "unrelated content with no overlap whatsoever in its body text",
+        ],
+    )
+    fps = df.select("doc_id", winnow_fingerprints("text").alias("fps")).collect()
+    by_id = {r.doc_id: set(r.fps) for r in fps}
+    assert by_id[0] & by_id[1]  # shared passage → shared fingerprint
+    assert by_id[2] == set()  # too short → empty, not an error
+    # selection is a subset of ~2/(w+1) of the k-gram hashes, never all
+    n_grams_3 = len("".join(c for c in "unrelated content with no overlap whatsoever in its body text" if c.isalnum())) - 8 + 1
+    assert 0 < len(by_id[3]) < n_grams_3
+
+
+def test_winnow_candidate_pairs_finds_planted_copy(spark):
+    texts = [
+        "the licensed boilerplate header text " + "every doc shares this exact plagiarized paragraph body",
+        "a different intro sentence then " + "every doc shares this exact plagiarized paragraph body",
+        "completely independent document about spark catalyst optimizer internals",
+        "another unrelated one concerning parquet row groups and column chunks",
+    ]
+    pairs = winnow_candidate_pairs(
+        _docs(spark, texts), min_shared=3, max_df=50
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 1) in found
+    assert all(p == (0, 1) for p in found)
+
 
 def test_stub_embedder_deterministic_and_unit(spark):
     df = _docs(spark, ["hello world", "hello world", "other text"])

@@ -78,6 +78,40 @@ def doc_fingerprint(col: Column | str, prefix_tokens: int | None = None) -> Colu
     return F.md5(F.concat_ws(" ", t))
 
 
+def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD '03): hash every character ``k``-gram of the normalized text,
+    slide a ``w``-hash window, keep each window's minimum hash; the
+    distinct selected hashes are the document's fingerprint set.
+
+    Guarantee: any substring match of length ≥ ``w + k - 1`` between two
+    documents yields at least one shared fingerprint, while only ~2/(w+1)
+    of the k-gram hashes are retained.
+
+    The classic presentation uses a *rolling* hash because a sequential
+    scanner wants O(1) per-position updates; in a columnar engine the
+    k-gram hashes are independent expressions that vectorize directly, so
+    md5 is used instead — deterministic and reproducible in any engine
+    (lexicographic min over fixed-width hex = consistent selection).
+    Everything here is JVM-side (codegen'd ``transform``/``slice``), no
+    Python in the hot path."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.lower(c), "[^a-z0-9]", "")
+    # clamped sequences keep slice/substr args legal for short docs; the
+    # final `when` guard discards those rows' partial windows anyway
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - k + 1, F.lit(1))),
+        lambda i: F.md5(s.substr(i, F.lit(k))),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hashes) - w + 1, F.lit(1))),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.when(F.length(s) >= k + w - 1, F.array_distinct(wins)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def simhash64(tokens_col: Column) -> Column:
     """16-bit SimHash from the first 16 nibbles of each token's md5: bit p
     is set when the mean nibble value at position p is >= 7.5 (integer

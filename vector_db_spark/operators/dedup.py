@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_db_spark.functions.distance import cosine_similarity
-from vector_db_spark.functions.text import doc_fingerprint, shingles, tokens
+from vector_db_spark.functions.text import (
+    doc_fingerprint,
+    shingles,
+    tokens,
+    winnow_fingerprints,
+)
 from vector_db_spark.io import ensure_parallelism
 
 
@@ -214,6 +219,64 @@ def near_dup_pairs_minhash(
     # candidates are consumed twice by the verify (doc cut + pair join)
     cands = lsh_candidate_pairs(wide, id_col, n_bands).cache()
     return jaccard_verify(sh, cands, id_col, threshold)
+
+
+def winnow_fp_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fp) — one row per winnowing-selected k-gram hash. Selection and
+    per-doc dedup (``array_distinct``) happen map-side before the explode;
+    the table is ~2/(w+1) of the k-gram count, not all of it."""
+    df = ensure_parallelism(df)
+    return df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(text_col, k, w)).alias("fp"),
+    )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Copy-detection candidate pairs à la MOSS: docs sharing ≥
+    ``min_shared`` winnowing fingerprints. The pair join is an equi-join on
+    the fingerprint hash — volume Σ df(fp)², never n².
+
+    ``max_df`` drops fingerprints appearing in more than that many docs
+    before the self-join (one count aggregation + broadcast-able filter).
+    This is the skew guard: boilerplate k-grams (headers, license text)
+    otherwise concentrate the join on a handful of hot keys AND flood the
+    output with semantically meaningless matches — the same df-cut every
+    production copy-detector applies."""
+    fps = winnow_fp_table(df, text_col, id_col, k=k, w=w)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp")
+    )
+    # cache: the cut table feeds both sides of the self-join
+    fps = fps.join(rare, "fp", "left_semi").cache()
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
 
 
 def embedding_near_dup_blocked(

@@ -29,6 +29,7 @@ from vector_db_spark.operators.dedup import (
     minhash_wide,
     near_dup_pairs_minhash,
     shingle_table,
+    winnow_candidate_pairs,
 )
 from vector_db_spark.operators.similarity import (
     HYPERPLANES,
@@ -204,6 +205,42 @@ FROM nib GROUP BY doc_id
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash64(tokens("text")).alias("simhash"))
+
+
+@register(
+    "winnow_dup_candidates",
+    extra=True,
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         [md5(substr(s, i, 8)) FOR i IN range(1, length(s) - 8 + 2)] AS hs
+  FROM norm WHERE length(s) >= 11
+),
+fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [list_min(list_slice(hs, j, j + 3)) FOR j IN range(1, len(hs) - 4 + 2)]
+         )) AS fp
+  FROM grams
+),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+f AS (SELECT fps.* FROM fps JOIN rare USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared_fps
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 5
+""",
+)
+def winnow_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram fingerprint) copy detection: k=8 char
+    grams, window w=4, docs sharing ≥5 selected fingerprints after a
+    df≤50 boilerplate cut. Character-level — catches copied *passages*
+    that token-shingle MinHash dilutes. Hash-matched end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_candidate_pairs(docs, k=8, w=4, min_shared=5, max_df=50)
 
 
 # --- MinHash + LSH near-dup pipeline ------------------------------------------
