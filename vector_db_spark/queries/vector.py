@@ -108,3 +108,56 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-distance k-NN (batch kernel)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_self(emb, TOP_K, n_queries=N_QUERIES, metric="cosine", impl="batch")
+
+
+_SQ8_N_QUERIES = 10
+
+# the SQ8 pipeline end-to-end in SQL: per-dim affine ranges, uint8 encode,
+# asymmetric decode-in-the-distance search — deterministic double math, so
+# the whole compression+search path hash-matches, not just its output shape
+_SQ8_ORACLE = f"""
+WITH stats AS (
+  SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+            MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY i
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_SQ8_N_QUERIES}
+), d AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(sqrt(SUM(pow(
+           q.qv[s.i] - (s.mn + floor(
+             CASE WHEN s.mx > s.mn THEN
+               LEAST(GREATEST((CAST(c.embedding[s.i] AS DOUBLE) - s.mn)
+                              / (s.mx - s.mn), 0.0), 1.0)
+             ELSE 0.0 END * 255.0 + 0.5
+           ) * (s.mx - s.mn) / 255.0), 2))), 6) AS dist
+  FROM q CROSS JOIN embeddings c CROSS JOIN stats s
+  GROUP BY q.query_id, c.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM d
+)
+SELECT query_id, neighbor_id, dist, rank::INTEGER AS rank
+FROM r WHERE rank <= {TOP_K}
+"""
+
+
+@register("sq8_search", extra=True, oracle=_SQ8_ORACLE)
+def sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized search (operators/squant.py): train per-dim
+    ranges (one dim-row aggregation), encode the corpus to uint8 codes (4×
+    smaller scan), search asymmetrically with the decode fused into the
+    codegen'd distance. The quantization error this introduces vs exact
+    k-NN is bounded in tests/test_squant.py."""
+    from vector_db_spark.operators.squant import sq_encode, sq_search, sq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = sq_train(emb)
+    codes = sq_encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < _SQ8_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sq_search(codes, queries, model, TOP_K)
