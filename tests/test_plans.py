@@ -136,3 +136,14 @@ def test_lsh_search_single_corpus_scan(spark, sf_smoke):
     # vectors (both query scans pruned to the 10 query rows). The old
     # per-table union shape cost N_TABLES corpus scans (7 total here).
     assert plan.count("Scan parquet") <= 4
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_smoke):
+    """bucketed_order_revenue: co-bucketed SortMergeJoin plus keyed
+    aggregation, end to end with ZERO Exchange — the physical contract
+    bucketing exists to buy. Scans must show the bucketed layout."""
+    plan = plan_of(QUERIES["bucketed_order_revenue"](spark, sf_smoke))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan

@@ -1075,3 +1075,49 @@ def range_join_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=3_600_000_000,
     )
     return joined.groupBy("iv_user", "day_idx").agg(F.count("*").alias("n_events"))
+
+
+# --- bucketed co-located join (physical-layout surface) -----------------------
+
+# catalog tables created once per (process, sf_dir); repeated query calls —
+# and the bench — run against the already-bucketed layout, like any real
+# deployment where bucketing is an ingest-time decision
+_BUCKETED_READY: set[str] = set()
+
+
+@register(
+    "bucketed_order_revenue",
+    extra=True,
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_custkey
+HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) > 200000
+""",
+)
+def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact×fact join over co-bucketed tables (operators/bucketing.py):
+    orders and lineitem are persisted ``bucketBy(8, orderkey)`` once, then
+    the join AND the per-order aggregation run with zero Exchange — the
+    plan shape a 100 TB fact join needs, pinned in tests/test_plans.py.
+    Bucketing is physical layout only: results hash-match the plain join
+    oracle exactly."""
+    import re as _re
+
+    from vector_db_spark.operators.bucketing import colocated_join, write_bucketed
+
+    tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    t_o, t_l = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    if t_o not in _BUCKETED_READY:
+        write_bucketed(load_table(spark, sf_dir, "orders"), t_o, "o_orderkey", 8)
+        write_bucketed(load_table(spark, sf_dir, "lineitem"), t_l, "l_orderkey", 8)
+        _BUCKETED_READY.add(t_o)
+    j = colocated_join(
+        spark, t_o, t_l, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return (
+        j.groupBy("o_orderkey", "o_custkey")
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .filter(F.col("revenue") > 200000)
+    )
