@@ -138,6 +138,28 @@ def test_winnow_candidate_pairs_finds_planted_copy(spark):
     assert all(p == (0, 1) for p in found)
 
 
+def test_clean_corpus_stage_semantics(spark):
+    from vector_db_spark.operators.pipeline import clean_corpus
+
+    body = "a genuinely varied sentence with many distinct informative words " \
+           "covering spark catalyst tungsten arrow parquet shuffle broadcast topics"
+    rows = [
+        (0, "en", body + " unique tail zero"),
+        (1, "en", body + " unique tail zero"),      # exact dup of 0 → dropped (min id kept)
+        (2, "en", body + " unique tail zero okay"), # near-dup of 0 → greater id dropped
+        (3, "de", body + " german labelled row"),   # wrong lang → dropped
+        (4, "en", "too short"),                      # min_tokens → dropped
+        (5, "en", "word " * 30),                     # low diversity → quality floor drops it
+        (6, "en", "an entirely different survivor document about parquet row "
+                  "group statistics predicate pushdown and adaptive execution plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = clean_corpus(
+        df, lang="en", min_tokens=5, quality_floor=0.4, jaccard_threshold=0.5
+    )
+    assert {r.doc_id for r in out.collect()} == {0, 6}
+
+
 def test_stub_embedder_deterministic_and_unit(spark):
     df = _docs(spark, ["hello world", "hello world", "other text"])
     out = embed_column(df, "text", dim=32).collect()

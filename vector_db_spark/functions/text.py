@@ -78,6 +78,18 @@ def doc_fingerprint(col: Column | str, prefix_tokens: int | None = None) -> Colu
     return F.md5(F.concat_ws(" ", t))
 
 
+def quality_score(col: Column | str) -> Column:
+    """Composite document quality: 0.5·length-saturation (tokens/100 capped
+    at 1) + 0.5·lexical diversity (distinct-token ratio), rounded to 6dp.
+    The filterable scalar a training-data prep job thresholds on."""
+    t = tokens(col)
+    return F.round(
+        0.5 * F.least(F.size(t) / F.lit(100.0), F.lit(1.0))
+        + 0.5 * (F.size(F.array_distinct(t)).cast("double") / F.size(t)),
+        6,
+    )
+
+
 def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD '03): hash every character ``k``-gram of the normalized text,

@@ -16,6 +16,7 @@ from vector_db_spark.functions.embedding import embed_column
 from vector_db_spark.functions.text import (
     LANG_STOPWORDS,
     doc_fingerprint,
+    quality_score,
     simhash64,
     tokens,
 )
@@ -153,15 +154,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: length saturation + lexical diversity
     (punctuation/stopword terms omitted — this corpus has none)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
-    return docs.select(
-        "doc_id",
-        F.round(
-            0.5 * F.least(F.size(t) / F.lit(100.0), F.lit(1.0))
-            + 0.5 * (F.size(F.array_distinct(t)).cast("double") / F.size(t)),
-            6,
-        ).alias("quality"),
-    )
+    return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
 # --- fingerprinting + exact dedup ---------------------------------------------
@@ -245,32 +238,49 @@ def winnow_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH near-dup pipeline ------------------------------------------
 
-_SHINGLES_SQL = f"""
+# MinHash SQL fragments are parameterized on the source relation so the
+# cleaning pipeline's oracle can run the identical math over a filtered
+# subset; the plain constants keep the full-corpus queries unchanged.
+
+def _shingles_sql(src: str = "documents") -> str:
+    return f"""
   SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
   FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 0))) AS i
-        FROM (SELECT doc_id, {_TOKS} AS t FROM documents))
+        FROM (SELECT doc_id, {_TOKS} AS t FROM {src}))
 """
 
-_MINHASH_SQL = f"""
+
+def _minhash_sql(src: str = "documents") -> str:
+    return f"""
   SELECT doc_id, hash_idx::INTEGER AS hash_idx,
          MIN(substring(md5((hash_idx // 4)::VARCHAR || ':' || shingle),
                        (hash_idx % 4) * 8 + 1, 8)) AS minhash
-  FROM ({_SHINGLES_SQL}) CROSS JOIN (SELECT unnest(range(0, 8)) AS hash_idx)
+  FROM ({_shingles_sql(src)}) CROSS JOIN (SELECT unnest(range(0, 8)) AS hash_idx)
   GROUP BY doc_id, hash_idx
 """
 
-_BANDS_SQL = f"""
+
+def _bands_sql(src: str = "documents") -> str:
+    return f"""
   SELECT doc_id, (hash_idx // 2) AS band,
          md5(string_agg(minhash, ',' ORDER BY hash_idx)) AS band_key
-  FROM ({_MINHASH_SQL})
+  FROM ({_minhash_sql(src)})
   GROUP BY doc_id, (hash_idx // 2)
 """
 
-_CAND_SQL = f"""
+
+def _cand_sql(src: str = "documents") -> str:
+    return f"""
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) b
+  FROM ({_bands_sql(src)}) a JOIN ({_bands_sql(src)}) b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
+_MINHASH_SQL = _minhash_sql()
+_BANDS_SQL = _bands_sql()
+_CAND_SQL = _cand_sql()
 
 
 @register("minhash_signatures", oracle=_MINHASH_SQL)
@@ -310,6 +320,57 @@ def near_dup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard ≥ 0.5. End-to-end engine-reproducible."""
     docs = load_table(spark, sf_dir, "documents")
     return near_dup_pairs_minhash(docs, threshold=0.5)
+
+
+@register(
+    "corpus_clean_pipeline",
+    extra=True,
+    oracle=f"""
+WITH stage1 AS (
+  SELECT doc_id, text FROM documents
+  WHERE lang = 'en' AND len({_TOKS}) >= 25
+    AND round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
+            + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) >= 0.48
+),
+fp AS (SELECT doc_id, text, md5(array_to_string({_TOKS}, ' ')) AS f FROM stage1),
+keep AS (SELECT f, MIN(doc_id) AS kid FROM fp GROUP BY f),
+stage2 AS (SELECT fp.doc_id, fp.text FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid),
+sh AS ({_shingles_sql("stage2")}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+cands AS ({_cand_sql("stage2")}),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cands c JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+losers AS (
+  SELECT DISTINCT doc_b
+  FROM common JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
+  WHERE round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+)
+SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
+       round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
+           + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) AS quality
+FROM stage2 WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+""",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data prep pipeline (operators/pipeline.py):
+    lang='en' → ≥25 tokens → quality ≥0.48 → exact dedup (min-id survivor)
+    → MinHash near-dup cut (Jaccard ≥0.5, greater id dropped). One lazy
+    plan; every stage's math hash-matched end-to-end."""
+    from vector_db_spark.operators.pipeline import clean_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = clean_corpus(
+        docs, lang="en", min_tokens=25, quality_floor=0.48, jaccard_threshold=0.5
+    )
+    return cleaned.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
 
 
 # --- LSH bucket SQL (shared by the blocked near-dup and the ANN search) --------
