@@ -135,3 +135,32 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     by_window = {r.window_start.isoformat(): r.n_events for r in out}
     # the 10:00 window finalized with ONE event; the late row never counted
     assert by_window.get("2024-01-01T10:00:00") == 1
+
+
+def test_stream_stream_join_cross_batch_state(spark, tmp_path):
+    """Click arrives in micro-batch 1, its purchase in batch 2: the match
+    must still be emitted (buffered join state survives the trigger
+    boundary). Purchases with no in-window click produce nothing."""
+    from vector_db_spark.streaming.ingest import click_attribution_join_stream
+
+    src = str(tmp_path / "src")
+    _write_file(spark, src, [_ev(1, "2024-01-01 10:00:00", user=7, etype="click")])
+    _write_file(
+        spark,
+        src,
+        [
+            _ev(2, "2024-01-01 10:30:00", user=7, etype="purchase"),
+            _ev(3, "2024-01-01 09:30:00", user=8, etype="purchase"),  # no click
+            _ev(4, "2024-01-01 12:30:00", user=7, etype="purchase"),  # outside 1h
+        ],
+    )
+    purchases = _stream_events(spark, src, max_files=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = _stream_events(spark, src, max_files=1).filter(
+        F.col("event_type") == "click"
+    )
+    out = run_to_memory(
+        click_attribution_join_stream(purchases, clicks), output_mode="append"
+    ).collect()
+    assert [(r.purchase_id, r.click_id) for r in out] == [(2, 1)]

@@ -19,6 +19,7 @@ from vector_db_spark.operators.ivf import assign_to_centroids
 from vector_db_spark.queries import register
 from vector_db_spark.queries.indexing import _centroids_arrays
 from vector_db_spark.streaming.ingest import (
+    click_attribution_join_stream,
     first_seen_filter_stream,
     hourly_counts_stream,
     ingest_stream,
@@ -110,6 +111,31 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; cross-batch state is exercised in tests/test_streaming.py."""
     events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     return run_to_memory(first_seen_filter_stream(events), output_mode="append")
+
+
+@register(
+    "stream_click_attribution",
+    extra=True,
+    oracle="""
+SELECT a.event_id AS purchase_id, a.user_id, a.ts AS purchase_ts,
+       b.event_id AS click_id, b.ts AS click_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'purchase' AND b.event_type = 'click'
+ AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+""",
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: purchases × same-user clicks within the
+    preceding hour, two independent watermarked file streams joined with
+    an event-time range predicate (bounded state). Cross-micro-batch
+    buffering is exercised in tests/test_streaming.py."""
+    src = os.path.join(sf_dir, "events.parquet")
+    purchases = read_events_stream(spark, src).filter(F.col("event_type") == "purchase")
+    clicks = read_events_stream(spark, src).filter(F.col("event_type") == "click")
+    return run_to_memory(
+        click_attribution_join_stream(purchases, clicks), output_mode="append"
+    )
 
 
 @register(

@@ -109,6 +109,48 @@ def session_windows_stream(events: DataFrame, gap: str = "1 hour", watermark: st
     )
 
 
+def click_attribution_join_stream(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    *,
+    lookback: str = "1 hour",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range constraint: each
+    purchase matched to the same user's clicks in the preceding
+    ``lookback``. Both sides are watermarked and the join predicate bounds
+    event-time distance, so the join STATE is bounded: a buffered click
+    older than (watermark + lookback) behind the purchase-side watermark
+    can never match and is evicted — the property that keeps a perpetual
+    stream-stream join from accumulating unbounded state. Inner join over
+    a bounded source emits exactly the batch-join rows, so the result
+    hash-matches a batch SQL oracle."""
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"user_id = click_user AND click_ts <= purchase_ts "
+            f"AND click_ts >= purchase_ts - INTERVAL {lookback}"
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
 def first_seen_filter_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: emit only the
     FIRST event per (user_id, event_type) across the whole stream — the
