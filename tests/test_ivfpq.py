@@ -102,3 +102,30 @@ def test_persistence_reopen(spark, sf_smoke, index):
     reopened = IVFPQIndex(spark, index.path)
     res = reopened.search(_queries(spark, sf_smoke, 3), k=1, n_probe=1).collect()
     assert len(res) == 3
+
+
+def test_add_then_delete_lifecycle(spark, sf_smoke, tmp_path):
+    """add appends to BOTH tables (corpus + codes) and the new vectors are
+    immediately searchable; delete removes them from both, partition-
+    targeted (IVF's lifecycle contract, extended to the compressed side)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "idx"), k_coarse=4, n_chunks=8, k_codes=16
+    )
+    n0 = idx.codes().count()
+    new = emb.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    idx.add(new)
+    assert idx.codes().count() == n0 + 2
+    assert idx.corpus().count() == n0 + 2
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ids = {r.neighbor_id for r in idx.search(q, k=2, n_probe=1, refine=4).collect()}
+    assert ids == {0, 1_000_000}  # both zero-distance copies, id tie-break
+    idx.delete([1_000_000, 1_000_001])
+    assert idx.codes().count() == n0
+    assert idx.corpus().count() == n0
+    ids2 = {r.neighbor_id for r in idx.search(q, k=2, n_probe=1, refine=4).collect()}
+    assert all(i < 1_000_000 for i in ids2)

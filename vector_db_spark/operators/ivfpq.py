@@ -103,6 +103,94 @@ class IVFPQIndex:
             t[r.chunk_idx, r.code] = r.centroid
         return t
 
+    # -- lifecycle: incremental add / partition-targeted delete ----------------
+
+    def _encode(self, assigned: DataFrame) -> DataFrame:
+        """(id, vec, cluster_id) → (id, codes, cluster_id): residual-encode
+        against the persisted model in one Arrow pass (the same kernel the
+        build uses; broadcast state is k×dim + m×k×sub)."""
+        bc = self.spark.sparkContext.broadcast(
+            (self._centroid_matrix(), self._codebook_tensor())
+        )
+        id_col, vec_col = self.id_col, self.vec_col
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cents, t = bc.value
+            m, _, s = t.shape
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                cid = pdf["cluster_id"].to_numpy(dtype=np.int64)
+                r = (v - cents[cid]).reshape(len(pdf), m, s)
+                codes = (
+                    ((r[:, :, None, :] - t[None, :, :, :]) ** 2)
+                    .sum(axis=3)
+                    .argmin(axis=2)
+                    .astype(np.int32)
+                )
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].values, "codes": list(codes), "cluster_id": cid}
+                )
+
+        return assigned.mapInPandas(enc, f"{id_col} long, codes array<int>, cluster_id int")
+
+    def add(self, new_vectors: DataFrame) -> None:
+        """Incremental add (mirrors ``IVFIndex.add``; reference
+        ivf.py:87-117): coarse-assign, append to the partitioned corpus,
+        residual-encode the same rows, append to the codes table. Cold
+        partitions are never touched; the codebooks are NOT retrained
+        (FAISS semantics — retrain by rebuilding when drift matters)."""
+        from vector_db_spark.operators.ivf import assign_to_centroids
+
+        assigned = assign_to_centroids(
+            new_vectors.select(self.id_col, self.vec_col),
+            self.centroids().select("cluster_id", "centroid"),
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        ).select(self.id_col, self.vec_col, "cluster_id")
+        assigned = assigned.cache()  # feeds both writes; tiny (one add batch)
+        assigned.write.mode("append").partitionBy("cluster_id").parquet(
+            os.path.join(self.path, "corpus")
+        )
+        self._encode(assigned).write.mode("append").partitionBy("cluster_id").parquet(
+            os.path.join(self.path, "codes")
+        )
+        assigned.unpersist()
+
+    def delete(self, ids: list[int]) -> None:
+        """Partition-targeted delete across BOTH tables (corpus + codes),
+        staged through a tmp dir and swapped per partition — same contract
+        as ``IVFIndex.delete``: cold clusters untouched, fully-emptied
+        cluster directories removed (not left stale), no session conf
+        mutated."""
+        affected = (
+            self.codes()
+            .filter(F.col(self.id_col).isin(ids))
+            .select("cluster_id")
+            .distinct()
+            .collect()
+        )
+        clusters = [r.cluster_id for r in affected]
+        if not clusters:
+            return
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path
+        fs = jpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        for sub, df in (("corpus", self.corpus()), ("codes", self.codes())):
+            table = os.path.join(self.path, sub)
+            remaining = df.filter(
+                F.col("cluster_id").isin(clusters) & ~F.col(self.id_col).isin(ids)
+            )
+            tmp = table.rstrip("/") + ".tmp-delete"
+            remaining.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+            for c in clusters:
+                dst = jpath(os.path.join(table, f"cluster_id={c}"))
+                src = jpath(os.path.join(tmp, f"cluster_id={c}"))
+                fs.delete(dst, True)
+                if fs.exists(src):  # absent when the whole cluster emptied
+                    fs.rename(src, dst)
+            fs.delete(jpath(tmp), True)
+
     # -- build ----------------------------------------------------------------
 
     @classmethod
