@@ -17,12 +17,14 @@ from vector_db_spark.functions.text import (
 )
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.dedup import (
+    dedup_retain_best,
     exact_dedup,
     near_dup_pairs_minhash,
     shingle_table,
     winnow_candidate_pairs,
 )
 from vector_db_spark.operators.knn import knn_join
+from vector_db_spark.operators.knn_graph import components_from_edges
 from vector_db_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     decode_image_features,
@@ -90,6 +92,63 @@ def test_minhash_near_dup_finds_planted_pair(spark):
     assert any({p.doc_a, p.doc_b} == {3, 20} for p in pairs), pairs
     for p in pairs:
         assert p.jaccard >= 0.5
+
+
+def test_dedup_retain_best_transitive_chain(spark):
+    """A~B and B~C near-dups with A≁C directly: connected components must
+    collapse the whole chain to ONE survivor (the greedy pair cut would
+    keep two), and the survivor is the highest-quality member."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    a = " ".join(base * 3)                      # doc 0
+    b = " ".join(base * 3 + ["mu"])             # doc 1: ~a, ~c
+    c = " ".join(base * 3 + ["mu", "nu"])       # doc 2: ~b
+    other = " ".join(reversed([w + "x" for w in base * 4]))  # doc 3: unrelated
+    df = _docs(spark, [a, b, c, other])
+    out = {r.doc_id: r for r in dedup_retain_best(df, threshold=0.5).collect()}
+    chain_survivors = [i for i in (0, 1, 2) if i in out]
+    assert len(chain_survivors) == 1
+    s = out[chain_survivors[0]]
+    assert s.cluster_size == 3 and s.component == 0
+    # survivor carries the cluster's max quality (doc 2 has the most
+    # distinct tokens → highest diversity term)
+    assert chain_survivors[0] == 2
+    assert out[3].cluster_size == 1
+
+
+def test_components_from_edges_min_label(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 10, 11, 99)], "id long")
+    comp = {
+        r.id: r.component
+        for r in components_from_edges(edges, nodes=nodes).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 10: 10, 11: 10, 99: 99}
+
+
+def test_pack_sequences_contiguous_offsets(spark):
+    """Within every shard the token stream is gapless (each doc starts
+    where the previous ended), pack_id is the 256-token window holding the
+    doc's first token, and shard assignment is hash-deterministic."""
+    from vector_db_spark.operators.packing import pack_sequences
+
+    texts = [" ".join(f"w{i}_{j}" for j in range(5 + (i * 7) % 90)) for i in range(60)]
+    df = _docs(spark, texts)
+    rows = pack_sequences(df, budget=256, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4)) and len(rows) == 60
+    for members in by_shard.values():
+        members.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in members:
+            assert r.start_offset == expect
+            assert r.pack_id == r.start_offset // 256
+            expect += r.n_tokens
+    rows2 = pack_sequences(df, budget=256, n_shards=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
 def test_shingle_table_distinct(spark):

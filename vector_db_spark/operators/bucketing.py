@@ -36,7 +36,20 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` hash-bucketed (and per-bucket sorted) on ``key`` as a
     catalog table. One file per bucket: the pre-write ``repartition`` on the
-    key means each task holds exactly one bucket's rows."""
+    key means each task holds exactly one bucket's rows.
+
+    Overwrite is made idempotent ACROSS sessions: a managed table's
+    location can survive on disk after the catalog (in-memory derby here)
+    forgot it, and ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS — so the stale location is removed first when
+    the catalog has no such table."""
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
     w = (
         df.repartition(n_buckets, F.col(key))
         .write.mode(mode)

@@ -221,6 +221,64 @@ def near_dup_pairs_minhash(
     return jaccard_verify(sh, cands, id_col, threshold)
 
 
+def dedup_retain_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The dedup **end-game**: near-duplicate *pairs* are not a cleaned
+    corpus — transitively-connected duplicates form clusters, and exactly
+    one document per cluster should survive. Pipeline:
+
+        MinHash+LSH pairs → connected components → keep best per component
+
+    Components come from hash-min label propagation
+    (:func:`~vector_db_spark.operators.knn_graph.components_from_edges`) —
+    iterative joins, never a driver-side union-find, so transitive chains
+    (A~B~C with A≁C) still collapse to ONE survivor, which the greedy
+    drop-greater-id pair cut cannot guarantee. Survivor = highest
+    :func:`quality_score`, ties to the smallest id — the "keep the best
+    copy" policy of a training-data prep job (greedy min-id keeps whatever
+    enumerated first).
+
+    Returns one row per surviving document: ``(id, component,
+    cluster_size, quality)``; ``component`` is the min id of the duplicate
+    cluster, singletons survive trivially with ``cluster_size = 1``.
+    Deterministic end-to-end: reproducible in any engine with recursive
+    SQL (see queries/text.py::dedup_retain_best)."""
+    from vector_db_spark.functions.text import quality_score
+    from vector_db_spark.operators.knn_graph import components_from_edges
+    from pyspark.sql import Window
+
+    pairs = near_dup_pairs_minhash(
+        df, text_col, id_col, n=n, n_hashes=n_hashes, n_bands=n_bands, threshold=threshold
+    )
+    comp = components_from_edges(pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    labeled = (
+        df.select(F.col(id_col), quality_score(text_col).alias("quality"))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col).cast("long")))
+    )
+    w = Window.partitionBy("component")
+    ranked = labeled.select(
+        id_col,
+        "component",
+        "quality",
+        F.count("*").over(w).alias("cluster_size"),
+        F.row_number()
+        .over(w.orderBy(F.desc("quality"), F.asc(id_col)))
+        .alias("__rk"),
+    )
+    return ranked.filter(F.col("__rk") == 1).select(
+        id_col, "component", "cluster_size", "quality"
+    )
+
+
 def winnow_fp_table(
     df: DataFrame,
     text_col: str = "text",

@@ -149,23 +149,36 @@ def knn_graph(
     )
 
 
-def connected_components(
-    graph: DataFrame, id_col: str = "vec_id", max_iter: int = 50
+def components_from_edges(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
 ) -> DataFrame:
-    """(id, component) by hash-min label propagation — the Pregel-style
-    connectivity that scales to corpus-sized graphs (no driver-side edge
-    list). Each iteration every node adopts the minimum label in its closed
+    """(id, component) from an undirected edge list by hash-min label
+    propagation — the shared Pregel-style core behind graph connectivity
+    AND duplicate-cluster grouping (operators/dedup.py). ``nodes`` is an
+    optional one-column DataFrame of every node id; ids absent from
+    ``edges`` become singleton components. Defaults to edge endpoints.
+
+    Each iteration every node adopts the minimum label in its closed
     neighborhood; converges in O(diameter) iterations, each one join + one
     aggregation. ``localCheckpoint`` truncates the growing lineage so the
-    plan stays O(1) per iteration. Agreement with the driver BFS is pinned
-    in tests/test_knn_graph.py."""
-    edges = graph.select(F.col(id_col).alias("src"), F.explode("neighbors").alias("dst"))
+    plan stays O(1) per iteration."""
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = graph.select(F.col(id_col).alias("src"), F.col(id_col).cast("long").alias("comp"))
+    if nodes is None:
+        nodes = edges.select("src").distinct()
+    else:
+        id_col = nodes.columns[0]
+        nodes = nodes.select(F.col(id_col).alias("src")).distinct()
+    labels = nodes.select("src", F.col("src").cast("long").alias("comp"))
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.select(F.col("src").alias("dst"), "comp"), "dst")
@@ -185,7 +198,19 @@ def connected_components(
         labels = updated.select("src", "comp")
         if changed == 0:
             break
-    return labels.select(F.col("src").alias(id_col), F.col("comp").alias("component"))
+    return labels.select(F.col("src").alias("id"), F.col("comp").alias("component"))
+
+
+def connected_components(
+    graph: DataFrame, id_col: str = "vec_id", max_iter: int = 50
+) -> DataFrame:
+    """(id, component) for an adjacency-shaped graph ``(id, neighbors
+    array)`` — explodes to an edge list and delegates to
+    :func:`components_from_edges` (isolated nodes keep their own label).
+    Agreement with the driver BFS is pinned in tests/test_knn_graph.py."""
+    edges = graph.select(F.col(id_col).alias("src"), F.explode("neighbors").alias("dst"))
+    comp = components_from_edges(edges, nodes=graph.select(id_col), max_iter=max_iter)
+    return comp.select(F.col("id").alias(id_col), "component")
 
 
 def graph_connectivity_distributed(graph: DataFrame, id_col: str = "vec_id") -> float:

@@ -115,6 +115,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_resize_audit",
+    extra=True,
     oracle="""
 SELECT doc_id AS media_id,
        CAST(64 * 64 // 64 AS INTEGER) AS payload_bytes,

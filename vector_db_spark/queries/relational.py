@@ -1121,3 +1121,39 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_dec_sum("l_extendedprice * (1 - l_discount)", "revenue"))
         .filter(F.col("revenue") > 200000)
     )
+
+
+# --- cardinality sketches ----------------------------------------------------
+
+@register(
+    "distinct_users_sketch",
+    extra=True,
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact, TRUE AS sketch_ok
+FROM events GROUP BY event_type
+""",
+)
+def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality sketch (``approx_count_distinct``, rsd 2%)
+    audited against the exact count: the checked projection is the sketch's
+    error-bound invariant (|approx − exact| ≤ 5%·exact), which cannot pass
+    without running the sketch. At 100 TB the sketch is the point — exact
+    distinct shuffles every distinct (type, user) pair, HLL++ merges
+    fixed-size registers map-side; the exact branch here exists only to
+    make the invariant oracle-checkable at fixture scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("sketch_ok"),
+        )
+    )

@@ -22,6 +22,7 @@ from vector_db_spark.functions.text import (
 )
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.dedup import (
+    dedup_retain_best,
     embedding_near_dup_blocked,
     embedding_near_dup_pairs,
     exact_dedup,
@@ -32,6 +33,7 @@ from vector_db_spark.operators.dedup import (
     shingle_table,
     winnow_candidate_pairs,
 )
+from vector_db_spark.operators.packing import pack_sequences
 from vector_db_spark.operators.similarity import (
     HYPERPLANES,
     N_TABLES,
@@ -322,6 +324,63 @@ def near_dup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_minhash(docs, threshold=0.5)
 
 
+# --- dedup end-game: transitive clusters → one survivor each ------------------
+# Near-dup *pairs* are not a cleaned corpus: A~B~C chains must collapse to
+# one survivor even when A≁C directly. The Spark side groups pairs into
+# connected components by iterative hash-min label propagation (no driver
+# union-find); the oracle reproduces the grouping with a recursive CTE
+# (min reachable id == component label — both engines converge to the same
+# fixpoint). Survivor policy: max quality_score, ties to smallest id.
+
+@register(
+    "dedup_retain_best",
+    oracle=f"""
+WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+cands AS ({_CAND_SQL}),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
+  WHERE round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(id, comp) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+),
+comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+labeled AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS component,
+         round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
+             + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) AS quality
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+SELECT doc_id, component, cluster_size, quality FROM (
+  SELECT doc_id, component, quality,
+         COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+  FROM labeled
+) WHERE rn = 1
+""",
+)
+def dedup_retain_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_retain_best(docs, threshold=0.5)
+
+
 @register(
     "corpus_clean_pipeline",
     extra=True,
@@ -392,6 +451,73 @@ _LSH_BUCKETS_SQL = " UNION ALL ".join(
 """
     for t in range(N_TABLES)
 )
+
+
+# --- sequence packing ---------------------------------------------------------
+
+@register(
+    "pack_sequences_manifest",
+    oracle=f"""
+SELECT doc_id, shard, n_tokens, start_offset, (start_offset // 256)::BIGINT AS pack_id FROM (
+  SELECT doc_id, shard, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS start_offset
+  FROM (
+    SELECT doc_id,
+           (((strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':pack'), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':pack'), 2, 1)) - 1)) % 8)::INTEGER AS shard,
+           len({_TOKS})::BIGINT AS n_tokens
+    FROM documents
+  )
+)
+""",
+)
+def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest: hash-shard → in-shard
+    token offsets (one window) → 256-token pack assignment. The step
+    between a cleaned corpus and packed training examples; see
+    operators/packing.py for the scale argument."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256, n_shards=8)
+
+
+# --- quality-weighted curriculum sampling -------------------------------------
+
+@register(
+    "curriculum_sample",
+    extra=True,
+    oracle=f"""
+SELECT doc_id, quality, bucket FROM (
+  SELECT doc_id,
+         round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
+             + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) AS quality,
+         ((strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':cur'), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':cur'), 2, 1)) - 1))::INTEGER AS bucket
+  FROM documents
+) WHERE bucket < floor(256 * least(quality, 1.0))
+""",
+)
+def curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling: keep each document with probability ≈ its
+    quality score, via the deterministic hash-membership idiom (first md5
+    byte under a per-doc quality-scaled threshold). The
+    curriculum/up-weighting step of a training-data mix — reruns and
+    engines agree on exact membership, unlike seeded ``df.sample``.
+    Map-side only: no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cur")))
+    bucket = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) * 16
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1)
+    ).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            quality_score("text").alias("quality"),
+            bucket.alias("bucket"),
+        )
+        .filter(F.col("bucket") < F.floor(256 * F.least(F.col("quality"), F.lit(1.0))))
+    )
 
 
 # --- embedding-cosine near-dup -------------------------------------------------
@@ -508,6 +634,7 @@ def embed_stub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dup_brp_lsh",
+    extra=True,
     oracle="""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist
