@@ -1,0 +1,174 @@
+"""Unit + plan-shape tests for the corpus-curation and hybrid-retrieval
+operators (operators/curation.py, operators/hybrid.py, radius_search).
+
+Value-level correctness against DuckDB is covered by the registered oracle
+queries (tests/test_queries_oracle.py); here we pin (a) the hand-checkable
+semantics on tiny literal fixtures and (b) the physical-plan properties the
+100 TB posture claims (map-only repetition stats, broadcast decontamination
+probe, no corpus shuffle in radius search).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_plans import plan_of
+from vector_db_spark.operators.curation import (
+    boilerplate_stats,
+    decontaminate_ngrams,
+    mixture_resample,
+    pii_scrub,
+    repetition_stats,
+)
+from vector_db_spark.operators.hybrid import bm25_topk, idf_weights, rrf_fuse
+from vector_db_spark.operators.similarity import radius_search
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b a b a b"),            # bigram 'a b' repeats: high top2_frac
+        (2, "x y z w q r"),            # all n-grams unique
+        (3, "p q r s p q r s"),        # dup trigrams
+        (4, "one two three"),
+        (5, "contact me at bob@example.com or +1 (555) 123-4567 to join"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_exact(spark, docs):
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    # doc 1: tokens a b a b a b → bigrams [ab, ba, ab, ba, ab]: top 'a b'×3 of 5
+    assert got[1]["top2_cnt"] == 3 and got[1]["top2_frac"] == round(3 / 5, 6)
+    # trigrams: aba, bab, aba, bab → every instance duplicated
+    assert got[1]["dup3_frac"] == 1.0
+    # doc 2: nothing repeats
+    assert got[2]["top2_cnt"] == 1 and got[2]["dup3_cnt"] == 0
+    # doc 3: p q r s p q r s → trigram pqr×2, qrs×2, rsp, spq → 4 dup of 6
+    assert got[3]["dup3_cnt"] == 4 and got[3]["dup3_frac"] == round(4 / 6, 6)
+    # doc 4: fewer tokens than n → zero counts, zero fractions (no NaN/null)
+    assert got[4]["dup3_cnt"] == 0 and got[4]["dup3_frac"] == 0.0
+
+
+def test_repetition_stats_plan_is_map_only(spark, docs):
+    """The Gopher metrics never shuffle: no Exchange, no Python eval."""
+    plan = plan_of(repetition_stats(docs))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_boilerplate_flags_shared_spans(spark):
+    shared = "this span is common boilerplate text"
+    rows = [(i, f"{shared} unique{i} tail{i} x{i} y{i}") for i in range(4)]
+    rows.append((99, "entirely different words here nothing shared at all"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in boilerplate_stats(docs, n=4, min_df=3).collect()}
+    assert all(got[i]["n_boiler"] >= 3 for i in range(4))  # shared 4-grams hit
+    assert got[99]["n_boiler"] == 0 and got[99]["boiler_frac"] == 0.0
+
+
+def test_decontaminate_flags_only_overlapping(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training document words here"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "quick brown fox jumps elsewhere")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in decontaminate_ngrams(train, test, n=4).collect()}
+    assert got[1]["contaminated"] and got[1]["n_hit_shingles"] >= 1
+    assert not got[2]["contaminated"] and got[2]["n_hit_shingles"] == 0
+
+
+def test_decontaminate_probe_is_broadcast(spark, sf_smoke):
+    """The test-side shingle set broadcasts; the training stream is never
+    shuffled for the probe join."""
+    from vector_db_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    df = decontaminate_ngrams(
+        docs.filter(F.col("doc_id") % 37 != 0),
+        docs.filter(F.col("doc_id") % 37 == 0),
+        n=4,
+    )
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_pii_scrub_counts_and_redacts(spark, docs):
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert got[5]["email_cnt"] == 1
+    assert got[5]["phone_cnt"] == 1
+    assert got[5]["deny_cnt"] == 1  # 'join'
+    assert got[1]["email_cnt"] == got[1]["phone_cnt"] == 0
+    # different docs with identical redaction outcome ⇒ same fp; doc5's
+    # fingerprint must differ from its raw-md5 (something WAS redacted)
+    raw5 = docs.filter("doc_id = 5").select(F.md5(F.lower("text"))).first()[0]
+    assert got[5]["redacted_fp"] != raw5
+
+
+def test_mixture_resample_rates_and_determinism(spark):
+    rows = [(i, "web" if i % 2 == 0 else "books") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mixture_resample(docs, {"web": 0.25})
+    counts = {r["source"]: r["cnt"] for r in kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["books"] == 1000  # weight 1.0 keeps everything
+    assert 150 <= counts["web"] <= 350  # ~25% of 1000, hash-binomial spread
+    # deterministic: identical keep-set on re-evaluation and under repartition
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {r["doc_id"] for r in mixture_resample(docs.repartition(7), {"web": 0.25}).collect()}
+    assert ids1 == ids2
+
+
+def test_bm25_math_matches_reference_formula(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash hash table"),
+            (2, "hash join plans"),
+            (3, "sort merge join"),
+            (4, "no relevant terms"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in bm25_topk(docs, ["hash"], k=10).collect()}
+    assert 4 not in got  # zero-score docs excluded
+    assert got[1]["kw_rank"] == 1  # tf=3 beats tf=1
+    # hand-compute doc 2: tf=1, dl=3, avgdl=(4+3+3+3)/4=3.25, df=2, N=4
+    idf = idf_weights(4, [2])[0]
+    expect = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 3 / 3.25))
+    assert math.isclose(got[2]["bm25"], round(expect, 6), abs_tol=1e-6)
+
+
+def test_rrf_fusion_handles_disjoint_lists(spark):
+    kw = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, kw_rank int")
+    vec = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, vec_rank int")
+    got = {r["doc_id"]: r.asDict() for r in rrf_fuse(kw, vec, k=10).collect()}
+    assert got[2]["fused_rank"] == 1  # in both lists → highest fused score
+    assert got[1]["vec_rank"] == 0 and got[3]["kw_rank"] == 0  # absent → 0
+    assert math.isclose(got[2]["rrf_score"], round(1 / 62 + 1 / 61, 6), abs_tol=1e-6)
+
+
+def test_radius_search_no_corpus_shuffle(spark, sf_smoke):
+    """Range query is map-only: broadcast queries onto the corpus scan, no
+    Exchange of the corpus at any radius (a k-NN needs one; ε-search not)."""
+    from vector_db_spark.io import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = radius_search(q, emb, 1.5)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only exchange allowed is the broadcast of the 3-row query side
+    assert "Exchange hashpartitioning" not in plan
+    # self-match: every query finds itself at distance 0
+    selfhits = df.filter(
+        (F.col("query_id") == F.col("neighbor_id")) & (F.col("dist") == 0.0)
+    ).count()
+    assert selfhits == 3

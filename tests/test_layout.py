@@ -68,7 +68,7 @@ def test_zorder_value_deterministic_and_bounded(layouts):
     spark, _, _, ev = layouts
     z1 = zorder_value(ev, "ts_sec", "user_id").select("event_id", "__z")
     z2 = zorder_value(ev, "ts_sec", "user_id").select("event_id", "__z")
-    p1 = {r.event_id: r.__z for r in z1.collect()}
-    p2 = {r.event_id: r.__z for r in z2.collect()}
+    p1 = {r["event_id"]: r["__z"] for r in z1.collect()}
+    p2 = {r["event_id"]: r["__z"] for r in z2.collect()}
     assert p1 == p2
     assert all(0 <= v < (1 << 32) for v in p1.values())

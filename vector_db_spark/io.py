@@ -35,17 +35,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain ``spark.read.parquet`` so Catalyst gets
     full pushdown/pruning; no schema inference cost (Parquet is self-described).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's reader
-    rejects; read nanos as long and convert to a microsecond timestamp
-    (truncation — matching how a DuckDB/pandas consumer sees the values).
+    ``events.ts`` has been materialized by the driver as TIMESTAMP(NANOS)
+    in some rounds (which Spark's reader rejects → read nanos as long and
+    truncate to micros) and as TIMESTAMP_NTZ in others. Both are normalized
+    to plain TIMESTAMP here: the engine pins the session timezone to UTC
+    (session.py), so the NTZ→LTZ cast is value-identical to how every
+    naive-timestamp consumer (DuckDB, pandas) reads the same file, and
+    downstream instant arithmetic (``unix_micros``, ``window``) type-checks.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def write_small_parquet(path: str, table) -> None:

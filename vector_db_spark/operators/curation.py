@@ -1,0 +1,326 @@
+"""Corpus-curation operators for LLM training-data pipelines: within-doc
+repetition metrics, cross-doc boilerplate detection, train/test
+decontamination, PII / denylist scrubbing, and mixture resampling.
+
+The reference has no text surface at all (content is an opaque column,
+``/root/reference/src/vector_db/storage.py:163-181``); these are
+north-star extensions, designed Spark-first:
+
+* **Per-document metrics never shuffle.** Repetition statistics
+  (Gopher-style top-n-gram and duplicate-n-gram fractions) are pure
+  native-expression pipelines over sorted shingle arrays — zero Exchange,
+  fully inside whole-stage codegen. At 100 TB the difference between a
+  map-only scan and an (explode → groupBy doc) shuffle of the n-gram
+  stream is the whole job.
+* **Cross-doc metrics shuffle once, keyed on the n-gram.** Boilerplate
+  document frequency and decontamination joins key on the shingle, never
+  materialize doc×doc pairs, and cut the big side with a broadcast/semi
+  join wherever one side is small (the benchmark suite in
+  decontamination is always ≪ the training corpus).
+* All hashing is md5-derived so every metric is reproducible bit-for-bit
+  in any engine (the DuckDB oracles hash-match end-to-end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.text import shingles, tokens
+from vector_db_spark.io import ensure_parallelism
+from vector_db_spark.operators.dedup import shingle_table
+
+# ---------------------------------------------------------------------------
+# within-doc repetition (Gopher repetition rules, token-based)
+# ---------------------------------------------------------------------------
+
+
+def _dup_instance_count(sorted_arr: Column) -> Column:
+    """Number of elements of a SORTED array that occur more than once
+    (counting every instance). Computed by neighbor comparison — an
+    element is unique iff it differs from both neighbors — so the whole
+    thing is one codegen'd expression, no explode, no shuffle.
+
+    ``element_at`` is guarded with ``greatest``/``least`` because Spark
+    evaluates both sides of a boolean ``|`` (no short-circuit): index 0
+    would raise even on the never-taken branch.
+    """
+    n = F.size(sorted_arr)
+    idx = F.sequence(F.lit(1), n)  # 1-based positions
+    uniq = F.size(
+        F.filter(
+            idx,
+            lambda i: (
+                (i == 1)
+                | (F.element_at(sorted_arr, F.greatest(i - 1, F.lit(1))) != F.element_at(sorted_arr, i))
+            )
+            & (
+                (i == n)
+                | (F.element_at(sorted_arr, F.least(i + 1, n)) != F.element_at(sorted_arr, i))
+            ),
+        )
+    )
+    return F.when(n >= 2, n - uniq).otherwise(F.lit(0))
+
+
+def _max_run_count(sorted_arr: Column) -> Column:
+    """Count of the most frequent element of a SORTED array — a single
+    ``aggregate`` fold carrying (prev, run, best). Zero shuffle."""
+    zero = F.struct(
+        F.lit("\t__none").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document, token-based:
+
+    - ``top2_cnt`` / ``top2_frac`` — occurrences of the most frequent
+      bigram, and its fraction of all bigram instances (Gopher's
+      top-n-gram rule, threshold 0.2 for 2-grams);
+    - ``dup3_cnt`` / ``dup3_frac`` — trigram instances whose trigram
+      occurs more than once in the document, as a fraction of all trigram
+      instances (Gopher's duplicate-n-gram rule).
+
+    Entirely map-side: sorted shingle arrays + neighbor/fold expressions,
+    no explode, no shuffle (plan-pinned in tests/test_curation.py).
+    """
+    toks = tokens(text_col)
+    g2 = F.array_sort(shingles(toks, 2))
+    g3 = F.array_sort(shingles(toks, 3))
+    n2 = F.size(g2)
+    n3 = F.size(g3)
+    top2 = _max_run_count(g2)
+    dup3 = _dup_instance_count(g3)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        top2.cast("long").alias("top2_cnt"),
+        F.when(n2 > 0, F.round(top2.cast("double") / n2, 6)).otherwise(F.lit(0.0)).alias(
+            "top2_frac"
+        ),
+        dup3.cast("long").alias("dup3_cnt"),
+        F.when(n3 > 0, F.round(dup3.cast("double") / n3, 6)).otherwise(F.lit(0.0)).alias(
+            "dup3_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-doc boilerplate
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 4,
+    min_df: int = 3,
+) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a document's
+    distinct ``n``-gram shingles that appear in at least ``min_df``
+    documents corpus-wide (headers, footers, license blurbs, templated
+    spans).
+
+    Two aggregations, both keyed on the shingle / the doc — never a
+    doc×doc comparison: (1) document frequency per shingle (map-side
+    partial counts; the shingle table is distinct-per-doc *before* the
+    explode), (2) join the df back onto the shingle stream — both sides
+    hash-partitioned by ``shingle`` from step 1, so the join adds no
+    extra Exchange of the big side — and re-aggregate per document.
+    """
+    sh = shingle_table(docs, text_col, id_col, n=n)
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    joined = sh.join(df_tbl, "shingle")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0)).alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            F.col("n_shingles").cast("long"),
+            F.col("n_boiler").cast("long"),
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias("boiler_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# train/test decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_ngrams(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one ``n``-gram with the held-out/test corpus (the GPT-3/PaLM
+    n-gram-overlap protocol; production pipelines use 8-13-gram windows —
+    the fixture documents are ~50 tokens, so the query uses 4).
+
+    The test-side shingle set is tiny relative to the corpus, so it is
+    deduplicated and **broadcast**; the training shingle stream is probed
+    map-side — no corpus-sized shuffle at all. Returns every train doc
+    with its hit count and a ``contaminated`` flag (hit count 0 = clean),
+    so the output is a stable full-corpus audit table.
+    """
+    train_sh = shingle_table(train, text_col, id_col, n=n)
+    test_sh = test.select(
+        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle")
+    ).distinct()
+    hits = (
+        train_sh.join(F.broadcast(test_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_shingles", F.lit(0)).cast("long").alias("n_hit_shingles"),
+            (F.coalesce("n_hit_shingles", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII / denylist scrubbing
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def pii_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    denylist: tuple[str, ...] = ("hash", "join", "merge"),
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """PII / sensitive-term audit + redaction, all native regex
+    expressions (codegen'd, zero shuffle): per document, counts of
+    email-shaped and phone-shaped spans, count of denylisted terms
+    (word-boundary matched), and the md5 fingerprint of the redacted
+    text — the checksum a downstream stage verifies before the scrubbed
+    corpus ships.
+
+    Patterns are kept inside the RE2 ∩ java.util.regex common dialect so
+    any engine reproduces the same spans (the DuckDB oracle hash-matches
+    the redacted-text fingerprints).
+    """
+    low = F.lower(F.col(text_col))
+    deny_re = r"\b(" + "|".join(denylist) + r")\b"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(low, EMAIL_RE, replacement), PHONE_RE, replacement
+        ),
+        deny_re,
+        replacement,
+    )
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(low, F.lit(EMAIL_RE)).cast("long").alias("email_cnt"),
+        F.regexp_count(low, F.lit(PHONE_RE)).cast("long").alias("phone_cnt"),
+        F.regexp_count(low, F.lit(deny_re)).cast("long").alias("deny_cnt"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture resampling
+# ---------------------------------------------------------------------------
+
+
+def mixture_resample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-source downsampling to target mixture weights —
+    the domain-reweighting step of a pretraining data recipe (keep x% of
+    CommonCrawl, all of books/code, ...).
+
+    Membership is decided by content hash, not ``df.sample``: a row is
+    kept iff its md5 bucket (first two hex digits → 0..255) falls under
+    ``weight × 256``. Hash membership is reproducible across reruns,
+    across engines, and under repartitioning — seeded ``sample()`` is
+    none of those. Map-side only; the weights enter the plan as a literal
+    CASE chain (broadcastable to any cluster size).
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    bucket = (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    )
+    thresh: Column = F.lit(int(default * 256))
+    for src, w in weights.items():
+        thresh = F.when(F.col(source_col) == src, F.lit(int(w * 256))).otherwise(thresh)
+    return docs.filter(bucket < thresh)
+
+
+# ---------------------------------------------------------------------------
+# corpus-LM token statistics
+# ---------------------------------------------------------------------------
+
+
+def unigram_doc_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram-LM statistics against the corpus's own token
+    distribution: mean corpus frequency of the document's tokens (exact,
+    integer-summed) and the mean per-token surprisal ``-log2 p(tok)`` in
+    bits (the cheap perplexity proxy used for quality filtering).
+
+    Two aggregations: corpus vocabulary (token → count; partial map-side
+    combine), then a broadcast join of the vocabulary onto the exploded
+    token stream (a natural-language vocabulary is millions of rows —
+    broadcastable — while the corpus is billions). ``lm_bits`` is rounded
+    to 2 decimals: the cross-engine contract must not depend on
+    float-summation order.
+    """
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = toks.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("sum_cnt"),
+            F.avg(-F.log2(F.col("cnt") / F.col("total"))).alias("bits"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long"),
+            F.round(F.col("sum_cnt") / F.col("n_tokens"), 6).alias("avg_tok_freq"),
+            F.round(F.col("bits"), 2).alias("lm_bits"),
+        )
+    )

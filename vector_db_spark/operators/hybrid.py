@@ -1,0 +1,156 @@
+"""Hybrid retrieval: BM25 keyword scoring fused with vector similarity by
+reciprocal-rank fusion (RRF) — the standard "vector DB + keyword" serving
+pattern, expressed as one declarative batch plan.
+
+The reference is vector-only (`/root/reference/src/vector_db/api/app.py:165-233`
+searches embeddings, the content column is opaque); hybrid ranking is the
+north-star extension every production retrieval stack layers on top.
+
+Scale posture:
+
+* **BM25 for a literal query needs no inverted index build and no
+  explode**: with query terms known at plan time, per-document term
+  frequencies are ``size(filter(tokens, t == lit))`` — map-side codegen —
+  and the global statistics (N, avgdl, per-term document frequencies) are
+  ONE single-row aggregate, broadcast back. The corpus is scanned twice
+  (stats + score), shuffled never; the final top-k is
+  TakeOrderedAndProject.
+* **The score sum has a fixed term order** (one column per query term,
+  not an exploded re-aggregation), so ranks are bit-reproducible across
+  engines and partitionings — floating-point addition order is pinned by
+  the plan shape itself.
+* **RRF joins two small top-k lists** (k rows each, broadcast-sized by
+  construction) — never corpus-sized sides.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_db_spark.functions.text import tokens
+
+RRF_K = 60
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 for a bag of literal query terms.
+
+    Returns ``(id, bm25 rounded to 6, kw_rank)``, rank ties broken by id.
+    Documents matching no term (score 0) are excluded.
+    """
+    toks = tokens(text_col)
+    dl = F.size(toks)
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+        *[
+            F.sum(F.array_contains(tokens(text_col), t).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    def term_freq(t: str) -> Column:
+        # NB: the lambda must be unary — a second parameter would make
+        # F.filter pass the array index as that argument.
+        return F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+
+    scored = docs.select(
+        F.col(id_col),
+        dl.alias("dl"),
+        *[term_freq(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    ).crossJoin(F.broadcast(stats))
+
+    def part(i: int) -> Column:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1.0
+        )
+        tf = F.col(f"tf_{i}")
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+
+    score = part(0)
+    for i in range(1, len(terms)):
+        score = score + part(i)  # fixed left-to-right order: reproducible
+    w = Window.orderBy(F.col("bm25").desc(), id_col)
+    return (
+        scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= k)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    *,
+    k: int = 20,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` corpus rows by cosine distance to a single broadcast
+    query vector: ``(id, cos_dist rounded to 6, vec_rank)``. Distance via
+    :mod:`vector_db_spark.functions.distance` (double-cast higher-order
+    expressions — the exact math the DuckDB oracles reproduce)."""
+    from vector_db_spark.functions.distance import cosine_distance
+
+    q = query_vec.select(F.col(vec_col).alias("__qv"))
+    dist = F.round(cosine_distance(F.col(vec_col), F.col("__qv")), 6)
+    w = Window.orderBy("cos_dist", id_col)
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), dist.alias("cos_dist"))
+        .withColumn("vec_rank", F.row_number().over(w))
+        .filter(F.col("vec_rank") <= k)
+    )
+
+
+def rrf_fuse(
+    keyword: DataFrame,
+    vector: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the two top-k lists:
+    ``score = Σ 1/(rrf_k + rank)`` over the lists the doc appears in.
+    Absent ranks surface as 0 (scalar-typed, driver-hashable). The two
+    inputs are k-row tables, so the outer join is trivially broadcast.
+    """
+    fused = keyword.select(id_col, "kw_rank").join(
+        vector.select(id_col, "vec_rank"), id_col, "full_outer"
+    )
+    score = F.round(
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), id_col)
+    return (
+        fused.select(
+            id_col,
+            F.coalesce("kw_rank", F.lit(0)).alias("kw_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+            score.alias("rrf_score"),
+        )
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+    )
+
+
+def idf_weights(n_docs: int, dfs: list[int]) -> list[float]:
+    """Reference BM25 idf (Robertson/Sparck-Jones +1 form) for tests."""
+    return [math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]

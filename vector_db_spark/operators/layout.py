@@ -90,16 +90,28 @@ def zorder_write(
     n_files: int = 16,
     bits: int = _BITS,
 ) -> None:
-    """Rewrite ``df`` as ``n_files`` parquet files clustered along the
-    Z-curve of (col_a, col_b): range-partition by z-value (contiguous
-    curve segments per file → tight per-file bounding boxes in both
-    dimensions), sort within each file so row-group stats are tight too."""
+    """Rewrite ``df`` clustered along the Z-curve of (col_a, col_b).
+
+    Files are the **bit-aligned Morton boxes**: each output file holds one
+    value of the top ``log2(n_files)`` z-bits, so a file's bounding box in
+    either dimension is exact, not a sampled approximation. (An earlier
+    version used ``repartitionByRange(n_files, "__z")``; the range
+    partitioner equalizes row counts from a per-RDD-seeded sample, so file
+    boundaries landed mid-box and a selective second-dimension predicate
+    leaked into ~2× more files, nondeterministically.) The bucket is
+    materialized as a partition directory, which additionally gives
+    catalog-level pruning on ``__zb`` itself; rows are z-sorted within
+    each file so row-group stats stay tight. ``n_files`` is rounded down
+    to a power of two to keep boxes aligned."""
+    prefix_bits = max((n_files).bit_length() - 1, 0)
     (
         zorder_value(df, col_a, col_b, bits=bits)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
+        .withColumn("__zb", F.shiftright(F.col("__z"), 2 * bits - prefix_bits))
+        .repartition(F.col("__zb"))
+        .sortWithinPartitions("__zb", "__z")
         .drop("__z")
         .write.mode("overwrite")
+        .partitionBy("__zb")
         .parquet(path)
     )
 

@@ -161,3 +161,42 @@ def oracle_hyperplane_literal_sql(table_idx: int, bit_idx: int) -> str:
     """The same hyperplane as a DuckDB array literal (oracle SQL builder)."""
     vals = ", ".join(repr(x) for x in HYPERPLANES[table_idx][bit_idx])
     return f"[{vals}]::DOUBLE[]"
+
+
+def radius_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    radius: float,
+    *,
+    metric: str = "euclidean",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range query: every corpus vector within ``radius`` of each query
+    (the reference's k-NN surface, ivf.py:138-199, answers "closest k";
+    range search answers "all within ε" — the other half of a similarity
+    API, and the primitive under ε-near-duplicate sweeps).
+
+    Exact form: the query table is broadcast and the corpus is scanned
+    once map-side — distance + filter inside codegen, NO corpus shuffle
+    at any radius (a k-NN needs a top-k exchange; a range query does
+    not). Scales to arbitrary corpus size; for many queries compose with
+    the LSH/IVF blockers above to make the per-query candidate set
+    sublinear first.
+    """
+    dist_fn = METRICS[metric]
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qv")
+    )
+    dist = F.round(dist_fn(F.col(vec_col), F.col("__qv")), 6)
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= radius)
+    )

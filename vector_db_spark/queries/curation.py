@@ -1,0 +1,305 @@
+"""Corpus-curation + hybrid-retrieval queries (round-3 north-star
+extensions): within-doc repetition, boilerplate detection, train/test
+decontamination, PII scrubbing, mixture resampling, unigram-LM scoring,
+BM25+vector hybrid search, and radius (range) vector search.
+
+Every query here is oracle-checked end-to-end: the n-gram, regex, md5,
+BM25 and distance math is restricted to the Spark ∩ DuckDB deterministic
+intersection (see operators/curation.py and operators/hybrid.py for the
+scale posture of each plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_spark.io import load_table
+from vector_db_spark.operators.curation import (
+    EMAIL_RE,
+    PHONE_RE,
+    boilerplate_stats,
+    decontaminate_ngrams,
+    mixture_resample,
+    pii_scrub,
+    repetition_stats,
+    unigram_doc_scores,
+)
+from vector_db_spark.operators.hybrid import bm25_topk, cosine_topk, rrf_fuse
+from vector_db_spark.operators.similarity import radius_search
+from vector_db_spark.queries import register
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _grams_sql(n: int, src: str = "documents", distinct: bool = False) -> str:
+    """DuckDB word-n-gram stream ``(doc_id, g)`` — mirrors
+    functions.text.shingles (space-joined windows of the token split)."""
+    d = "DISTINCT " if distinct else ""
+    return f"""
+  SELECT {d}doc_id, array_to_string(list_slice(t, i + 1, i + {n}), ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - {n - 1}, 0))) AS i
+        FROM (SELECT doc_id, {_TOKS} AS t FROM {src}))
+"""
+
+
+# --- within-doc repetition ---------------------------------------------------
+
+@register(
+    "doc_repetition",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+c2 AS (SELECT doc_id, max(c) AS top2_cnt, sum(c) AS n2
+       FROM (SELECT doc_id, g, count(*) AS c FROM ({_grams_sql(2)}) GROUP BY 1, 2)
+       GROUP BY 1),
+c3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3_cnt, sum(c) AS n3
+       FROM (SELECT doc_id, g, count(*) AS c FROM ({_grams_sql(3)}) GROUP BY 1, 2)
+       GROUP BY 1)
+SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+       COALESCE(c2.top2_cnt, 0)::BIGINT AS top2_cnt,
+       COALESCE(round(c2.top2_cnt / c2.n2, 6), 0.0) AS top2_frac,
+       COALESCE(c3.dup3_cnt, 0)::BIGINT AS dup3_cnt,
+       COALESCE(round(c3.dup3_cnt / c3.n3, 6), 0.0) AS dup3_frac
+FROM t LEFT JOIN c2 ON t.doc_id = c2.doc_id LEFT JOIN c3 ON t.doc_id = c3.doc_id
+""",
+)
+def doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics — zero-shuffle map-only plan (the
+    oracle computes the same values the heavyweight explode+groupBy way)."""
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --- cross-doc boilerplate ---------------------------------------------------
+
+_BP_MIN_DF = 3
+
+@register(
+    "boilerplate_frac",
+    oracle=f"""
+WITH sh AS ({_grams_sql(4, distinct=True)}),
+df AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN df >= {_BP_MIN_DF} THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+       round(sum(CASE WHEN df >= {_BP_MIN_DF} THEN 1 ELSE 0 END) / count(*), 6)
+         AS boiler_frac
+FROM sh JOIN df USING (g) GROUP BY doc_id
+""",
+)
+def boilerplate_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_stats(
+        load_table(spark, sf_dir, "documents"), n=4, min_df=_BP_MIN_DF
+    )
+
+
+# --- train/test decontamination ----------------------------------------------
+
+_TEST_MOD = 37  # doc_id % 37 == 0 → the held-out "benchmark" slice
+
+@register(
+    "decontaminate_ngrams",
+    oracle=f"""
+WITH sh AS (SELECT doc_id, g FROM ({_grams_sql(4, distinct=True)})
+            WHERE doc_id % {_TEST_MOD} <> 0),
+tsh AS (SELECT DISTINCT g FROM ({_grams_sql(4, distinct=True)})
+        WHERE doc_id % {_TEST_MOD} = 0),
+hits AS (SELECT doc_id, count(*) AS n FROM sh JOIN tsh USING (g) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(h.n, 0)::BIGINT AS n_hit_shingles,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_TEST_MOD} <> 0) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-gram-overlap decontamination of the corpus against its own
+    ``doc_id % 37 == 0`` slice standing in for a benchmark suite."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_ngrams(
+        docs.filter(F.col("doc_id") % _TEST_MOD != 0),
+        docs.filter(F.col("doc_id") % _TEST_MOD == 0),
+        n=4,
+    )
+
+
+# --- PII / denylist scrubbing ------------------------------------------------
+
+_DENY = ("hash", "join", "merge")
+_DENY_RE = r"\b(" + "|".join(_DENY) + r")\b"
+_REPL = "[REDACTED]"
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+  len(regexp_extract_all(lower(text), '{EMAIL_RE}'))::BIGINT AS email_cnt,
+  len(regexp_extract_all(lower(text), '{PHONE_RE}'))::BIGINT AS phone_cnt,
+  len(regexp_extract_all(lower(text), '{_DENY_RE}'))::BIGINT AS deny_cnt,
+  md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      '{EMAIL_RE}', '{_REPL}', 'g'),
+      '{PHONE_RE}', '{_REPL}', 'g'),
+      '{_DENY_RE}', '{_REPL}', 'g')) AS redacted_fp
+FROM documents
+""",
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(load_table(spark, sf_dir, "documents"), denylist=_DENY)
+
+
+# --- mixture resampling ------------------------------------------------------
+
+# downweight the even-numbered sources to 25% — a stand-in for "keep a
+# quarter of the web crawl, all of the curated sources"
+_MIX_WEIGHTS = {f"src{i}": 0.25 for i in range(0, 20, 2)}
+_MIX_IN = ", ".join(f"'{s}'" for s in _MIX_WEIGHTS)
+
+@register(
+    "mixture_resample",
+    oracle=f"""
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+    (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':mix'), 1, 1)) - 1) * 16
+  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':mix'), 2, 1)) - 1)
+    AS bucket
+  FROM documents)
+WHERE bucket < CASE WHEN source IN ({_MIX_IN}) THEN 64 ELSE 256 END
+""",
+)
+def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_resample(
+        load_table(spark, sf_dir, "documents"), _MIX_WEIGHTS
+    ).select("doc_id", "source", "lang")
+
+
+# --- unigram-LM scoring (extra tier: lm_bits is float-sum-order sensitive
+# below the 2-decimal rounding, so it stays under local-pytest discipline) ----
+
+@register(
+    "unigram_lm_score",
+    extra=True,
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT sum(cnt) AS total FROM vocab)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(cnt) / count(*), 6) AS avg_tok_freq,
+       round(avg(-log2(cnt / total)), 2) AS lm_bits
+FROM toks JOIN vocab USING (tok) CROSS JOIN total
+GROUP BY doc_id
+""",
+)
+def unigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_doc_scores(load_table(spark, sf_dir, "documents"))
+
+
+# --- hybrid search (BM25 + cosine, RRF-fused) --------------------------------
+
+_HY_TERMS = ["hash", "vector", "stream"]
+_HY_QVEC = 7  # query = embedding of vec_id 7
+_HY_K1, _HY_B = 1.2, 0.75
+_HY_TOPK, _HY_FUSED_K = 20, 10
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n        ".join(
+        f"len(list_filter(t, x -> x = '{t}'))::DOUBLE AS tf_{i}"
+        for i, t in enumerate(_HY_TERMS)
+    )
+    df_cols = ",\n    ".join(
+        f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END)::DOUBLE AS df_{i}"
+        for i, t in enumerate(_HY_TERMS)
+    )
+    parts = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0) * tf_{i} * {_HY_K1 + 1}"
+        f" / (tf_{i} + {_HY_K1} * (1 - {_HY_B} + {_HY_B} * dl / avgdl))"
+        for i in range(len(_HY_TERMS))
+    )
+    return f"""
+corpus AS (
+  SELECT d.doc_id, {_TOKS.replace('text', 'd.text')} AS t, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(len(t)) AS avgdl,
+    {df_cols}
+  FROM corpus),
+scored AS (
+  SELECT doc_id, round({parts}, 6) AS bm25
+  FROM (SELECT doc_id, len(t)::DOUBLE AS dl,
+        {tf_cols}
+        FROM corpus) CROSS JOIN stats),
+kw AS (SELECT doc_id, bm25,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS kw_rank
+       FROM scored WHERE bm25 > 0 QUALIFY kw_rank <= {_HY_TOPK}),
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {_HY_QVEC}),
+vr AS (SELECT doc_id, cos_dist,
+              row_number() OVER (ORDER BY cos_dist, doc_id) AS vec_rank
+       FROM (SELECT c.doc_id,
+                    round(1.0 - list_cosine_similarity(c.embedding::DOUBLE[], qv.q), 6)
+                      AS cos_dist
+             FROM corpus c CROSS JOIN qv)
+       QUALIFY vec_rank <= {_HY_TOPK})
+"""
+
+
+@register(
+    "hybrid_search",
+    oracle=f"""
+WITH {_bm25_sql()}
+SELECT doc_id, kw_rank, vec_rank, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+FROM (
+  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+         COALESCE(k.kw_rank, 0) AS kw_rank,
+         COALESCE(v.vec_rank, 0) AS vec_rank,
+         round(COALESCE(1.0 / (60 + k.kw_rank), 0) + COALESCE(1.0 / (60 + v.vec_rank), 0), 6)
+           AS rrf_score
+  FROM kw k FULL OUTER JOIN vr v ON k.doc_id = v.doc_id)
+QUALIFY fused_rank <= {_HY_FUSED_K}
+""",
+)
+def hybrid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword top-20 + cosine top-20 over documents⋈embeddings,
+    RRF-fused to a final top-10 — the full hybrid-retrieval serving plan
+    as one declarative query (see operators/hybrid.py for why neither
+    side shuffles the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    kw = bm25_topk(corpus, _HY_TERMS, k=_HY_TOPK, k1=_HY_K1, b=_HY_B)
+    qv = emb.filter(F.col("vec_id") == _HY_QVEC)
+    vec = cosine_topk(corpus, qv, k=_HY_TOPK)
+    fused = rrf_fuse(kw, vec, k=_HY_FUSED_K)
+    return fused.select(
+        "doc_id",
+        "kw_rank",
+        "vec_rank",
+        "rrf_score",
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+    )
+
+
+# --- radius (range) vector search --------------------------------------------
+
+_RADIUS = 1.2
+_R_QUERIES = 5
+
+@register(
+    "radius_search",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_R_QUERIES}
+)
+SELECT q.query_id, c.vec_id AS neighbor_id,
+       round(list_distance(q.qv, c.embedding::DOUBLE[]), 6) AS dist
+FROM q CROSS JOIN embeddings c
+WHERE round(list_distance(q.qv, c.embedding::DOUBLE[]), 6) <= {_RADIUS}
+""",
+)
+def radius_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All corpus vectors within ε of each query — map-only, no corpus
+    shuffle at any scale (operators/similarity.py:radius_search)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _R_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return radius_search(queries, emb, _RADIUS)

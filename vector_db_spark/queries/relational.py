@@ -171,6 +171,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_revenue_orders",
+    extra=True,
     oracle="""
 SELECT o.o_orderkey,
        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -297,6 +298,7 @@ def semi_anti_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_order_windows",
+    extra=True,
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn, running_spend FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -750,6 +752,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "above_avg_lineitems",
+    extra=True,
     oracle="""
 WITH avgs AS (
   SELECT l_partkey AS pk,
@@ -811,6 +814,7 @@ def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "price_stats_by_flag",
+    extra=True,
     oracle="""
 WITH m AS (
   SELECT l_returnflag,
@@ -942,6 +946,7 @@ def salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stratified_sample_det",
+    extra=True,
     oracle="""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,

@@ -291,7 +291,7 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(shingle_table(docs), n_hashes=8)
 
 
-@register("lsh_candidates", oracle=_CAND_SQL)
+@register("lsh_candidates", extra=True, oracle=_CAND_SQL)
 def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     wide = minhash_wide(shingle_table(docs), n_hashes=8)

@@ -88,7 +88,7 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(queries, corpus, TOP_K, impl="batch")
 
 
-@register("knn_cosine", oracle=f"""
+@register("knn_cosine", extra=True, oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
   FROM embeddings WHERE vec_id < {N_QUERIES}

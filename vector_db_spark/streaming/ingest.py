@@ -37,15 +37,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA_NANOS = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
+_EVENTS_SCHEMA_TMPL = (
+    "event_id long, ts {ts}, user_id long, event_type string, value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
-    """Stream the events table from a parquet directory. The fixture's
-    TIMESTAMP(NANOS) column arrives as long nanos (same legacy conf as the
-    batch reader) and is converted to a microsecond timestamp.
+    """Stream the events table from a parquet directory, normalizing ``ts``
+    to a plain (UTC-session) TIMESTAMP. The driver has materialized ``ts``
+    differently across rounds — TIMESTAMP(NANOS) (arrives as long nanos
+    under the legacy conf), TIMESTAMP_NTZ micros, or plain TIMESTAMP — so
+    the physical type is probed from the parquet footer (a metadata-only
+    batch read, no data scan) and the stream schema derived from it, same
+    contract as io.load_table.
 
     The streaming file source requires a *directory*; a single-file source
     (the fixture layout) is staged as a symlink inside a temp dir."""
@@ -54,11 +58,18 @@ def read_events_stream(spark: SparkSession, source_dir: str, max_files_per_trigg
         os.symlink(source_dir, os.path.join(staged, os.path.basename(source_dir)))
         source_dir = staged
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+    ts_type = dict(spark.read.parquet(source_dir).dtypes)["ts"]
+    reader = spark.readStream.schema(
+        _EVENTS_SCHEMA_TMPL.format(ts="long" if ts_type == "bigint" else ts_type)
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "bigint":  # TIMESTAMP(NANOS): truncate to micros
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
