@@ -164,3 +164,21 @@ def test_stream_stream_join_cross_batch_state(spark, tmp_path):
         click_attribution_join_stream(purchases, clicks), output_mode="append"
     ).collect()
     assert [(r.purchase_id, r.click_id) for r in out] == [(2, 1)]
+
+
+def test_dedup_stream_drops_redelivery_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a record re-delivered in a LATER
+    micro-batch is dropped (bounded state, not per-batch distinct)."""
+    from vector_db_spark.streaming.ingest import dedup_stream
+
+    src = str(tmp_path / "src")
+    batch = [
+        _ev(1, "2024-01-01 10:00:00"),
+        _ev(2, "2024-01-01 10:05:00"),
+    ]
+    _write_file(spark, src, batch)  # delivery 1
+    _write_file(spark, src, batch + [_ev(3, "2024-01-01 10:06:00")])  # redelivery + new
+    out = run_to_memory(
+        dedup_stream(_stream_events(spark, src, max_files=1)), output_mode="append"
+    ).collect()
+    assert sorted(r.event_id for r in out) == [1, 2, 3]

@@ -334,3 +334,72 @@ def test_resize_and_frame_sampling_fake(spark, media):
     frames = sample_video_frames(media, every_ms=1000, decoder="fake").collect()
     assert [r.frame_idx for r in frames] == [0, 1, 2]  # 3500ms → 3 frames
     assert frames[1].ts_ms == 1000
+
+
+def test_audio_windows_and_resample_fake(spark, media):
+    from vector_db_spark.operators.multimodal import (
+        extract_audio_windows,
+        resample_audio,
+    )
+
+    wins = extract_audio_windows(media, window_ms=1000, decoder="fake").collect()
+    # media_id 3: 2500ms → 2 windows at 0ms and 1000ms
+    assert [r.window_idx for r in wins] == [0, 1]
+    assert wins[1].ts_ms == 1000
+    assert all(len(r.features) == 8 for r in wins)
+
+    out = resample_audio(media, 8000, decoder="fake").collect()
+    assert len(out) == 1 and out[0].media_id == 3
+    assert len(out[0].payload) == len(b"RIFF fake") * 8000 // 16000
+    assert out[0].sample_rate == 8000 and out[0].duration_ms == 2500
+
+    with pytest.raises(NotImplementedError, match="librosa"):
+        extract_audio_windows(media, decoder="strict")
+    with pytest.raises(NotImplementedError, match="librosa"):
+        resample_audio(media, 8000, decoder="strict")
+
+
+# --- incremental (batch-vs-corpus) dedup --------------------------------------
+
+def test_incremental_dedup_planted(spark):
+    from vector_db_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated corpus document about spark plans"),
+            (3, "another unrelated document mentioning shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog today"),  # exact
+            (102, "the quick brown fox jumps over the lazy dog yesterday"),  # near
+            (103, "a genuinely fresh document with brand new content"),  # new
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in incremental_dedup(corpus, incoming, threshold=0.5).collect()
+    }
+    assert got[101]["dup_exact_of"] == 1 and not got[101]["is_new"]
+    assert got[102]["dup_exact_of"] is None
+    assert got[102]["dup_near_of"] == 1 and got[102]["near_jaccard"] >= 0.5
+    assert got[103]["is_new"]
+    assert got[103]["dup_exact_of"] is None and got[103]["dup_near_of"] is None
+
+
+def test_incremental_dedup_broadcasts_batch_side(spark, sf_smoke):
+    """Corpus-side plan never hash-shuffles for the probe joins: the batch
+    fingerprint and band tables ride the broadcast side."""
+    from tests.test_plans import plan_of
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_smoke, "documents")
+    df = incremental_dedup(
+        docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
+    )
+    assert plan_of(df).count("BroadcastHashJoin") >= 2

@@ -115,18 +115,13 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_keys(
     wide: DataFrame, id_col: str = "doc_id", n_bands: int = 4
 ) -> DataFrame:
-    """Band the wide signature (n_hashes/n_bands cells per band), bucket by
-    the band digest, emit same-bucket pairs (a < b). Docs agreeing on ALL
-    hashes of any band become candidates — the standard LSH guarantee.
-
-    Band keys are derived map-side from the wide signature row (md5 of the
-    comma-joined band slice) — no re-aggregation of an exploded signature,
-    so the whole banding costs zero extra shuffles; the only shuffle is the
-    (band, band_key) equi-join itself."""
-    banded = wide.select(
+    """(id, band, band_key): LSH band digests derived map-side from the
+    wide signature row (md5 of the comma-joined band slice) — no
+    re-aggregation of an exploded signature, zero extra shuffles."""
+    return wide.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -145,7 +140,18 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("band", "band_key"),
-    ).cache()  # self-joined below: without this the minhash lineage runs twice
+    )
+
+
+def lsh_candidate_pairs(
+    wide: DataFrame, id_col: str = "doc_id", n_bands: int = 4
+) -> DataFrame:
+    """Band the wide signature (n_hashes/n_bands cells per band), bucket by
+    the band digest, emit same-bucket pairs (a < b). Docs agreeing on ALL
+    hashes of any band become candidates — the standard LSH guarantee. The
+    only shuffle is the (band, band_key) equi-join itself."""
+    banded = band_keys(wide, id_col, n_bands).cache()  # self-joined below:
+    # without the cache the minhash lineage runs twice
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
@@ -276,6 +282,91 @@ def dedup_retain_best(
     )
     return ranked.filter(F.col("__rk") == 1).select(
         id_col, "component", "cluster_size", "quality"
+    )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Dedup an **incoming batch against an already-indexed corpus** — the
+    production shape of corpus maintenance (a daily crawl landing on a
+    100 TB store), where re-running full-corpus dedup per batch would be
+    absurd. One row per incoming document:
+
+        (id, dup_exact_of, dup_near_of, near_jaccard, is_new)
+
+    ``dup_exact_of`` = min existing id with an identical content
+    fingerprint; ``dup_near_of`` = the existing id with the highest n-gram
+    Jaccard ≥ ``threshold`` among LSH candidates (ties to the smallest id);
+    ``is_new`` = neither matched. Ids must be disjoint across the two
+    inputs (they share one id space in a real corpus).
+
+    Scale posture — the batch is small, the corpus is not, so every join
+    puts the batch on the broadcast side and the corpus side **streams
+    map-side with zero shuffle**: fingerprints probe a broadcast batch-fp
+    table; band keys are derived map-side on the corpus stream and probe
+    broadcast batch band keys; Jaccard verification touches only candidate
+    docs (broadcast semi-join cut, as in :func:`jaccard_verify`). At
+    cluster scale the corpus signature/band table would be a *persisted*
+    incremental index (written once per batch append, exactly like the IVF
+    corpus) — the plan shape here is identical, minus the re-derivation."""
+    fp = doc_fingerprint(text_col, prefix_tokens)
+    ex_fp = existing.select(F.col(id_col).alias("__ex_id"), fp.alias("fingerprint"))
+    in_fp = incoming.select(F.col(id_col), fp.alias("fingerprint"))
+    exact = (
+        ex_fp.join(F.broadcast(in_fp), "fingerprint")
+        .groupBy(id_col)
+        .agg(F.min("__ex_id").alias("dup_exact_of"))
+    )
+
+    in_sh = shingle_table(incoming, text_col, id_col, n).cache()
+    ex_sh = shingle_table(existing, text_col, id_col, n)
+    in_bands = band_keys(minhash_wide(in_sh, id_col, n_hashes), id_col, n_bands)
+    ex_bands = band_keys(minhash_wide(ex_sh, id_col, n_hashes), id_col, n_bands)
+    cand = (
+        ex_bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+        .join(
+            F.broadcast(in_bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")),
+            ["band", "band_key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    near = jaccard_verify(in_sh.unionByName(ex_sh), cand, id_col, threshold)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))
+    near_best = (
+        near.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("doc_a").alias(id_col),
+            F.col("doc_b").alias("dup_near_of"),
+            F.col("jaccard").alias("near_jaccard"),
+        )
+    )
+    return (
+        incoming.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near_best, id_col, "left")
+        .select(
+            id_col,
+            "dup_exact_of",
+            "dup_near_of",
+            "near_jaccard",
+            (F.col("dup_exact_of").isNull() & F.col("dup_near_of").isNull()).alias(
+                "is_new"
+            ),
+        )
     )
 
 

@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.multimodal import (
     decode_image_features,
+    extract_audio_windows,
+    resample_audio,
     resize_images,
     sample_video_frames,
 )
@@ -110,6 +112,61 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_video_frames(media, every_ms=500, decoder="fake")
     return frames.select(
         "media_id", "frame_idx", "ts_ms", F.size("features").alias("feat_dim")
+    )
+
+
+@register(
+    "multimodal_audio_windows",
+    extra=True,
+    oracle="""
+WITH wins AS (
+  SELECT doc_id AS media_id,
+         unnest(range(0, GREATEST(1, (n_chars * 10) // 400))) AS w
+  FROM documents
+  WHERE doc_id % 3 = 1
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS window_idx,
+       CAST(w * 400 AS INTEGER) AS ts_ms,
+       8 AS feat_dim
+FROM wins
+""",
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing: 1 clip → N fixed-length windows (the audio twin of
+    frame sampling), N = duration_ms // window_ms. window_idx/ts_ms/feat_dim
+    are exact; feature values are the fake decoder's."""
+    media = media_table(spark, sf_dir)
+    wins = extract_audio_windows(media, window_ms=400, decoder="fake")
+    return wins.select(
+        "media_id", "window_idx", "ts_ms", F.size("features").alias("feat_dim")
+    )
+
+
+@register(
+    "multimodal_audio_resample",
+    extra=True,
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(GREATEST(1, octet_length(encode(text)) * 8000 // 16000) AS INTEGER)
+         AS payload_bytes,
+       8000 AS sample_rate,
+       CAST(n_chars * 10 AS INTEGER) AS duration_ms
+FROM documents
+WHERE doc_id % 3 = 1
+""",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate normalization (16 kHz → 8 kHz): binary-in → binary-out
+    audio kernel; the fake re-encoder halves the byte length exactly, so
+    output payload size is oracle arithmetic; duration is preserved."""
+    media = media_table(spark, sf_dir)
+    out = resample_audio(media, 8000, decoder="fake")
+    return out.select(
+        "media_id",
+        F.octet_length("payload").cast("int").alias("payload_bytes"),
+        "sample_rate",
+        "duration_ms",
     )
 
 

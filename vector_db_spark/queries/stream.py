@@ -20,6 +20,7 @@ from vector_db_spark.queries import register
 from vector_db_spark.queries.indexing import _centroids_arrays
 from vector_db_spark.streaming.ingest import (
     click_attribution_join_stream,
+    dedup_stream,
     first_seen_filter_stream,
     hourly_counts_stream,
     ingest_stream,
@@ -135,6 +136,26 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = read_events_stream(spark, src).filter(F.col("event_type") == "click")
     return run_to_memory(
         click_attribution_join_stream(purchases, clicks), output_mode="append"
+    )
+
+
+@register(
+    "stream_dedup_replay",
+    extra=True,
+    oracle="SELECT event_id, user_id, event_type, ts FROM events",
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once re-delivery survival: the events file is staged TWICE
+    and streamed one file per micro-batch, so every record arrives again in
+    batch 2; ``dropDuplicatesWithinWatermark`` (bounded state) must emit
+    each event exactly once — the output equals the plain table."""
+    src = os.path.join(sf_dir, "events.parquet")
+    staged = tempfile.mkdtemp(prefix="events_replay_")
+    os.symlink(src, os.path.join(staged, "delivery1.parquet"))
+    os.symlink(src, os.path.join(staged, "delivery2.parquet"))
+    events = read_events_stream(spark, staged, max_files_per_trigger=1)
+    return run_to_memory(dedup_stream(events), output_mode="append").select(
+        "event_id", "user_id", "event_type", "ts"
     )
 
 

@@ -26,6 +26,7 @@ from vector_db_spark.operators.dedup import (
     embedding_near_dup_blocked,
     embedding_near_dup_pairs,
     exact_dedup,
+    incremental_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
     minhash_wide,
@@ -322,6 +323,73 @@ def near_dup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard ≥ 0.5. End-to-end engine-reproducible."""
     docs = load_table(spark, sf_dir, "documents")
     return near_dup_pairs_minhash(docs, threshold=0.5)
+
+
+# --- incremental dedup: new batch vs indexed corpus ---------------------------
+
+_INC_MOD = 5  # doc_id % 5 == 0 → the "incoming batch"; rest → the corpus
+
+@register(
+    "incremental_dedup",
+    extra=True,
+    oracle=f"""
+WITH ex AS (SELECT * FROM documents WHERE doc_id % {_INC_MOD} <> 0),
+inc AS (SELECT * FROM documents WHERE doc_id % {_INC_MOD} = 0),
+exact AS (
+  SELECT i.doc_id, MIN(e.doc_id) AS dup_exact_of
+  FROM (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp FROM inc) i
+  JOIN (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp FROM ex) e
+    USING (fp)
+  GROUP BY i.doc_id
+),
+cand AS (
+  SELECT DISTINCT i.doc_id AS doc_a, e.doc_id AS doc_b
+  FROM ({_bands_sql('inc')}) i
+  JOIN ({_bands_sql('ex')}) e ON i.band = e.band AND i.band_key = e.band_key
+),
+ish AS ({_shingles_sql('inc')}),
+esh AS ({_shingles_sql('ex')}),
+isz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ish GROUP BY doc_id),
+esz AS (SELECT doc_id, COUNT(*) AS n_sh FROM esh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN ish a ON a.doc_id = c.doc_a
+  JOIN esh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+near AS (
+  SELECT doc_a, doc_b,
+         round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) AS jaccard
+  FROM common JOIN isz x ON x.doc_id = doc_a JOIN esz y ON y.doc_id = doc_b
+  WHERE round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+),
+near_best AS (
+  SELECT doc_a AS doc_id, doc_b AS dup_near_of, jaccard AS near_jaccard
+  FROM (SELECT doc_a, doc_b, jaccard,
+               row_number() OVER (PARTITION BY doc_a
+                                  ORDER BY jaccard DESC, doc_b) AS rn
+        FROM near)
+  WHERE rn = 1
+)
+SELECT i.doc_id, x.dup_exact_of, nb.dup_near_of, nb.near_jaccard,
+       (x.dup_exact_of IS NULL AND nb.dup_near_of IS NULL) AS is_new
+FROM (SELECT doc_id FROM inc) i
+LEFT JOIN exact x USING (doc_id)
+LEFT JOIN near_best nb USING (doc_id)
+""",
+)
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming-batch-vs-corpus dedup (the corpus-maintenance shape): the
+    ``doc_id % 5 == 0`` slice plays the fresh crawl, the rest the indexed
+    corpus. Every join broadcasts the batch side; the corpus never
+    shuffles (operators/dedup.py:incremental_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") % _INC_MOD != 0),
+        docs.filter(F.col("doc_id") % _INC_MOD == 0),
+        threshold=0.5,
+    )
 
 
 # --- dedup end-game: transitive clusters → one survivor each ------------------

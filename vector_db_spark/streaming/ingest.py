@@ -162,6 +162,27 @@ def click_attribution_join_stream(
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    *,
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with **bounded state**:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    watermark passes it, so a perpetual ingest stream can drop re-delivered
+    records (at-least-once sources re-deliver by design) without
+    accumulating state forever — the streaming twin of batch
+    ``dropDuplicates`` and the idempotent-insert guarantee (reference
+    L4, hnsw.py:152-155) expressed over a stream. Duplicates arriving
+    within ``watermark`` of first sight are dropped, including across
+    micro-batches (pinned in tests)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def first_seen_filter_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: emit only the
     FIRST event per (user_id, event_type) across the whole stream — the
