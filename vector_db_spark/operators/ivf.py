@@ -244,6 +244,106 @@ class IVFIndex:
                 fs.rename(src, dst)
         fs.delete(jpath(tmp), True)
 
+    # -- maintenance: centroid-drift refresh ------------------------------------
+
+    def refresh(self, *, reassign_threshold: float | None = None) -> dict:
+        """Centroid-drift maintenance for a long-lived index: incremental
+        adds are assigned against centroids frozen at build time (the
+        reference behaves identically — ivf.py:87-117 never retrains), so
+        cluster means drift away from the stored quantizer and probe
+        pruning degrades. One refresh:
+
+        1. recompute every cluster's true mean — ONE aggregation with
+           per-dimension ``avg`` columns (map-side partial combine; never
+           a posexplode, which would blow the pre-shuffle stream up dim×);
+           only k×dim aggregates reach the driver;
+        2. rewrite the centroid table (empty clusters keep their center);
+        3. optionally (``reassign_threshold``) re-assign the members of
+           clusters whose centroid moved more than the threshold against
+           the FULL refreshed codebook, moving migrants between partitions
+           with the same staged per-partition swap as :meth:`delete`.
+
+        Deliberately incremental: vectors in un-drifted clusters are not
+        revisited (their reassignment could only be triggered by someone
+        else's drift, a second-order effect); a full Lloyd pass is
+        ``build`` again. Returns ``{"max_shift", "drifted", "moved"}``.
+        """
+        import numpy as np
+
+        cent_rows = self.centroids().select("cluster_id", "centroid").collect()
+        old = {int(r.cluster_id): np.asarray(r.centroid, dtype=np.float64) for r in cent_rows}
+        dim = len(next(iter(old.values())))
+
+        corpus = self.corpus()
+        mean_rows = (
+            corpus.groupBy("cluster_id")
+            .agg(*[F.avg(F.col(self.vec_col)[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )  # k×dim only
+        new = dict(old)
+        for r in mean_rows:
+            new[int(r.cluster_id)] = np.array([r[f"m{i}"] for i in range(dim)])
+        shifts = {c: float(np.linalg.norm(new[c] - old[c])) for c in old}
+        max_shift = max(shifts.values(), default=0.0)
+
+        import pyarrow as pa
+
+        from vector_db_spark.io import write_small_parquet
+
+        centers = sorted((c, [float(x) for x in v]) for c, v in new.items())
+        write_small_parquet(
+            self.centroids_path,
+            pa.table(
+                {
+                    "cluster_id": pa.array([c for c, _ in centers], pa.int32()),
+                    "centroid": pa.array([v for _, v in centers], pa.list_(pa.float64())),
+                }
+            ),
+        )
+
+        moved = 0
+        drifted = (
+            sorted(c for c, s in shifts.items() if s > reassign_threshold)
+            if reassign_threshold is not None
+            else []
+        )
+        if drifted:
+            affected = corpus.filter(F.col("cluster_id").isin(drifted)).select(
+                self.id_col,
+                self.vec_col,
+                F.col("cluster_id").alias("__old_cluster"),
+            )
+            reassigned = assign_to_centroids(
+                affected.drop("cluster_id"),
+                centers,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+            ).localCheckpoint(eager=True)  # assignments must not recompute
+            # after the partition dirs below start swapping out underneath
+            moved = reassigned.filter(
+                F.col("cluster_id") != F.col("__old_cluster")
+            ).count()
+            reassigned = reassigned.drop("__old_cluster")
+            movers_out = reassigned.filter(~F.col("cluster_id").isin(drifted))
+            movers_out.write.mode("append").partitionBy("cluster_id").parquet(
+                self.corpus_path
+            )
+            stay = reassigned.filter(F.col("cluster_id").isin(drifted))
+            tmp = self.corpus_path.rstrip("/") + ".tmp-refresh"
+            stay.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+            jpath = self.spark._jvm.org.apache.hadoop.fs.Path
+            fs = jpath(self.corpus_path).getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            )
+            for c in drifted:
+                dst = jpath(os.path.join(self.corpus_path, f"cluster_id={c}"))
+                src = jpath(os.path.join(tmp, f"cluster_id={c}"))
+                fs.delete(dst, True)
+                if fs.exists(src):  # absent when every member migrated out
+                    fs.rename(src, dst)
+            fs.delete(jpath(tmp), True)
+        return {"max_shift": max_shift, "drifted": drifted, "moved": moved}
+
     # -- search (reference ivf.py:138-199) --------------------------------------
 
     def search(
