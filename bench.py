@@ -37,6 +37,12 @@ HEADLINE = [
     "ann_lsh_search",
     "stream_hourly_counts",
     "stream_ingest_cluster_counts",
+    # round-3 surface: curation / hybrid / incremental dedup
+    "doc_repetition",
+    "boilerplate_frac",
+    "decontaminate_ngrams",
+    "hybrid_search",
+    "incremental_dedup",
 ]
 
 

@@ -91,3 +91,21 @@ def test_persistence_across_restart(spark, service):
     assert svc2.health()["storage_nodes"] == 4
     top = [r for r in svc2.search(["Blue Bicycle"], top_k=1).collect() if r.rank == 1][0]
     assert top.content == "Blue Bicycle"
+
+
+def test_refresh_index_after_drifting_inserts(spark, service):
+    """Post-insert refresh: centroid table moves toward the new data and
+    search still fills k with every document accounted for."""
+    assert service.refresh_index() == {"max_shift": 0.0, "drifted": [], "moved": 0}
+    service.build_index(k=2)
+    many = spark.createDataFrame(
+        [(f"zzz drift document {i}", {"kind": "drift"}) for i in range(20)],
+        "content string, metadata map<string,string>",
+    )
+    service.insert_documents(many)
+    stats = service.refresh_index(reassign_threshold=0.0)
+    assert stats["max_shift"] > 0.0
+    h = service.health()
+    assert h["storage_nodes"] == 24 and h["index_vectors"] == 24
+    hits = service.search(["Red Apple"], top_k=3)
+    assert hits.count() == 3

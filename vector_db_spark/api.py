@@ -117,6 +117,17 @@ class VectorDBService:
             seed=seed,
         )
 
+    # -- maintenance ------------------------------------------------------------
+
+    def refresh_index(self, *, reassign_threshold: float | None = None) -> dict:
+        """Centroid-drift maintenance (see :meth:`IVFIndex.refresh`): call
+        after enough :meth:`insert_documents` batches that build-time
+        centroids no longer reflect the corpus. No-op without an index."""
+        idx = self._index()
+        if idx is None:
+            return {"max_shift": 0.0, "drifted": [], "moved": 0}
+        return idx.refresh(reassign_threshold=reassign_threshold)
+
     # -- read path (POST /search) ----------------------------------------------
 
     def search(

@@ -43,6 +43,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     naive-timestamp consumer (DuckDB, pandas) reads the same file, and
     downstream instant arithmetic (``unix_micros``, ``window``) type-checks.
     """
+    # the engine contract pins UTC (NTZ→LTZ casts and window boundaries are
+    # timezone-dependent); enforce it even under a caller-built session —
+    # runtime-settable, idempotent, and what session.py already configures
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

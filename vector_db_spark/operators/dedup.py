@@ -329,6 +329,11 @@ def incremental_dedup(
     )
 
     in_sh = shingle_table(incoming, text_col, id_col, n).cache()
+    # the corpus shingle stream feeds its band keys AND the Jaccard verify
+    # and is deliberately NOT cached: recomputing the map-side explode
+    # pipelines straight into each consumer, while materializing it costs
+    # more than the recompute (measured). A real deployment replaces the
+    # band-key recompute entirely with the persisted signature index.
     ex_sh = shingle_table(existing, text_col, id_col, n)
     in_bands = band_keys(minhash_wide(in_sh, id_col, n_hashes), id_col, n_bands)
     ex_bands = band_keys(minhash_wide(ex_sh, id_col, n_hashes), id_col, n_bands)

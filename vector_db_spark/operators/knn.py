@@ -209,3 +209,58 @@ def knn_self(
     return knn_join(
         queries, corpus, k, metric=metric, id_col=id_col, vec_col=vec_col, impl=impl
     )
+
+
+def adaptive_filtered_knn(
+    queries: DataFrame,
+    index,
+    k: int = 5,
+    *,
+    allowed_ids: DataFrame,
+    n_probe: int = 10,
+    exact_threshold: int = 100_000,
+    metric: str = "euclidean",
+) -> DataFrame:
+    """Selectivity-adaptive filtered search — the pre-filter/post-filter
+    planning decision every production vector store makes, as a library
+    function over an :class:`~vector_db_spark.operators.ivf.IVFIndex`.
+
+    A filtered ANN search has two regimes:
+
+    - **selective filter** (few matching ids): probe-pruned IVF search is
+      WRONG here, not just slow — the k true neighbors among the survivors
+      may all live outside the probed clusters, so recall collapses as
+      selectivity rises. Brute-force over the surviving rows is both exact
+      and cheap (the survivor set is small).
+    - **broad filter**: brute force re-scores nearly the whole corpus;
+      probe-pruned IVF with the filter as a pre-join
+      (``IVFIndex.search(allowed_ids=...)``) keeps the scan sublinear at
+      ANN-grade recall.
+
+    The regime is picked from the actual survivor count — one cheap
+    aggregate over the (already narrow) id column, the same runtime
+    statistic AQE re-plans on. ``exact_threshold`` is per-cluster-budget
+    shaped: survivors ≤ threshold cost one bounded batch-kernel pass.
+    Both branches emit identical schemas with rounded-distance/id-tiebreak
+    determinism, so the choice never changes *what* is returned for the
+    selective regime, only how.
+    """
+    n_allowed = allowed_ids.count()  # narrow column, cheap aggregate
+    if n_allowed <= exact_threshold:
+        corpus = index.corpus().join(
+            F.broadcast(allowed_ids) if n_allowed <= 1_000_000 else allowed_ids,
+            index.id_col,
+            "left_semi",
+        )
+        return knn_join(
+            queries,
+            corpus,
+            k,
+            metric=metric,
+            id_col=index.id_col,
+            vec_col=index.vec_col,
+            impl="batch",
+        )
+    return index.search(
+        queries, k, n_probe, metric=metric, allowed_ids=allowed_ids
+    )
