@@ -178,3 +178,66 @@ def test_connected_components_matches_union_find(edges, n_nodes):
     # canonical label = min node id in the component, matching hash-min
     expect = {i: min(j for j in range(n_nodes) if find(j) == find(i)) for i in range(n_nodes)}
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30), min_size=1, max_size=15
+    )
+)
+def test_repetition_stats_match_python(texts):
+    import re
+    from collections import Counter
+
+    from vector_db_spark.operators.curation import repetition_stats
+
+    spark = _get_spark()
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        # regex-split semantics (same as the engine/DuckDB): "" → [""]
+        toks = re.split(r"\s+", t.strip().lower())
+        g2 = Counter(tuple(toks[j : j + 2]) for j in range(max(len(toks) - 1, 0)))
+        g3 = Counter(tuple(toks[j : j + 3]) for j in range(max(len(toks) - 2, 0)))
+        top2 = max(g2.values(), default=0)
+        dup3 = sum(c for c in g3.values() if c > 1)
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["top2_cnt"] == top2
+        assert got[i]["dup3_cnt"] == dup3
+        n2, n3 = sum(g2.values()), sum(g3.values())
+        assert got[i]["top2_frac"] == (round(top2 / n2, 6) if n2 else 0.0)
+        assert got[i]["dup3_frac"] == (round(dup3 / n3, 6) if n3 else 0.0)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    ),
+    terms=st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=2, unique=True),
+)
+def test_bm25_matches_python(docs, terms):
+    import math
+
+    from vector_db_spark.operators.hybrid import bm25_topk
+
+    spark = _get_spark()
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_topk(df, terms, k=len(docs)).collect()}
+    n, avgdl = len(docs), sum(len(d) for d in docs) / len(docs)
+    k1, b = 1.2, 0.75
+    for i, d in enumerate(docs):
+        score = 0.0
+        for t in terms:
+            tf = d.count(t)
+            dfreq = sum(1 for dd in docs if t in dd)
+            idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+        if round(score, 6) > 0:
+            assert math.isclose(got[i], round(score, 6), abs_tol=1e-6)
+        else:
+            assert i not in got

@@ -159,12 +159,21 @@ class VectorDBService:
                 queries, corpus.select("id", "embedding"), top_k,
                 id_col="id", vec_col="embedding", impl="batch",
             )
-        else:
+        elif metadata_filter:
             # the filter prunes candidates BEFORE distances/top-k — unlike
             # the reference's during-traversal id check (hnsw.py:126-131),
-            # a filtered search still fills k results when k matches exist
-            allowed = corpus.select("id") if metadata_filter else None
-            hits = idx.search(queries, top_k, n_probe, allowed_ids=allowed)
+            # a filtered search still fills k results when k matches exist.
+            # Strategy is selectivity-adaptive: a selective filter would
+            # make probe-pruned IVF a recall trap (survivors may all live
+            # outside the probed clusters), so few survivors → exact scan
+            # over them; many → probe-pruned IVF with the filter pre-join
+            from vector_db_spark.operators.knn import adaptive_filtered_knn
+
+            hits = adaptive_filtered_knn(
+                queries, idx, top_k, allowed_ids=corpus.select("id"), n_probe=n_probe
+            )
+        else:
+            hits = idx.search(queries, top_k, n_probe)
         return (
             hits.withColumnRenamed("neighbor_id", "id")
             .join(self.nodes.df().select("id", "content", "metadata"), "id")
