@@ -182,3 +182,41 @@ def test_dedup_stream_drops_redelivery_across_batches(spark, tmp_path):
         dedup_stream(_stream_events(spark, src, max_files=1)), output_mode="append"
     ).collect()
     assert sorted(r.event_id for r in out) == [1, 2, 3]
+
+
+def test_streaming_embed_ingest_equals_batch(spark, tmp_path):
+    """The reference's POST /embed write path end-to-end as a stream:
+    text docs → stub-embed (Arrow pandas UDF *inside* the micro-batch) →
+    centroid assign → cluster-partitioned append. The final corpus must
+    equal the batch pipeline on the same rows — commit boundaries and the
+    streaming execution of the UDF change nothing."""
+    from vector_db_spark.functions.embedding import embed_column
+    from vector_db_spark.operators.ivf import assign_to_centroids
+    from vector_db_spark.streaming.ingest import ingest_stream
+
+    docs = [(i, f"document number {i} with some words {i % 7}") for i in range(40)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    centers = [(0, [0.5] * 8 + [0.0] * 8), (1, [0.0] * 8 + [0.5] * 8)]
+
+    def embed_assign(batch):
+        emb = embed_column(batch, "text", dim=16)
+        return assign_to_centroids(emb, centers, id_col="doc_id", round_to=6)
+
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    ddf.repartition(4).write.parquet(src)
+    q = ingest_stream(
+        spark, src, sink, embed_assign,
+        schema="doc_id long, text string",
+        checkpoint_dir=ckpt, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    streamed = {
+        r.doc_id: (r.cluster_id, tuple(round(x, 5) for x in r.embedding))
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        r.doc_id: (r.cluster_id, tuple(round(x, 5) for x in r.embedding))
+        for r in embed_assign(ddf).collect()
+    }
+    assert streamed == batch

@@ -94,6 +94,38 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE-ish token accounting -------------------------------------------------
+
+@register(
+    "token_budget_audit",
+    extra=True,
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKS})::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT
+         AS bpe_tokens,
+       round(length(text) * 1.0
+             / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')), 6)
+         AS chars_per_tok
+FROM documents
+""",
+)
+def token_budget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting both ways — whitespace vs BPE-ish pre-tokenizer
+    counts plus the chars/token ratio (the budgeting statistic a training
+    pipeline sizes packs and costs with). Pure map-side regex."""
+    from vector_db_spark.functions.text import bpe_ish_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(bpe_ish_tokens("text"))
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.round(F.length("text") / bpe, 6).alias("chars_per_tok"),
+    )
+
+
 # --- language identification (stopword-vote heuristic) -----------------------
 
 _STOPWORD_VALUES = ", ".join(
