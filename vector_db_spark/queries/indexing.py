@@ -193,6 +193,7 @@ def ivf_search_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_lloyd_step_det",
+    extra=True,
     oracle=f"""
 WITH assign AS ({_ASSIGN_SQL})
 SELECT a.cluster_id, i::INTEGER AS dim_idx,

@@ -121,6 +121,7 @@ def cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cluster_sizes",
+    extra=True,
     oracle="""
 SELECT label AS cluster_id, COUNT(*)::BIGINT AS cluster_size
 FROM embeddings GROUP BY label

@@ -75,6 +75,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_histogram",
+    extra=True,
     oracle=f"""
 SELECT tok, COUNT(*)::BIGINT AS cnt FROM (
   SELECT unnest({_TOKS}) AS tok FROM documents

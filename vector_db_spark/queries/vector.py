@@ -161,3 +161,102 @@ def sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return sq_search(codes, queries, model, TOP_K)
+
+
+# --- binary quantization: Hamming first pass + exact re-rank ------------------
+
+_BQ_N_QUERIES = 10
+_BQ_REFINE = 4
+
+_BQ_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_BQ_N_QUERIES}
+), h AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65), i ->
+           CASE WHEN (q.qv[i] > 0.0) <> (CAST(c.embedding[i] AS DOUBLE) > 0.0)
+           THEN 1 ELSE 0 END))::BIGINT AS hamming,
+         round(list_distance(q.qv, c.embedding::DOUBLE[]), 6) AS dist
+  FROM q CROSS JOIN embeddings c
+), cand AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hrank
+  FROM h
+), rr AS (
+  SELECT query_id, neighbor_id, dist, hamming,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM cand WHERE hrank <= {TOP_K * _BQ_REFINE}
+)
+SELECT query_id, neighbor_id, dist, hamming, rank::INTEGER AS rank
+FROM rr WHERE rank <= {TOP_K}
+"""
+
+
+@register("bq_hamming_search", oracle=_BQ_ORACLE)
+def bq_hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized search (operators/binquant.py): sign-bit codes
+    packed 32/word (32x smaller scan), popcount(XOR) Hamming first pass
+    entirely in codegen'd integer math, exact re-rank of k*refine
+    candidates. The oracle recomputes the Hamming distance from UNPACKED
+    per-dimension sign disagreement - hash equality proves the packed
+    popcount path bit-exact."""
+    from vector_db_spark.operators.binquant import bq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _BQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = bq_search(emb, queries, TOP_K, dim=64, refine=_BQ_REFINE)
+    return out.select(
+        "query_id", "neighbor_id", "dist", F.col("hamming").cast("long").alias("hamming"),
+        "rank",
+    )
+
+
+# --- MMR diversified re-rank --------------------------------------------------
+
+_MMR_N_QUERIES = 10
+_MMR_K = 5
+_MMR_CANDS = 20
+
+
+@register(
+    "mmr_diversified",
+    extra=True,
+    oracle=f"SELECT vec_id AS query_id, vec_id AS first_pick, "
+    f"{_MMR_K}::BIGINT AS n_selected, TRUE AS picks_distinct, "
+    f"TRUE AS picks_in_candidates FROM embeddings WHERE vec_id < {_MMR_N_QUERIES}",
+)
+def mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (operators/rerank.py) over an exact cosine
+    first pass. Greedy selection is query-parallel applyInPandas over the
+    bounded candidate set. Checked projection: the first MMR pick is the
+    pure-relevance argmax (the query's own vector: rel=1 self-hit), k
+    distinct picks per query, every pick drawn from the candidate set.
+    The greedy trace itself is verified against a step-by-step numpy
+    reference in tests/test_rerank.py."""
+    from vector_db_spark.operators.rerank import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _MMR_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = knn_join(queries, emb, _MMR_CANDS, metric="cosine", impl="batch")
+    cands = hits.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
+    ).select(
+        "query_id", "neighbor_id", (F.lit(1.0) - F.col("dist")).alias("rel"), "embedding"
+    )
+    picked = mmr_rerank(cands, _MMR_K, lam=0.7)
+    joined = picked.join(
+        cands.select("query_id", "neighbor_id", F.lit(True).alias("is_cand")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.max(F.when(F.col("mmr_rank") == 1, F.col("neighbor_id"))).alias("first_pick"),
+        F.count("*").alias("n_selected"),
+        (F.count_distinct("neighbor_id") == F.count("*")).alias("picks_distinct"),
+        F.every(F.coalesce("is_cand", F.lit(False))).alias("picks_in_candidates"),
+    )
