@@ -168,35 +168,39 @@ def jaccard_verify(
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs only: |A∩B| via a shingle
-    join restricted to the candidates, |A∪B| from per-doc counts.
+    """Exact n-gram Jaccard for candidate pairs only, via per-doc shingle
+    SETS: cut the shingle stream to candidate docs (broadcast semi-join —
+    candidate pairs are tiny by construction), regroup each surviving
+    doc's shingles into one array, then score every pair map-side with
+    ``array_intersect`` — |A∪B| falls out of the two set sizes.
 
-    The shingle table is first cut down to candidate docs with a broadcast
-    semi-join (candidate pairs are tiny by construction), so the heavy
-    (doc, shingle) equi-join only ever shuffles near-duplicate docs'
-    shingles, not the corpus."""
+    One small shuffle total (the per-candidate-doc regroup); the pair
+    scoring is two broadcast joins plus a codegen'd intersect — no
+    (doc, shingle)-keyed corpus join, no per-pair aggregation shuffle.
+    Per-doc arrays are bounded by document length, the same bound the
+    exploded form already carried per group."""
     cand_docs = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    sets = (
+        sh.join(F.broadcast(cand_docs), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__sh"))
     )
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb"))
+    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     return (
-        common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        a.join(F.broadcast(pairs), "doc_a")
+        .join(F.broadcast(b), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+                n_common
+                / (F.size("__sa") + F.size("__sb") - n_common),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
