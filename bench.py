@@ -43,6 +43,11 @@ HEADLINE = [
     "decontaminate_ngrams",
     "hybrid_search",
     "incremental_dedup",
+    # round-3 additions: RAG chunking, binary quantization, MMR rerank
+    "chunk_manifest",
+    "chunk_semantic_search",
+    "bq_hamming_search",
+    "mmr_diversified",
 ]
 
 

@@ -403,3 +403,20 @@ def test_incremental_dedup_broadcasts_batch_side(spark, sf_smoke):
         docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
     )
     assert plan_of(df).count("BroadcastHashJoin") >= 2
+
+
+def test_lsh_bucket_kernel_matches_expression(spark, sf_correctness):
+    """The Arrow-batched bucket kernel must emit the exact buckets the
+    native-expression (oracle-mirrored) form defines."""
+    from vector_db_spark.operators.similarity import hyperplane_lsh_buckets
+
+    emb = spark.read.parquet(f"{sf_correctness}/embeddings.parquet")
+    kern = {
+        (r.vec_id, r.table_idx): r.bucket
+        for r in hyperplane_lsh_buckets(emb, impl="kernel").collect()
+    }
+    expr = {
+        (r.vec_id, r.table_idx): r.bucket
+        for r in hyperplane_lsh_buckets(emb, impl="expr").collect()
+    }
+    assert kern == expr
