@@ -20,7 +20,7 @@ oracle queries in queries/text.py hash-match DuckDB end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_db_spark.functions.distance import cosine_similarity
@@ -491,4 +491,157 @@ def embedding_near_dup_pairs(
         .withColumn("cos_sim", F.round(cosine_similarity("va", "vb"), 6))
         .filter(F.col("cos_sim") > threshold)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def ngram_position_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """(id, pos, gram): every token-position n-gram digest, map-side.
+
+    The positional twin of :func:`shingle_table` — positions are KEPT (no
+    ``array_distinct``) because span detection needs to know *where* a
+    repeated n-gram occurs, not just that it occurs. Output rows ≈ total
+    corpus tokens; the explode is a pure projection."""
+    t = tokens(text_col)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),  # size-n+1 starts, inclusive
+            lambda p: F.md5(F.concat_ws(" ", F.slice(t, p + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span detection — the Spark-idiomatic
+    equivalent of exact substring deduplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": suffix-array repeated
+    sequences; here fixed-width token n-grams hash-grouped across the
+    corpus — what a suffix array finds at every length ≥ n, the n-gram
+    grid finds as runs of flagged starts).
+
+    A position is flagged when the n-gram STARTING there appears in
+    ≥ ``min_docs`` distinct documents; overlapping flagged windows merge
+    into spans (gaps-and-islands over start positions, window-local).
+    One row per doc:
+
+        (id, n_tokens, n_rep_starts, n_spans, rep_token_frac)
+
+    where ``rep_token_frac`` is the fraction of the doc's tokens covered
+    by repeated spans — the quantity a cleaning pipeline thresholds on.
+
+    Scale posture: the explode is rows ≈ corpus tokens (the same budget
+    the shingle/MinHash stage already pays); repeated-gram detection is
+    ONE aggregation on the gram digest with a distinct-doc count
+    (map-side partial), and the flag join is an equi-join on the digest.
+    The islands pass shuffles only flagged positions (a small fraction of
+    the corpus by construction) keyed by doc. No suffix array, no global
+    sort, no driver state."""
+    pos_tab = ngram_position_table(df, text_col, id_col, n)
+    repeated = (
+        pos_tab.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("gram")
+    )
+    flagged = pos_tab.join(repeated, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        flagged.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new_island",
+            (F.col("__prev").isNull() | (F.col("pos") > F.col("__prev") + n - 1)).cast(
+                "int"
+            ),
+        )
+        .withColumn("__island", F.sum("__new_island").over(w))
+        .groupBy(id_col, "__island")
+        .agg((F.max("pos") - F.min("pos") + n).alias("__covered"))
+    )
+    per_doc = islands.groupBy(id_col).agg(
+        F.sum("__covered").alias("__rep_tokens"),
+        F.count("*").alias("n_spans"),
+    )
+    starts = flagged.groupBy(id_col).agg(F.count("*").alias("n_rep_starts"))
+    return (
+        df.select(F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens"))
+        .join(starts, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_rep_starts", F.lit(0)).cast("long").alias("n_rep_starts"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.round(
+                F.least(
+                    F.coalesce("__rep_tokens", F.lit(0)) / F.col("n_tokens"), F.lit(1.0)
+                ),
+                6,
+            ).alias("rep_token_frac"),
+        )
+    )
+
+
+def semantic_dedup(
+    assigned: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al.): cluster-then-dedup over embeddings. Input
+    rows carry a cluster assignment (any clustering — IVF/k-means here);
+    within each cluster, a row is PRUNED when a lower-id cluster-mate has
+    cosine similarity ≥ ``threshold`` (keep-first-by-id — deterministic,
+    engine-reproducible). One row per input vector:
+
+        (id, cluster_id, max_sim_lower, pruned)
+
+    Scale posture: the pairwise compare is BLOCKED by the cluster — the
+    self-join is an equi-join on ``cluster_col`` (Σ cluster² pair volume,
+    the SemDeDup design point: clusters are small relative to the corpus,
+    so this never approaches n²). Mega-cluster skew shares the IVF
+    answer: AQE skew-join split, or re-cluster with larger k."""
+    a = assigned.select(
+        F.col(cluster_col),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col(cluster_col),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    sims = (
+        a.join(b, cluster_col)
+        .filter(F.col("__idb") < F.col("__ida"))
+        .select(
+            cluster_col,
+            F.col("__ida").alias(id_col),
+            F.round(cosine_similarity("__va", "__vb"), 6).alias("__sim"),
+        )
+        .groupBy(cluster_col, id_col)
+        .agg(F.max("__sim").alias("max_sim_lower"))
+    )
+    return (
+        assigned.select(id_col, cluster_col)
+        .join(sims, [id_col, cluster_col], "left")
+        .select(
+            id_col,
+            cluster_col,
+            F.coalesce("max_sim_lower", F.lit(-1.0)).alias("max_sim_lower"),
+            (F.coalesce("max_sim_lower", F.lit(-1.0)) >= threshold).alias("pruned"),
+        )
     )

@@ -303,3 +303,100 @@ def radius_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return radius_search(queries, emb, _RADIUS)
+
+
+# --- cross-doc repeated spans (exact substring-dedup analog) ------------------
+
+_SPAN_N = 8
+
+_REPEATED_SPANS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pos AS (
+  SELECT doc_id, p - 1 AS pos,
+         md5(array_to_string(list_slice(t, p, p + {_SPAN_N} - 1), ' ')) AS gram
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(t) - {_SPAN_N} + 2, 1))) AS p
+  )
+),
+rep AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+flag AS (SELECT doc_id, pos FROM pos JOIN rep USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos > lag(pos) OVER w + {_SPAN_N - 1}
+              THEN 1 ELSE 0 END AS ni
+  FROM flag WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+cov AS (
+  SELECT doc_id, island, MAX(pos) - MIN(pos) + {_SPAN_N} AS covered
+  FROM isl2 GROUP BY doc_id, island
+),
+per AS (
+  SELECT doc_id, SUM(covered) AS rep_tokens, COUNT(*) AS n_spans
+  FROM cov GROUP BY doc_id
+),
+st AS (SELECT doc_id, COUNT(*) AS n_rep_starts FROM flag GROUP BY doc_id)
+SELECT tk.doc_id, len(tk.t)::BIGINT AS n_tokens,
+       COALESCE(st.n_rep_starts, 0)::BIGINT AS n_rep_starts,
+       COALESCE(per.n_spans, 0)::BIGINT AS n_spans,
+       round(least(COALESCE(per.rep_tokens, 0) * 1.0 / len(tk.t), 1.0), 6)
+         AS rep_token_frac
+FROM toks tk LEFT JOIN st USING (doc_id) LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("repeated_spans", oracle=_REPEATED_SPANS_ORACLE)
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated token spans (operators/dedup.py
+    repeated_ngram_spans): the Spark-shaped equivalent of suffix-array
+    exact substring dedup — positional n-gram digests, one distinct-doc
+    aggregation on the digest, gaps-and-islands span merge keyed by doc.
+    Emits the per-doc repeated-token fraction a cleaning pipeline
+    thresholds on."""
+    from vector_db_spark.operators.dedup import repeated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, n=_SPAN_N, min_docs=2)
+
+
+# --- SemDeDup: cluster-then-dedup over embeddings -----------------------------
+
+_SEM_TAU = 0.9
+
+_SEMDEDUP_ORACLE = f"""
+WITH a AS (
+  SELECT label AS cluster_id, vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+s AS (
+  SELECT x.cluster_id, x.vec_id,
+         MAX(round(list_cosine_similarity(x.v, y.v), 6)) AS max_sim_lower
+  FROM a x JOIN a y
+    ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+  GROUP BY x.cluster_id, x.vec_id
+)
+SELECT a.vec_id, a.cluster_id,
+       COALESCE(s.max_sim_lower, -1.0) AS max_sim_lower,
+       COALESCE(s.max_sim_lower, -1.0) >= {_SEM_TAU} AS pruned
+FROM a LEFT JOIN s
+  ON a.vec_id = s.vec_id AND a.cluster_id = s.cluster_id
+"""
+
+
+@register("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py semantic_dedup): embedding-level
+    near-duplicate pruning BLOCKED by a cluster assignment — the pairwise
+    cosine compare is an equi-join on the cluster, never a corpus
+    crossJoin. Keep-first-by-id survivor rule, deterministic in any
+    engine. The fixture clustering is the corpus ``label`` column (any
+    clustering slots in — IVF assignment at deployment)."""
+    from vector_db_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select("vec_id", "embedding", F.col("label").alias("cluster_id"))
+    return semantic_dedup(assigned, threshold=_SEM_TAU)

@@ -38,6 +38,7 @@ def _dec_sum(col_expr: str, alias: str, scale: int = 4) -> F.Column:
 
 @register(
     "doc_filter_eq",
+    extra=True,
     oracle="""
 SELECT doc_id, lang, source, n_chars
 FROM documents WHERE source = 'src3' AND lang = 'en'

@@ -98,6 +98,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_first_seen",
+    extra=True,
     oracle="""
 SELECT user_id, event_type, event_id, ts FROM (
   SELECT user_id, event_type, event_id, ts,
