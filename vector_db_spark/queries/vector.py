@@ -260,3 +260,43 @@ def mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count_distinct("neighbor_id") == F.count("*")).alias("picks_distinct"),
         F.every(F.coalesce("is_cand", F.lit(False))).alias("picks_in_candidates"),
     )
+
+
+# --- hard-negative mining (contrastive training data) -------------------------
+
+_HN_N_QUERIES = 10
+_HN_K = 5
+
+_HN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+  FROM embeddings WHERE vec_id < {_HN_N_QUERIES}
+), d AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round(1.0 - list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 6) AS dist
+  FROM q JOIN embeddings c ON c.label <> q.ql
+), r AS (
+  SELECT query_id, neighbor_id, neighbor_label, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM d
+)
+SELECT query_id, neighbor_id, neighbor_label, dist, rank::INTEGER AS rank
+FROM r WHERE rank <= {_HN_K}
+"""
+
+
+@register("hard_negative_mining", extra=True, oracle=_HN_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives (operators/knn.py hard_negatives): per
+    query, nearest cosine neighbors with a DIFFERENT label — the
+    near-but-wrong training examples. Label disequality folds into the
+    broadcast join before distance math."""
+    from vector_db_spark.operators.knn import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _HN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return hard_negatives(queries, emb, _HN_K)
