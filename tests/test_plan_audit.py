@@ -54,7 +54,16 @@ def test_registered_scale_paths_have_no_errors(spark, sf_smoke):
     from vector_db_spark.queries import all_queries
 
     Q = all_queries()
-    for name in ("knn_exact_batch", "doc_repetition", "near_dup_jaccard"):
+    for name in (
+        "knn_exact_batch",
+        "doc_repetition",
+        "near_dup_jaccard",
+        # round-3 additions: repeated spans / SemDeDup are corpus-scale
+        # cleaning passes — no cartesian, no row-Python allowed
+        "repeated_spans",
+        "semdedup_prune",
+        "chunk_manifest",
+    ):
         assert_scales(Q[name](spark, sf_smoke))
     radius = Q["radius_search"](spark, sf_smoke)
     fs = audit_plan(radius)

@@ -241,3 +241,41 @@ def test_bm25_matches_python(docs, terms):
             assert math.isclose(got[i], round(score, 6), abs_tol=1e-6)
         else:
             assert i not in got
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=120), min_size=1, max_size=6
+    ),
+    size=st.integers(2, 40),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+def test_chunking_covers_every_char_exactly(texts, size, overlap_frac):
+    """Any (size, overlap): every doc yields ≥1 chunk, stitching chunk
+    strides reconstructs the text, consecutive chunks share exactly
+    ``overlap`` chars, and every char of the doc is inside ≥1 chunk."""
+    from vector_db_spark.operators.chunking import chunk_documents
+
+    spark = _get_spark()
+    overlap = min(int(size * overlap_frac), size - 1)
+    stride = size - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, size=size, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert [c.chunk_start for c in chunks] == [
+            j * stride for j in range(len(chunks))
+        ]
+        stitched = chunks[0].chunk_text + "".join(
+            c.chunk_text[overlap:] for c in chunks[1:]
+        )
+        assert stitched == t
+        # no start beyond the text, and the last chunk reaches the end
+        assert chunks[-1].chunk_start <= max(len(t) - 1, 0)
+        assert chunks[-1].chunk_start + len(chunks[-1].chunk_text) == len(t)
