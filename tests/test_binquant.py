@@ -127,3 +127,23 @@ def test_bqindex_roundtrip_and_codes_only_scan(spark, sf_correctness, tmp_path):
     ]
     assert codes_scans, "expected a FileScan over the persisted codes table"
     assert "embedding" not in codes_scans[0].split("ReadSchema")[-1]
+
+
+def test_bq_search_edge_cases(spark):
+    rng = np.random.default_rng(1)
+    mat = rng.standard_normal((6, 64)).astype(np.float32)
+    df = _emb_df(spark, mat)
+    empty_q = df.filter("vec_id < 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert bq_search(df, empty_q, 3, dim=64).count() == 0
+    one_q = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # k > corpus: every corpus row returned, ranked
+    rows = bq_search(df, one_q, 100, dim=64, refine=1).collect()
+    assert len(rows) == 6 and sorted(r.rank for r in rows) == [1, 2, 3, 4, 5, 6]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="metric"):
+        bq_search(df, one_q, 3, dim=64, metric="nope")

@@ -82,3 +82,10 @@ def test_k_exceeding_candidates_and_multiqueries(spark):
     assert counts == {1: 2, 2: 3}
     ranks = [r.mmr_rank for r in out.filter(F.col("query_id") == 2).orderBy("mmr_rank").collect()]
     assert ranks == [1, 2, 3]
+
+
+def test_mmr_empty_candidates(spark):
+    df = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, rel double, embedding array<float>"
+    )
+    assert mmr_rerank(df, 5).count() == 0

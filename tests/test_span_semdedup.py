@@ -94,3 +94,32 @@ def test_semdedup_cluster_blocking_prevents_cross_cluster_prune(spark):
     # contract — recall is bounded by clustering quality)
     assert out[1].pruned is False and out[2].pruned is False
     assert out[2].max_sim_lower == -1.0
+
+
+def test_hard_negatives_excludes_own_label_and_fills_k(spark):
+    import numpy as np
+
+    from vector_db_spark.operators.knn import hard_negatives
+
+    rng = np.random.default_rng(4)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)], i % 3) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(queries, emb, 5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        assert all(r.neighbor_label != q % 3 for r in rs)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="metric"):
+        hard_negatives(queries, emb, 5, metric="nope")
