@@ -48,6 +48,7 @@ HEADLINE = [
     "chunk_semantic_search",
     "bq_hamming_search",
     "mmr_diversified",
+    "stream_query_serving",
 ]
 
 

@@ -121,6 +121,44 @@ def ivf_assign_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- V13 n_probe search (+V8 top-k), fully deterministic ------------------------
 
+def ivf_det_search(
+    queries: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    emb: DataFrame,
+    *,
+    n_probe: int = N_PROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """The deterministic IVF read path as one plan: probe ranking →
+    cluster-membership join (the partition-pruning join in the persisted
+    index) → exact distance → per-query top-k. Shared by the batch query
+    and the micro-batch serving stream (same answers per batch — commit
+    boundaries don't change search semantics)."""
+    probes = top_k_per_group(
+        queries.crossJoin(F.broadcast(cents)).withColumn(
+            "cdist", F.round(euclidean("query_vec", "centroid"), 6)
+        ),
+        ["query_id"],
+        [F.col("cdist").asc(), F.col("cluster_id").asc()],
+        n_probe,
+    ).select("query_id", "query_vec", "cluster_id")
+
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cluster_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(euclidean("query_vec", "embedding"), 6).alias("dist"),
+        )
+    )
+    return top_k_per_group(
+        cand, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], top_k
+    )
+
+
 @register(
     "ivf_search_det",
     oracle=f"""
@@ -155,37 +193,12 @@ SELECT query_id, neighbor_id, dist, rank::INTEGER AS rank FROM (
 """,
 )
 def ivf_search_det(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full IVF read path as one deterministic plan: probe ranking →
-    cluster-membership join (the partition-pruning join in the persisted
-    index) → exact distance → per-query top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _centroids_arrays(spark, sf_dir)
-    assign = _assign(spark, sf_dir)
     queries = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     ).filter(F.col("query_id") < N_QUERIES)
-
-    probes = top_k_per_group(
-        queries.crossJoin(F.broadcast(cents)).withColumn(
-            "cdist", F.round(euclidean("query_vec", "centroid"), 6)
-        ),
-        ["query_id"],
-        [F.col("cdist").asc(), F.col("cluster_id").asc()],
-        N_PROBE,
-    ).select("query_id", "query_vec", "cluster_id")
-
-    cand = (
-        F.broadcast(probes)
-        .join(assign, "cluster_id")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(euclidean("query_vec", "embedding"), 6).alias("dist"),
-        )
-    )
-    return top_k_per_group(
-        cand, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], TOP_K
+    return ivf_det_search(
+        queries, _centroids_arrays(spark, sf_dir), _assign(spark, sf_dir), emb
     )
 
 

@@ -712,6 +712,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_sessions",
+    extra=True,
     oracle="""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS us,

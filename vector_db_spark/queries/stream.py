@@ -214,3 +214,98 @@ def stream_ingest_cluster_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     corpus = spark.read.parquet(sink)
     return corpus.groupBy("cluster_id").agg(F.count("*").alias("n_vectors"))
+
+
+_SERVE_N_QUERIES = 10
+_SERVE_N_PROBE = 3
+_SERVE_TOP_K = 5
+
+_SERVE_ORACLE = f"""
+WITH cent AS (
+  SELECT cluster_id, list(centroid_val ORDER BY dim_idx) AS centroid
+  FROM (
+    SELECT label AS cluster_id, i::INTEGER AS dim_idx,
+           CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_val
+    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v, unnest(range(0, 64)) AS i
+          FROM embeddings)
+    GROUP BY label, i
+  ) GROUP BY cluster_id
+),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.embedding::DOUBLE[], c.centroid), 6),
+                      c.cluster_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_SERVE_N_QUERIES}
+),
+probes AS (
+  SELECT query_id, qv, cluster_id FROM (
+    SELECT q.query_id, q.qv, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_distance(q.qv, c.centroid), 6), c.cluster_id
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {_SERVE_N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(list_distance(p.qv, e.embedding::DOUBLE[]), 6) AS dist
+  FROM probes p
+  JOIN assign a ON a.cluster_id = p.cluster_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, dist, rank::INTEGER AS rank FROM (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {_SERVE_TOP_K}
+"""
+
+
+@register("stream_query_serving", oracle=_SERVE_ORACLE)
+def stream_query_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's read path as micro-batch SERVING: query vectors
+    arrive as a bounded file stream (2 files → 2 triggers), each batch is
+    answered against the static deterministic-IVF state through
+    foreachBatch, responses append to a results sink. The oracle is the
+    plain batch search over the same queries — serving answers are a pure
+    function of (query, index state); commit boundaries change latency,
+    never results."""
+    from vector_db_spark.queries.indexing import _assign, ivf_det_search
+    from vector_db_spark.streaming.ingest import query_serving_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # static index state, materialized once (foreachBatch re-executes
+    # referenced lineage per micro-batch otherwise)
+    cents = _centroids_arrays(spark, sf_dir).cache()
+    assign = _assign(spark, sf_dir).cache()
+    cents.count(), assign.count()
+
+    work = tempfile.mkdtemp(prefix="serve_")
+    src, sink, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
+    emb.filter(F.col("vec_id") < _SERVE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).repartition(2).write.parquet(src)
+
+    q = query_serving_stream(
+        spark,
+        src,
+        sink,
+        lambda batch: ivf_det_search(
+            batch, cents, assign, emb, n_probe=_SERVE_N_PROBE, top_k=_SERVE_TOP_K
+        ),
+        schema="query_id long, query_vec array<float>",
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)

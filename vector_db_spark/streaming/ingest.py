@@ -271,3 +271,44 @@ def ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def query_serving_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    search_batch,
+    *,
+    schema: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """The reference's read path (POST /search, app.py:165-233) as
+    micro-batch serving: each arriving batch of query vectors is answered
+    against the STATIC index state and the (query_id, neighbor_id, dist,
+    rank) response rows appended to the results sink. ``search_batch`` is
+    a (queries_df) -> hits_df function (e.g. a closure over
+    ``IVFIndex.search`` or the deterministic probe plan).
+
+    The serving contract this encodes: answers are a pure function of
+    (query, index state) — micro-batch boundaries change latency, never
+    results. State stays executor-side (the index is a cached/broadcast
+    table, exactly the foreachBatch shape of :func:`ingest_stream` on the
+    write path); the stream carries only queries in and k-row answers
+    out, so serving scales with query rate, not corpus size. Returns the
+    StreamingQuery (caller awaits termination)."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        search_batch(batch_df).write.mode("append").parquet(sink_path)
+
+    return (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
