@@ -752,3 +752,114 @@ def near_dup_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes exactly. Recall behavior is asserted in tests/test_text_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return brp_lsh_similarity_join(emb, threshold=1.0)
+
+
+# --- end-to-end training-data manifest: clean → chunk → embed -----------------
+
+_TDP_CHUNK, _TDP_OVERLAP = 120, 30
+
+_TDP_ORACLE = f"""
+WITH stage1 AS (
+  SELECT doc_id, text FROM documents
+  WHERE lang = 'en' AND len({_TOKS}) >= 25
+    AND round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
+            + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) >= 0.48
+),
+fp AS (SELECT doc_id, text, md5(array_to_string({_TOKS}, ' ')) AS f FROM stage1),
+keep AS (SELECT f, MIN(doc_id) AS kid FROM fp GROUP BY f),
+stage2 AS (SELECT fp.doc_id, fp.text FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid),
+sh AS ({_shingles_sql("stage2")}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+cands AS ({_cand_sql("stage2")}),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cands c JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+losers AS (
+  SELECT DISTINCT doc_b
+  FROM common JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
+  WHERE round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+),
+cleaned AS (SELECT * FROM stage2 WHERE doc_id NOT IN (SELECT doc_b FROM losers)),
+chunks AS (
+  SELECT doc_id, substr(text, s.i * {_TDP_CHUNK - _TDP_OVERLAP} + 1, {_TDP_CHUNK}) AS chunk_text
+  FROM cleaned, LATERAL (
+    SELECT unnest(range(0, greatest(length(text), 1), {_TDP_CHUNK - _TDP_OVERLAP}))
+      // {_TDP_CHUNK - _TDP_OVERLAP} AS i
+  ) s
+)
+SELECT 'raw' AS stage, COUNT(*)::BIGINT AS n_rows,
+       CAST(SUM(n_chars) AS DOUBLE) AS checksum FROM documents
+UNION ALL
+SELECT 'cleaned', COUNT(*)::BIGINT,
+       CAST(SUM(len({_TOKS})) AS DOUBLE) FROM cleaned
+UNION ALL
+SELECT 'chunks', COUNT(*)::BIGINT,
+       CAST(SUM(length(chunk_text)) AS DOUBLE) FROM chunks
+UNION ALL
+SELECT 'embedded', COUNT(*)::BIGINT, COUNT(*)::DOUBLE FROM chunks
+"""
+
+
+@register("training_data_manifest", extra=True, oracle=_TDP_ORACLE)
+def training_data_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep story as ONE composition — clean
+    (lang → token floor → quality floor → exact dedup → near-dup cut) →
+    chunk (overlapping windows) → embed (stub UDF) — emitting a per-stage
+    manifest (stage, n_rows, checksum): raw/cleaned checksums are
+    token-mass sums, the chunk checksum is char mass, and the embedded
+    checksum counts unit-norm vectors (every stub embedding L2-normalizes,
+    so it must equal the chunk count — the UDF runs for real and the
+    invariant is exact). The cleaned stage is cached: three stage
+    aggregates reuse it (a deployment materializes stage outputs anyway —
+    this is the audit query over that materialization)."""
+    from vector_db_spark.functions.embedding import embed_column
+    from vector_db_spark.operators.chunking import chunk_documents
+    from vector_db_spark.operators.pipeline import clean_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = clean_corpus(
+        docs, lang="en", min_tokens=25, quality_floor=0.48, jaccard_threshold=0.5
+    ).cache()
+    chunks = chunk_documents(cleaned, size=_TDP_CHUNK, overlap=_TDP_OVERLAP)
+    embedded = embed_column(chunks, "chunk_text", dim=64)
+
+    def stage(name, df, n_expr, checksum_expr):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            n_expr.alias("n_rows"),
+            checksum_expr.alias("checksum"),
+        )
+
+    raw = stage(
+        "raw", docs, F.count("*"), F.sum("n_chars").cast("double")
+    )
+    clean_row = stage(
+        "cleaned",
+        cleaned,
+        F.count("*"),
+        F.sum(F.size(tokens("text"))).cast("double"),
+    )
+    chunk_row = stage(
+        "chunks", chunks, F.count("*"), F.sum(F.length("chunk_text")).cast("double")
+    )
+    emb_row = stage(
+        "embedded",
+        embedded.select(
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("embedding").cast("array<double>"),
+                        F.lit(0.0),
+                        lambda a, x: a + x * x,
+                    )
+                ),
+                6,
+            ).alias("norm")
+        ),
+        F.count("*"),
+        F.sum(F.when(F.col("norm") == 1.0, 1).otherwise(0)).cast("double"),
+    )
+    return raw.unionByName(clean_row).unionByName(chunk_row).unionByName(emb_row)
