@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from tests.test_plans import plan_of
 from vector_db_spark.operators.curation import (
+    bigram_doc_scores,
     boilerplate_stats,
     decontaminate_ngrams,
     mixture_resample,
@@ -172,3 +173,28 @@ def test_radius_search_no_corpus_shuffle(spark, sf_smoke):
         (F.col("query_id") == F.col("neighbor_id")) & (F.col("dist") == 0.0)
     ).count()
     assert selfhits == 3
+
+
+def test_bigram_lm_hand_checked(spark):
+    # corpus: doc1 "a b a", doc2 "a b" → bigrams: (a,b)x2, (b,a)x1
+    # V = 2; ctx(a)=2, ctx(b)=1; k=0.5
+    # p(b|a) = (2+.5)/(2+1) = 5/6;  p(a|b) = (1+.5)/(1+1) = 3/4
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in bigram_doc_scores(docs).collect()}
+    import math
+
+    p_ba, p_ab = 2.5 / 3.0, 1.5 / 2.0
+    exp1 = round((-math.log2(p_ba) - math.log2(p_ab)) / 2, 2)
+    assert got[1]["n_bigrams"] == 2 and got[1]["bigram_bits"] == exp1
+    assert got[2]["n_bigrams"] == 1
+    assert got[2]["bigram_bits"] == round(-math.log2(p_ba), 2)
+
+
+def test_bigram_lm_short_docs_drop_out(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words")], "doc_id long, text string"
+    )
+    got = bigram_doc_scores(docs).collect()
+    assert [r["doc_id"] for r in got] == [3]

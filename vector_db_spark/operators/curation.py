@@ -324,3 +324,75 @@ def unigram_doc_scores(
             F.round(F.col("bits"), 2).alias("lm_bits"),
         )
     )
+
+
+def bigram_doc_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram-LM surprisal (add-k smoothed) against the
+    corpus's own bigram distribution — the CCNet-style quality signal one
+    LM order above :func:`unigram_doc_scores`: documents whose token
+    *transitions* are unusual for the corpus (boilerplate tables, token
+    soup, wrong-language spans) score high even when their unigram mix
+    looks normal.
+
+    ``p(cur | prev) = (c(prev,cur) + k) / (c(prev·) + k·V)`` where
+    ``c(prev·)`` counts bigrams starting with ``prev`` and ``V`` is the
+    corpus unigram vocabulary size; ``bigram_bits`` is the mean
+    ``-log2 p`` over the document's bigrams, rounded to 2 decimals so the
+    cross-engine contract never depends on float-summation order.
+
+    Scale posture: the bigram stream is a ``zip_with`` of each token array
+    against its own 1-shift — no self-join, no positional explode-and-
+    rejoin. Two aggregations build the LM (bigram counts; context counts
+    derived from them, so they are exactly consistent). The scoring join
+    keys on ``(prev, cur)``: the LM table is Zipf-bounded (observed
+    bigrams ≪ V², typically ≲100× vocab) — left to AQE, which broadcasts
+    it when it fits and shuffle-joins co-partitioned on the bigram
+    otherwise. Context counts and the vocab scalar are always broadcast.
+    Documents with fewer than 2 tokens have no bigrams and drop out, in
+    both engines, by construction.
+    """
+    t = tokens(text_col)
+    base = ensure_parallelism(docs).select(F.col(id_col), t.alias("t"))
+    big = (
+        base.filter(F.size("t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, "bg.prev", "bg.cur")
+    )
+    bg_counts = big.groupBy("prev", "cur").agg(F.count("*").alias("c"))
+    ctx_counts = bg_counts.groupBy("prev").agg(F.sum("c").alias("cc"))
+    vocab_size = base.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("vs")
+    )
+    scored = (
+        big.join(bg_counts, ["prev", "cur"])
+        .join(F.broadcast(ctx_counts), "prev")
+        .crossJoin(F.broadcast(vocab_size))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(
+                -F.log2((F.col("c") + F.lit(k)) / (F.col("cc") + F.lit(k) * F.col("vs")))
+            ).alias("bits"),
+        )
+        .select(
+            id_col,
+            F.col("n_bigrams").cast("long"),
+            F.round(F.col("bits"), 2).alias("bigram_bits"),
+        )
+    )

@@ -18,6 +18,7 @@ from vector_db_spark.io import load_table
 from vector_db_spark.operators.curation import (
     EMAIL_RE,
     PHONE_RE,
+    bigram_doc_scores,
     boilerplate_stats,
     decontaminate_ngrams,
     mixture_resample,
@@ -188,6 +189,29 @@ GROUP BY doc_id
 )
 def unigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_doc_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bigram_lm_score",
+    extra=True,
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+big AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2),
+bg AS (SELECT prev, cur, count(*) AS c FROM big GROUP BY prev, cur),
+ctx AS (SELECT prev, sum(c) AS cc FROM bg GROUP BY prev),
+v AS (SELECT count(DISTINCT tok) AS vs
+      FROM (SELECT unnest(t) AS tok FROM toks))
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(-log2((c + 0.5) / (cc + 0.5 * vs))), 2) AS bigram_bits
+FROM big JOIN bg USING (prev, cur) JOIN ctx USING (prev) CROSS JOIN v
+GROUP BY doc_id
+""",
+)
+def bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_doc_scores(load_table(spark, sf_dir, "documents"))
 
 
 # --- hybrid search (BM25 + cosine, RRF-fused) --------------------------------

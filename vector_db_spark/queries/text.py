@@ -34,6 +34,7 @@ from vector_db_spark.operators.dedup import (
     shingle_table,
     winnow_candidate_pairs,
 )
+from vector_db_spark.operators.export import shard_manifest, shard_plan
 from vector_db_spark.operators.packing import pack_sequences
 from vector_db_spark.operators.similarity import (
     HYPERPLANES,
@@ -580,6 +581,45 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/packing.py for the scale argument."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, budget=256, n_shards=8)
+
+
+# --- deterministic shard export -----------------------------------------------
+
+
+def _nib(expr: str, i: int) -> str:
+    return f"(strpos('0123456789abcdef', substring({expr}, {i}, 1)) - 1)"
+
+
+def _hexval(expr: str, start: int, nibbles: int) -> str:
+    """DuckDB mirror of operators.export.hex_value."""
+    return " + ".join(
+        f"{_nib(expr, start + i)} * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    )
+
+
+@register(
+    "export_shard_manifest",
+    extra=True,
+    oracle=f"""
+WITH plan AS (
+  SELECT doc_id,
+         md5(doc_id::VARCHAR || ':export-v1') AS sk,
+         md5(doc_id::VARCHAR || chr(31) || text) AS fp
+  FROM documents)
+SELECT (({_hexval('sk', 1, 4)}) % 16)::INTEGER AS shard_id,
+       count(*)::BIGINT AS n_rows,
+       sum({_hexval('fp', 1, 8)})::BIGINT AS checksum,
+       arg_min(doc_id, sk)::BIGINT AS head_id
+FROM plan GROUP BY 1
+""",
+)
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard audit manifest of the deterministic training-data export:
+    16 shards, engine-reproducible md5 shuffle order, order-independent
+    content checksums. See operators/export.py for the scale argument."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(shard_plan(docs, n_shards=16))
 
 
 # --- quality-weighted curriculum sampling -------------------------------------
