@@ -1,0 +1,81 @@
+"""Distributed PCA (operators/pca.py): exact agreement with a single-node
+numpy PCA on the same rows, transform fidelity, and partition-layout
+invariance of the fit (moments are order-independent up to float jitter)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vector_db_spark.operators.pca import PCAModel, fit_pca
+
+
+def _data(n=300, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    # anisotropic: a few dominant directions so the spectrum is non-degenerate
+    scales = np.linspace(3.0, 0.1, d)
+    return (rng.normal(size=(n, d)) * scales).astype(np.float32)
+
+
+def _df(spark, X):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _numpy_pca(X, m):
+    Xd = X.astype(np.float64)
+    mean = Xd.mean(axis=0)
+    cov = (Xd - mean).T @ (Xd - mean) / len(Xd)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:m]
+    comps = evecs[:, order].T
+    flips = np.sign(comps[np.arange(m), np.abs(comps).argmax(axis=1)])
+    return mean, comps * flips[:, None], evals[order], float(np.trace(cov))
+
+
+def test_fit_matches_numpy_exactly(spark):
+    X = _data()
+    model = fit_pca(_df(spark, X), m=5)
+    mean, comps, evals, tot = _numpy_pca(X, 5)
+    np.testing.assert_allclose(model.mean, mean, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(model.explained_var, evals, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(model.components, comps, rtol=0, atol=1e-7)
+    assert abs(model.total_var - tot) < 1e-9
+
+
+def test_transform_projects_onto_axes(spark):
+    X = _data(n=100)
+    df = _df(spark, X)
+    model = fit_pca(df, m=4)
+    got = {r["vec_id"]: np.array(r["reduced"]) for r in
+           model.transform(df).collect()}
+    want = (X.astype(np.float64) - model.mean) @ model.components.T
+    for i in range(len(X)):
+        np.testing.assert_allclose(got[i], want[i], rtol=1e-5, atol=1e-5)
+
+
+def test_fit_is_partition_invariant(spark):
+    X = _data(n=257)
+    a = fit_pca(_df(spark, X).repartition(1), m=3)
+    b = fit_pca(_df(spark, X).repartition(13), m=3)
+    np.testing.assert_allclose(a.components, b.components, atol=1e-8)
+    np.testing.assert_allclose(a.explained_var, b.explained_var, rtol=1e-9)
+
+
+def test_explained_variance_floor_invariant(spark):
+    X = _data()
+    m = 5
+    model = fit_pca(_df(spark, X), m=m)
+    assert model.explained_var.sum() / model.total_var >= m / X.shape[1]
+    assert np.all(np.diff(model.explained_var) <= 1e-12)  # descending
+
+
+def test_bad_inputs_raise(spark):
+    X = _data(n=20, d=4)
+    with pytest.raises(ValueError, match="out of range"):
+        fit_pca(_df(spark, X), m=5)
+    empty = _df(spark, X).filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        fit_pca(empty, m=2)

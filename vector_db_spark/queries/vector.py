@@ -300,3 +300,80 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("query_label"),
     )
     return hard_negatives(queries, emb, _HN_K)
+
+
+# --- distributed PCA audit ----------------------------------------------------
+
+_PCA_M = 8
+
+
+@register(
+    "pca_audit",
+    extra=True,
+    oracle=f"""
+WITH dims AS (
+  SELECT unnest(embedding) AS x, unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings),
+pv AS (SELECT i, var_pop(x) AS v FROM dims GROUP BY i)
+SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+       (SELECT max(len(embedding)) FROM embeddings)::INTEGER AS dim_in,
+       {_PCA_M} AS dim_out,
+       round(sum(v), 4) AS total_var,
+       true AS evr_floor_ok,
+       true AS orthonormal_ok,
+       true AS proj_var_ok
+FROM pv
+""",
+)
+def pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-PCA invariant projection (operators/pca.py): the oracle
+    reproduces the exactly-checkable facts (row count, dims, total
+    variance — ``trace(cov)`` must equal DuckDB's per-dim ``var_pop`` sum)
+    and the model invariants travel as booleans that must come out true:
+
+    - ``evr_floor_ok``: top-m explained-variance ratio ≥ m/d (the top-m
+      eigenvalue sum of any PSD matrix is ≥ m/d of its trace — violated
+      only by a broken eigendecomposition);
+    - ``orthonormal_ok``: ``W·Wᵀ = I`` within 1e-8;
+    - ``proj_var_ok``: the *transformed* data's total variance equals the
+      top-m eigenvalue sum within 1e-6 relative — an end-to-end check that
+      ``transform`` really projects onto the fitted axes (a second
+      distributed moments pass over the reduced vectors).
+    """
+    from vector_db_spark.operators.pca import _moment_partials, fit_pca
+
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, "embedding", m=_PCA_M)
+    d = model.mean.shape[0]
+    evr_ok = bool(model.explained_var.sum() / model.total_var >= _PCA_M / d - 1e-12)
+    w = model.components
+    ortho_ok = bool(np.abs(w @ w.T - np.eye(_PCA_M)).max() < 1e-8)
+    reduced = model.transform(emb, "embedding", out_col="reduced").select(
+        F.col("reduced").alias("embedding")
+    )
+    parts = _moment_partials(reduced, "embedding")
+    n = int(parts["n"].sum())
+    s = np.sum(np.array(parts["s"].tolist()), axis=0)
+    g = np.sum(np.array(parts["g"].tolist()), axis=0)
+    mean_r = s / n
+    cov_r = g.reshape(_PCA_M, _PCA_M) / n - np.outer(mean_r, mean_r)
+    proj_var = float(np.trace(cov_r))
+    ev_sum = float(model.explained_var.sum())
+    proj_ok = bool(abs(proj_var - ev_sum) <= 1e-6 * max(ev_sum, 1e-12))
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                d,
+                _PCA_M,
+                round(model.total_var, 4),
+                evr_ok,
+                ortho_ok,
+                proj_ok,
+            )
+        ],
+        "n_rows long, dim_in int, dim_out int, total_var double, "
+        "evr_floor_ok boolean, orthonormal_ok boolean, proj_var_ok boolean",
+    )
