@@ -583,6 +583,22 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=256, n_shards=8)
 
 
+# --- distributed BPE vocabulary learning --------------------------------------
+
+
+@register("bpe_merges", extra=True)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the corpus (operators/bpe.py).
+    Rows-only by design: each merge depends on the previous re-tokenization
+    (an inherently iterative algorithm, not one-shot-SQL-expressible);
+    tests/test_bpe.py pins exact agreement with a pure-Python reference
+    learner on real corpus samples instead."""
+    from vector_db_spark.operators.bpe import bpe_merge_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_table(spark, docs, n_merges=8, min_freq=2)
+
+
 # --- deterministic shard export -----------------------------------------------
 
 
