@@ -424,3 +424,56 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = emb.select("vec_id", "embedding", F.col("label").alias("cluster_id"))
     return semantic_dedup(assigned, threshold=_SEM_TAU)
+
+
+# --- ML quality/language classifier audit -------------------------------------
+
+_MLQ_ACC_FLOOR = 0.8
+_MLQ_AUC_FLOOR = 0.85
+
+
+@register(
+    "doc_classifier_audit",
+    extra=True,
+    oracle=f"""
+WITH split AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':mlq'), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':mlq'), 2, 1)) - 1))
+         < {int(0.2 * 256)} AS is_test
+  FROM documents)
+SELECT (SELECT count(*) FROM split WHERE NOT is_test)::BIGINT AS n_train,
+       (SELECT count(*) FROM split WHERE is_test)::BIGINT AS n_test,
+       true AS train_acc_ok, true AS test_acc_ok, true AS auc_ok
+""",
+)
+def doc_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quality-filter audit (operators/mlquality.py): pyspark.ml
+    LogisticRegression over native token-shape features, content-hash
+    train/test split. The fixture corpus is synthetic (its ``lang``/
+    ``source`` columns are uncorrelated with the text), so the audited
+    label is the one genuinely learnable proxy it offers — long-document
+    class (``n_chars >= 300``), learned from token statistics with the raw
+    length deliberately absent from the features. The oracle reproduces
+    the split counts exactly (md5 membership is engine-independent); the
+    learned metrics travel as floored booleans (coefficients vary in the
+    last float bits with partition layout, accuracy/AUC floors do not).
+    tests/test_mlquality.py additionally trains on a planted bilingual
+    corpus where language IS text-derived and pins near-perfect AUC."""
+    from vector_db_spark.operators.mlquality import train_doc_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = train_doc_classifier(docs, F.col("n_chars") >= 300)
+    return spark.createDataFrame(
+        [
+            (
+                a.n_train,
+                a.n_test,
+                a.train_acc >= _MLQ_ACC_FLOOR,
+                a.test_acc >= _MLQ_ACC_FLOOR,
+                a.test_auc >= _MLQ_AUC_FLOOR,
+            )
+        ],
+        "n_train long, n_test long, train_acc_ok boolean, "
+        "test_acc_ok boolean, auc_ok boolean",
+    )
