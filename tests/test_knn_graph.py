@@ -94,3 +94,66 @@ def test_tiny_cluster_graceful(spark):
     rows = {r.vec_id: r.neighbors for r in knn_graph(df, m=8).collect()}
     assert rows[1] == [2] and rows[2] == [1]
     assert rows[3] == []  # singleton cluster → no neighbors
+
+
+# --- PageRank ------------------------------------------------------------------
+
+
+def _ref_pagerank(edges, nodes, damping=0.85, n_iter=15):
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for s, d in sorted(set(edges)):
+        out[s].append(d)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        new = {v: (1 - damping) / n + damping * dangling / n for v in nodes}
+        for s, ds in out.items():
+            share = rank[s] / len(ds)
+            for d in ds:
+                new[d] += damping * share
+        rank = new
+    return rank
+
+
+def test_pagerank_matches_reference(spark):
+    from vector_db_spark.operators.knn_graph import pagerank_from_edges
+
+    # a graph with a hub, a chain, and a dangling node (4 has no out-edges)
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (0, 4), (2, 4)]
+    nodes = [0, 1, 2, 3, 4, 5]  # 5 is isolated
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nd = spark.createDataFrame([(v,) for v in nodes], "id long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank_from_edges(df, nodes=nd, n_iter=15).collect()
+    }
+    want = _ref_pagerank(edges, nodes, n_iter=15)
+    assert set(got) == set(want)
+    for v in nodes:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_random_graph_and_partition_invariance(spark):
+    import random
+
+    from vector_db_spark.operators.knn_graph import pagerank_from_edges
+
+    rng = random.Random(3)
+    nodes = list(range(40))
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(160)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nd = spark.createDataFrame([(v,) for v in nodes], "id long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank_from_edges(
+            df.repartition(9), nodes=nd, n_iter=12
+        ).collect()
+    }
+    want = _ref_pagerank(edges, nodes, n_iter=12)
+    for v in nodes:
+        assert abs(got[v] - want[v]) < 1e-8

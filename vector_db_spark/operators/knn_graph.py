@@ -255,3 +255,67 @@ def graph_connectivity(graph: DataFrame, id_col: str = "vec_id") -> float:
                     nxt.append(v)
         frontier = nxt
     return len(seen & nodes) / len(nodes)
+
+
+def pagerank_from_edges(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    nodes: DataFrame | None = None,
+    damping: float = 0.85,
+    n_iter: int = 15,
+) -> DataFrame:
+    """(id, rank): power-iteration PageRank over a directed edge list —
+    the centrality companion to :func:`components_from_edges` (e.g. rank
+    documents by their k-NN-graph centrality to pick diverse/central
+    exemplars for curation).
+
+    Spark shape per iteration: one equi-join of the (degree-annotated)
+    edge list against the rank vector + one partial-aggregated
+    ``groupBy(dst)`` — the standard Pregel message pattern. Dangling mass
+    (nodes with no out-edges) is a one-scalar aggregate redistributed
+    uniformly, so ranks sum to 1 every iteration. ``localCheckpoint``
+    keeps lineage O(1). Float summation order varies with partitioning,
+    so downstream consumers must round before any cross-run comparison
+    (tests pin agreement with a single-node reference to 1e-9)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    if nodes is None:
+        node_df = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
+    else:
+        c = nodes.columns[0]
+        node_df = nodes.select(F.col(c).alias("src")).distinct()
+    node_df = node_df.localCheckpoint(eager=True)
+    n = node_df.count()
+    if n == 0:
+        return node_df.select(F.col("src").alias("id"), F.lit(0.0).alias("rank"))
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ranks = node_df.select("src", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
+            .withColumnRenamed("dst", "src")
+        )
+        dangling = (
+            ranks.join(deg, "src", "left_anti").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        ranks = (
+            node_df.join(contrib, "src", "left")
+            .select(
+                "src",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("c", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("src").alias("id"), "rank")

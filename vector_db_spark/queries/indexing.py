@@ -441,3 +441,31 @@ def semantic_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
         )
     )
+
+
+@register(
+    "knn_pagerank",
+    extra=True,
+    oracle="SELECT count(*)::BIGINT AS n_nodes, true AS rank_sum_ok, "
+    "true AS positive_ok FROM embeddings",
+)
+def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exported k-NN graph
+    (operators/knn_graph.py pagerank_from_edges) — invariant projection:
+    the stochastic-vector contract (ranks sum to 1 after dangling-mass
+    redistribution, every rank positive) plus exact node count. Exact
+    rank values are float-sum-order sensitive; tests pin them to 1e-9
+    against a single-node reference instead."""
+    from vector_db_spark.operators.knn_graph import knn_graph, pagerank_from_edges
+
+    idx = _kmeans_index(spark, sf_dir)
+    graph = knn_graph(idx.corpus(), m=GRAPH_M, centroids=idx.centroids())
+    edges = graph.select(
+        F.col("vec_id").alias("src"), F.explode("neighbors").alias("dst")
+    )
+    pr = pagerank_from_edges(edges, nodes=graph.select("vec_id"), n_iter=10)
+    return pr.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("rank_sum_ok"),
+        (F.min("rank") > 0).alias("positive_ok"),
+    )
