@@ -583,6 +583,40 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=256, n_shards=8)
 
 
+# --- heavy hitters (Misra-Gries candidates + exact verify) --------------------
+
+_HH_FRAC = 0.004
+
+
+@register(
+    "heavy_hitter_tokens",
+    extra=True,
+    oracle=f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS item FROM documents)
+SELECT item, count(*)::BIGINT AS cnt
+FROM toks GROUP BY item
+HAVING count(*) >= (SELECT ceil({_HH_FRAC} * count(*)) FROM toks)
+""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens exceeding 0.4% of the corpus token stream — exact output via
+    the two-pass Misra-Gries plan (operators/heavyhitters.py): per-task
+    bounded summaries prune candidates, one broadcast-semi-joined exact
+    count verifies, so the full-vocabulary shuffle the oracle runs never
+    happens. The count() for the threshold is one exact scan (the stream
+    size is a needed input of the contract, not a shortcut)."""
+    import math
+
+    from vector_db_spark.operators.heavyhitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(F.explode(tokens("text")).alias("item"))
+    n = items.count()
+    threshold = math.ceil(_HH_FRAC * n)
+    k = max(64, math.ceil(n / threshold))
+    return heavy_hitters(items, "item", threshold=threshold, k=k)
+
+
 # --- distributed BPE vocabulary learning --------------------------------------
 
 
