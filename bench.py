@@ -49,6 +49,16 @@ HEADLINE = [
     "bq_hamming_search",
     "mmr_diversified",
     "stream_query_serving",
+    # round-3 additions: LM scoring, export, PCA, BPE, classifier, graphs
+    "bigram_lm_score",
+    "export_shard_manifest",
+    "heavy_hitter_tokens",
+    "pca_audit",
+    "doc_classifier_audit",
+    "bpe_merges",
+    # knn_pagerank is registry-tested but not benched: power iteration is
+    # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
+    # overhead (~17 s), not data volume — not a steady-state query number
 ]
 
 

@@ -79,3 +79,38 @@ def test_bad_inputs_raise(spark):
     empty = _df(spark, X).filter("vec_id < 0")
     with pytest.raises(ValueError, match="empty"):
         fit_pca(empty, m=2)
+
+
+def test_standardize_moments_and_partition_exactness(spark):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.pca import standardize_embeddings
+
+    X = _data(n=200, d=6)
+    df = _df(spark, X)
+    z = standardize_embeddings(df).cache()
+    mom = (
+        z.groupBy("dim_idx")
+        .agg(F.avg("z").alias("mu"), F.stddev_pop("z").alias("sd"))
+        .collect()
+    )
+    for r in mom:
+        assert abs(r["mu"]) < 1e-4 and abs(r["sd"] - 1.0) < 1e-4
+    # exact (not approximate) partition invariance: integer-exact stats
+    a = {(r["vec_id"], r["dim_idx"]): r["z"] for r in z.collect()}
+    b = {
+        (r["vec_id"], r["dim_idx"]): r["z"]
+        for r in standardize_embeddings(df.repartition(13)).collect()
+    }
+    assert a == b
+    z.unpersist()
+
+
+def test_standardize_zero_variance_dim(spark):
+    from vector_db_spark.operators.pca import standardize_embeddings
+
+    rows = [(i, [1.5, float(i)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = standardize_embeddings(df).collect()
+    assert all(r["z"] == 0.0 for r in got if r["dim_idx"] == 0)
+    assert any(r["z"] != 0.0 for r in got if r["dim_idx"] == 1)

@@ -136,3 +136,68 @@ def fit_pca(df: DataFrame, vec_col: str = "embedding", m: int = 8) -> PCAModel:
         explained_var=np.maximum(evals[order], 0.0),
         total_var=float(np.trace(cov)),
     )
+
+
+def dim_stats(df: DataFrame, vec_col: str = "embedding") -> list[tuple[float, float]]:
+    """Per-dimension (mean, stddev_pop) over the 6-dp-quantized embedding
+    values — the integer micro-unit discipline (README "Correctness
+    method"): each value becomes ``round(x * 1e6)`` as a long, so the
+    sums are exact integers and every engine derives bit-identical
+    statistics from them regardless of summation order. (A decimal cast
+    of the raw float is NOT engine-exact: Spark converts floats to
+    decimal through their shortest round-trip string, DuckDB through the
+    exact binary expansion — they disagree at ~1e-7.) One explode + one
+    aggregation, d rows out — the collect is bounded by the embedding
+    dimension. At extreme row counts the squared-unit sum approaches
+    int64 range (~1e12 rows of unit-norm micro-units); cast the products
+    to ``decimal(38,0)`` past that."""
+    dims = ensure_parallelism(df).select(F.posexplode(vec_col).alias("i", "x"))
+    xi = F.round(F.col("x").cast("double") * 1e6).cast("long")
+    stats = (
+        dims.select("i", xi.alias("xi"))
+        .groupBy("i")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xi").cast("double").alias("s"),
+            F.sum(F.col("xi") * F.col("xi")).cast("double").alias("s2"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    out = []
+    for r in stats:
+        n = r["n"]
+        mu = r["s"] / n / 1e6
+        var = r["s2"] / n / 1e12 - mu * mu
+        out.append((mu, var**0.5 if var > 0 else 0.0))
+    return out
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, dim_idx, z): per-dimension z-scores of the embedding column —
+    the normalization step before quantizer training / whitened distance.
+    Stats come from :func:`dim_stats` (integer-exact, engine-identical);
+    the transform inlines them as literal arrays, so the scoring pass is a
+    map-only projection (zero shuffle, zero UDF) in whole-stage codegen.
+    Scores are computed over the same 6-dp-quantized values the stats saw.
+    Zero-variance dimensions standardize to 0 by convention."""
+    stats = dim_stats(df, vec_col)
+    mus = F.array(*[F.lit(m) for m, _ in stats])
+    sds = F.array(*[F.lit(s) for _, s in stats])
+    z = F.expr(
+        f"transform({vec_col}, (x, i) -> "
+        "CASE WHEN element_at(__sds, i + 1) = 0D THEN 0D "
+        "ELSE round((round(CAST(x AS DOUBLE) * 1e6) / 1e6 - element_at(__mus, i + 1))"
+        f" / element_at(__sds, i + 1), {round_to}) END)"
+    )
+    return (
+        df.withColumn("__mus", mus)
+        .withColumn("__sds", sds)
+        .select(F.col(id_col), F.posexplode(z).alias("dim_idx", "z"))
+    )

@@ -377,3 +377,38 @@ def pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, dim_in int, dim_out int, total_var double, "
         "evr_floor_ok boolean, orthonormal_ok boolean, proj_var_ok boolean",
     )
+
+
+@register(
+    "embedding_standardize",
+    extra=True,
+    oracle="""
+WITH dims AS (
+  SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xi,
+         unnest(range(0, len(embedding))) AS i
+  FROM embeddings),
+st AS (
+  SELECT i, count(*) AS n,
+         CAST(sum(xi) AS DOUBLE) AS s,
+         CAST(sum(xi * xi) AS DOUBLE) AS s2
+  FROM dims GROUP BY i),
+ms AS (SELECT i, s / n / 1e6 AS mu,
+              CASE WHEN s2 / n / 1e12 - (s / n / 1e6) * (s / n / 1e6) > 0
+                   THEN sqrt(s2 / n / 1e12 - (s / n / 1e6) * (s / n / 1e6))
+                   ELSE 0.0 END AS sd
+       FROM st)
+SELECT d.vec_id, d.i::INTEGER AS dim_idx,
+       CASE WHEN sd = 0 THEN 0.0
+            ELSE round((xi / 1e6 - mu) / sd, 6) END AS z
+FROM dims d JOIN ms USING (i)
+""",
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-scores (operators/pca.py standardize_embeddings):
+    integer micro-unit sums make the statistics bit-identical across
+    engines and partitionings, so the full 6-dp z matrix hash-matches DuckDB —
+    the normalization step before quantizer training, verified value-
+    for-value. Scoring pass is map-only (stats inlined as literals)."""
+    from vector_db_spark.operators.pca import standardize_embeddings
+
+    return standardize_embeddings(load_table(spark, sf_dir, "embeddings"))
