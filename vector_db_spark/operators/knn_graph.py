@@ -295,27 +295,33 @@ def pagerank_from_edges(
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     ranks = node_df.select("src", F.lit(1.0 / n).alias("rank"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             ed.join(ranks, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
             .withColumnRenamed("dst", "src")
         )
-        dangling = (
-            ranks.join(deg, "src", "left_anti").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # dangling mass as a broadcast one-row aggregate, so the whole
+        # iteration (contrib + dangling + update) materializes as ONE job
+        # at the checkpoint — no separate driver collect per round
+        dang = ranks.join(deg, "src", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
         ranks = (
             node_df.join(contrib, "src", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "src",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce("c", F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce("c", F.lit(0.0)) + F.col("dang") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # checkpoint every 3rd round: bounded lineage (≤3 join layers)
+        # without paying a materialization job per iteration
+        if it % 3 == 2 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("src").alias("id"), "rank")
