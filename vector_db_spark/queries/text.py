@@ -583,6 +583,38 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=256, n_shards=8)
 
 
+# --- edit-distance fuzzy join -------------------------------------------------
+
+
+@register(
+    "fuzzy_typo_pairs",
+    extra=True,
+    oracle=f"""
+WITH v AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest({_TOKS}) AS s FROM documents
+    UNION ALL
+    SELECT source AS s FROM documents)
+  WHERE length(s) > 0)
+SELECT a.s AS a, b.s AS b, levenshtein(a.s, b.s)::INTEGER AS dist
+FROM v a JOIN v b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) <= 1
+""",
+)
+def fuzzy_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All string pairs within edit distance 1 over the corpus vocabulary
+    plus source labels (operators/fuzzyjoin.py): q-gram-blocked candidate
+    equi-join + short-pool + exact levenshtein verify. The oracle brute-
+    forces all pairs — hash equality proves the blocking lost nothing."""
+    from vector_db_spark.operators.fuzzyjoin import fuzzy_self_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(F.explode(tokens("text")).alias("s")).union(
+        docs.select(F.col("source").alias("s"))
+    )
+    return fuzzy_self_join(vals, "s", max_dist=1)
+
+
 # --- heavy hitters (Misra-Gries candidates + exact verify) --------------------
 
 _HH_FRAC = 0.004
