@@ -220,3 +220,41 @@ def test_streaming_embed_ingest_equals_batch(spark, tmp_path):
         for r in embed_assign(ddf).collect()
     }
     assert streamed == batch
+
+
+def test_running_anomaly_batch_boundary_invariance(spark, tmp_path):
+    """The anomaly stream's integer state must make results independent of
+    where micro-batch boundaries fall: 1-file-per-trigger over two files
+    == one batch over both == the batch window computation."""
+    import datetime
+
+    from vector_db_spark.streaming.ingest import running_anomaly_stream
+
+    def ev(i, minute, value):
+        return (
+            i,
+            datetime.datetime.fromisoformat(f"2024-01-01 10:{minute:02d}:00"),
+            1,
+            "metric",
+            value,
+            "{}",
+        )
+
+    # 12 calm values then two spikes, split across files mid-history
+    rows1 = [ev(i, i, 10.0 + (i % 3)) for i in range(8)]
+    rows2 = [ev(8 + j, 8 + j, v) for j, v in enumerate([10.0, 11.0, 12.0, 10.5, 99.0, 10.0, -500.0])]
+    outs = []
+    for split, tag in ((1, "split"), (None, "one")):
+        src = str(tmp_path / f"src-{tag}")
+        _write_file(spark, src, rows1)
+        time.sleep(1.1)
+        _write_file(spark, src, rows2)
+        out = run_to_memory(
+            running_anomaly_stream(_stream_events(spark, src, max_files=split)),
+            output_mode="append",
+        ).collect()
+        outs.append(sorted((r.event_id, r.z) for r in out))
+    assert outs[0] == outs[1]
+    ids = [i for i, _ in outs[0]]
+    assert 12 in ids and 14 in ids  # both spikes flagged
+    assert all(i not in ids for i in range(12))  # calm prefix silent

@@ -309,3 +309,41 @@ def stream_query_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(sink)
+
+
+@register(
+    "stream_value_anomalies",
+    extra=True,
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(round(value * 1e2) AS BIGINT) AS vi
+  FROM events),
+w AS (
+  SELECT event_id, user_id, ts, value, vi,
+         count(vi) OVER win AS np,
+         CAST(sum(vi) OVER win AS DOUBLE) AS s,
+         CAST(sum(vi * vi) OVER win AS DOUBLE) AS s2
+  FROM v
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, ts, value,
+       round((vi / 1e2 - s / np / 1e2)
+             / sqrt(s2 / np / 1e4 - (s / np / 1e2) * (s / np / 1e2)), 4) AS z
+FROM w
+WHERE np >= 10
+  AND s2 / np / 1e4 - (s / np / 1e2) * (s / np / 1e2) > 0
+  AND abs((vi / 1e2 - s / np / 1e2)
+          / sqrt(s2 / np / 1e4 - (s / np / 1e2) * (s / np / 1e2))) > 3
+""",
+)
+def stream_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user online anomaly detection (applyInPandasWithState running
+    mean/var over integer centi-units): events whose value is a |z| > 3
+    outlier against that user's history so far. Integer-exact state makes
+    the streaming answer equal the batch window oracle bit-for-bit;
+    micro-batch-boundary invariance is exercised in tests/test_streaming.py."""
+    from vector_db_spark.streaming.ingest import running_anomaly_stream
+
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    return run_to_memory(running_anomaly_stream(events), output_mode="append")

@@ -312,3 +312,68 @@ def query_serving_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_anomaly_stream(events: DataFrame, *, min_history: int = 10,
+                           z_cut: float = 3.0) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: flag events
+    whose value is a |z| > ``z_cut`` outlier against that user's OWN
+    history-so-far (running mean/variance of all *previous* values) —
+    the per-key online anomaly detector of a metrics/ingest pipeline.
+
+    Exactness discipline: values are quantized to integer centi-units
+    (the fixture's native 2-decimal precision — centi keeps Σv² within
+    int64 out to ~1e9 events per key; upgrade to decimal sums past that)
+    and the state is exact integer sums ``(n, Σv, Σv²)``, so the
+    streaming answer is bit-identical to the batch window form (and to
+    the DuckDB oracle) regardless of micro-batch boundaries — the same
+    integer-unit idiom as operators/pca.py dim_stats. State is 3 longs
+    per user, horizon-free by design (a true running profile).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("s2", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        n, s, s2 = state.get if state.exists else (0, 0, 0)
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            if not state.exists:
+                state.update((0, 0, 0))
+            return
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+        vi = np.round(pdf["value"].to_numpy(dtype=np.float64) * 1e2).astype(np.int64)
+        # exclusive prefix sums with carried-in state
+        cn = n + np.arange(len(vi))
+        cs = s + np.concatenate(([0], np.cumsum(vi)[:-1]))
+        cs2 = s2 + np.concatenate(([0], np.cumsum(vi * vi)[:-1]))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mu = cs / np.maximum(cn, 1) / 1e2
+            var = cs2 / np.maximum(cn, 1) / 1e4 - mu * mu
+            sd = np.sqrt(np.maximum(var, 0.0))
+            z = (vi / 1e2 - mu) / sd
+        mask = (cn >= min_history) & (sd > 0) & (np.abs(z) > z_cut)
+        state.update((int(n + len(vi)), int(s + vi.sum()), int(s2 + (vi * vi).sum())))
+        if mask.any():
+            out = pdf.loc[mask, ["event_id", "user_id", "ts", "value"]].copy()
+            out["z"] = np.round(z[mask], 4)
+            yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
