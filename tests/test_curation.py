@@ -198,3 +198,28 @@ def test_bigram_lm_short_docs_drop_out(spark):
     )
     got = bigram_doc_scores(docs).collect()
     assert [r["doc_id"] for r in got] == [3]
+
+
+def test_late_interaction_self_retrieval_and_shape(spark):
+    import numpy as np
+
+    from vector_db_spark.operators.hybrid import late_interaction_topk
+
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    rows = [
+        (int(i // 4), int(i % 4), [float(x) for x in vecs[i]])
+        for i in range(40)
+    ]  # 10 docs × 4 token-vectors
+    dv = spark.createDataFrame(rows, "doc_id long, q_token long, vec array<float>")
+    qv = dv.filter("doc_id < 2").withColumnRenamed("doc_id", "query_id")
+    got = late_interaction_topk(qv.select("query_id", "q_token", "vec"),
+                                dv.select("doc_id", "vec"), 3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows_ in by_q.items():
+        assert len(rows_) == 3
+        top = min(rows_, key=lambda r: r["rank"])
+        assert top["doc_id"] == qid          # own doc wins
+        assert abs(top["score"] - 4.0) < 1e-5  # Σ of 4 perfect matches

@@ -154,3 +154,70 @@ def rrf_fuse(
 def idf_weights(n_docs: int, dfs: list[int]) -> list[float]:
     """Reference BM25 idf (Robertson/Sparck-Jones +1 form) for tests."""
     return [math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+
+
+# ---------------------------------------------------------------------------
+# late-interaction (ColBERT-style MaxSim) retrieval
+# ---------------------------------------------------------------------------
+
+
+def late_interaction_topk(
+    query_vecs: DataFrame,
+    doc_vecs: DataFrame,
+    k: int,
+    *,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): top-k documents per multi-vector
+    query under the late-interaction objective
+    ``score(q, d) = Σ_{qv ∈ q} max_{dv ∈ d} cos(qv, dv)`` — the ColBERT
+    MaxSim operator, the retrieval-quality step between single-vector ANN
+    and a cross-encoder.
+
+    Spark shape: broadcast the query vectors (a query batch is tokens ×
+    queries — small by definition) onto the doc-vector scan; one partial-
+    aggregated ``groupBy(query, q_token, doc)`` takes the per-token max;
+    one more ``groupBy(query, doc)`` sums; windowed top-k. The corpus
+    never shuffles by itself — both aggregations key on query-side-bounded
+    composites, so the shuffle volume is O(q_tokens × docs), i.e. the
+    match matrix, never corpus × corpus.
+
+    Exactness: similarities are rounded to 6 dp *before* max (identical
+    picks in any engine), and the sum runs over exact integer micro-units
+    — bit-for-bit reproducible, DuckDB-oracle-checkable end-to-end."""
+    from vector_db_spark.functions.distance import cosine_similarity
+
+    sim = F.round(cosine_similarity(F.col("q.qv"), F.col("d." + vec_col)), 6)
+    qsel = query_vecs.select(
+        F.col(query_id).alias("qid"),
+        F.col("q_token"),
+        F.col(vec_col).alias("qv"),
+    )
+    per_token = (
+        doc_vecs.alias("d")
+        .join(F.broadcast(qsel.alias("q")), how="cross")
+        .select(
+            "qid",
+            "q_token",
+            F.col("d." + doc_id).alias("did"),
+            (sim * 1e6).cast("long").alias("sim_u"),
+        )
+        .groupBy("qid", "q_token", "did")
+        .agg(F.max("sim_u").alias("mx"))
+    )
+    scored = per_token.groupBy("qid", "did").agg(
+        (F.sum("mx") / 1e6).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("did"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("did").alias(doc_id),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -412,3 +412,55 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_spark.operators.pca import standardize_embeddings
 
     return standardize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- late-interaction (ColBERT MaxSim) retrieval ------------------------------
+
+_LI_TOKENS = 8      # synthetic multi-vector docs: 8 token-vectors each
+_LI_QUERIES = 2
+_LI_K = 5
+
+
+@register(
+    "late_interaction_search",
+    extra=True,
+    oracle=f"""
+WITH dv AS (
+  SELECT vec_id // {_LI_TOKENS} AS did, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (
+  SELECT vec_id // {_LI_TOKENS} AS qid, vec_id % {_LI_TOKENS} AS q_token,
+         embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < {_LI_TOKENS * _LI_QUERIES}),
+tok AS (
+  SELECT q.qid, q.q_token, d.did,
+         max(CAST(round(list_cosine_similarity(q.v, d.v) * 1e6) AS BIGINT)) AS mx
+  FROM qv q CROSS JOIN dv d
+  GROUP BY q.qid, q.q_token, d.did),
+sc AS (SELECT qid, did, sum(mx) / 1e6 AS score FROM tok GROUP BY qid, did),
+r AS (
+  SELECT qid, did, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+  FROM sc)
+SELECT qid AS query_id, did AS doc_id, score, rank::INTEGER AS rank
+FROM r WHERE rank <= {_LI_K}
+""",
+)
+def late_interaction_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim retrieval (operators/hybrid.py
+    late_interaction_topk) over synthetic multi-vector documents (8
+    stored vectors per doc): Σ-of-max cosine, integer micro-unit sums,
+    windowed top-k — the full score matrix hash-matches the DuckDB
+    oracle."""
+    from vector_db_spark.operators.hybrid import late_interaction_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    doc_vecs = emb.select(
+        F.floor(F.col("vec_id") / _LI_TOKENS).alias("doc_id"),
+        F.col("embedding").alias("vec"),
+    )
+    query_vecs = emb.filter(F.col("vec_id") < _LI_TOKENS * _LI_QUERIES).select(
+        F.floor(F.col("vec_id") / _LI_TOKENS).alias("query_id"),
+        (F.col("vec_id") % _LI_TOKENS).alias("q_token"),
+        F.col("embedding").alias("vec"),
+    )
+    return late_interaction_topk(query_vecs, doc_vecs, _LI_K)
