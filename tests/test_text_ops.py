@@ -420,3 +420,44 @@ def test_lsh_bucket_kernel_matches_expression(spark, sf_correctness):
         for r in hyperplane_lsh_buckets(emb, impl="expr").collect()
     }
     assert kern == expr
+
+
+# --- global row number / length bucketing -------------------------------------
+
+
+def test_global_row_number_is_exact_and_distributed(spark):
+    from vector_db_spark.operators.packing import global_row_number
+
+    rows = [(i, (i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(11)
+    got = {r["id"]: r["rowno"] for r in
+           global_row_number(df, ["v", "id"], num_partitions=7).collect()}
+    want_order = [i for i, _ in sorted(rows, key=lambda t: (t[1], t[0]))]
+    assert [got[i] for i in want_order] == list(range(500))
+    # layout invariance
+    got2 = {r["id"]: r["rowno"] for r in
+            global_row_number(df.repartition(3), ["v", "id"],
+                              num_partitions=13).collect()}
+    assert got == got2
+
+
+def test_length_buckets_cut_padding_waste(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.packing import length_bucketed_batches
+
+    docs = load_table(spark, sf_smoke, "documents")
+    man = length_bucketed_batches(docs, n_buckets=8).collect()
+    assert sum(r["n_docs"] for r in man) == docs.count()
+    total_waste = sum(r["padded_waste"] for r in man)
+    # one global batch pads everything to the corpus max
+    stats = docs.select(
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n")
+    ).agg(F.max("n").alias("mx"), F.sum("n").alias("s"), F.count("*").alias("c")
+    ).collect()[0]
+    global_waste = stats["mx"] * stats["c"] - stats["s"]
+    assert total_waste < global_waste  # sorted batching strictly helps here
+    # buckets are length-ordered: maxes non-decreasing by bucket id
+    maxes = [r["max_tokens"] for r in sorted(man, key=lambda r: r["bucket"])]
+    assert maxes == sorted(maxes)

@@ -71,3 +71,95 @@ def pack_sequences(
         "n_tokens",
         (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
     ).withColumn("pack_id", F.floor(F.col("start_offset") / budget))
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], *, num_partitions: int | None = None,
+    out_col: str = "rowno"
+) -> DataFrame:
+    """Exact 0-based global row number under a total order — WITHOUT the
+    single-task trap: a bare ``row_number() OVER (ORDER BY ...)`` window
+    funnels every row through one partition. The distributed classic
+    instead:
+
+    1. ``repartitionByRange`` + in-partition sort (Spark's scalable
+       distributed sort — range boundaries from a sample, data never
+       centralized);
+    2. one tiny job counts rows per partition → cumulative offsets
+       (P values, driver-side, bounded by partition count);
+    3. a map-only pass adds ``offset + local position``.
+
+    ``order_cols`` must be a total order (add a tiebreak id) or the
+    numbering is partition-dependent."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # pin the materialized range layout: the offsets job and the numbering
+    # pass must see the SAME partitioning (range boundaries come from a
+    # sample; two independent evaluations are not guaranteed identical)
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["pid"]: r["c"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    schema_out = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} long"
+
+    def add_rowno(batches):
+        pid = TaskContext.get().partitionId()
+        pos = offsets.get(pid, 0)
+        for pdf in batches:
+            out = pdf.assign(**{out_col: range(pos, pos + len(pdf))})
+            pos += len(pdf)
+            yield out
+
+    return ranged.mapInPandas(add_rowno, schema_out)
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """(bucket, n_docs, min_tokens, max_tokens, sum_tokens, padded_waste):
+    the sorted-batching manifest for batch inference/training — sorting by
+    length before batching is THE standard trick to cut padding waste, and
+    ``padded_waste = max·count - sum`` quantifies exactly what it saves.
+    Bucket assignment is rank-based (``floor(rowno · B / n)``), exact and
+    engine-reproducible via :func:`global_row_number` under the total
+    order (token_count, id)."""
+    d = docs.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+    )
+    n = d.count()
+    numbered = global_row_number(d, ["n_tokens", id_col])
+    # integer division: exact at any n (a double floor can flip at 2^53)
+    b = F.expr(f"CAST((rowno * {n_buckets}) DIV {n} AS INT)")
+    return (
+        numbered.withColumn("bucket", b)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.max("n_tokens") * F.count("*") - F.sum("n_tokens")).alias(
+                "padded_waste"
+            ),
+        )
+    )

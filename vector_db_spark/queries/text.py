@@ -985,3 +985,39 @@ def training_data_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("norm") == 1.0, 1).otherwise(0)).cast("double"),
     )
     return raw.unionByName(clean_row).unionByName(chunk_row).unionByName(emb_row)
+
+
+# --- length-bucketed batch manifest -------------------------------------------
+
+_LB_BUCKETS = 16
+
+
+@register(
+    "length_bucketed_batches",
+    extra=True,
+    oracle=f"""
+WITH t AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
+n AS (SELECT count(*) AS n FROM t),
+r AS (SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rowno
+      FROM t)
+SELECT ((rowno * {_LB_BUCKETS}) // n)::INTEGER AS bucket,
+       count(*)::BIGINT AS n_docs,
+       min(n_tokens)::BIGINT AS min_tokens,
+       max(n_tokens)::BIGINT AS max_tokens,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       (max(n_tokens) * count(*) - sum(n_tokens))::BIGINT AS padded_waste
+FROM r CROSS JOIN n GROUP BY 1
+""",
+)
+def length_bucketed_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-batching manifest (operators/packing.py): rank-based length
+    buckets via the distributed global row number (range partition + per-
+    partition offsets — never a single-task global window), with the
+    padding-waste metric per bucket. Exact against the oracle's window
+    form."""
+    from vector_db_spark.operators.packing import length_bucketed_batches
+
+    return length_bucketed_batches(
+        load_table(spark, sf_dir, "documents"), n_buckets=_LB_BUCKETS
+    )
