@@ -469,3 +469,54 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("rank_sum_ok"),
         (F.min("rank") > 0).alias("positive_ok"),
     )
+
+
+_SWEEP_PROBES = (1, 2, 4, 10)  # 10 = every cluster → exhaustive
+
+
+@register(
+    "ivf_recall_sweep",
+    extra=True,
+    oracle=f"""
+SELECT p::BIGINT AS n_probe,
+       (SELECT count(*) FROM embeddings WHERE vec_id < {N_QUERIES})::BIGINT
+         AS n_queries,
+       true AS monotone_ok, true AS exhaustive_exact
+FROM (VALUES {", ".join(f"({p})" for p in _SWEEP_PROBES)}) t(p)
+""",
+)
+def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-n_probe curve every ANN index ships with — and its
+    two lawful properties as checked invariants: mean recall is
+    non-decreasing in n_probe (probing more clusters can only add
+    candidates), and probing every cluster IS the exhaustive search
+    (recall exactly 1.0). Exact per-point recalls are scalars collected
+    from bounded per-query aggregates; the sweep reuses the cached build
+    (deployments measure this curve once per index)."""
+    from vector_db_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _kmeans_index(spark, sf_dir)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < N_QUERIES)
+    exact = knn_join(queries, emb, TOP_K, impl="batch").localCheckpoint(eager=True)
+    rows, prev = [], -1.0
+    for p in _SWEEP_PROBES:
+        per_q = _recall_per_query(idx.search(queries, k=TOP_K, n_probe=p), exact, TOP_K)
+        agg = per_q.agg(
+            F.count("*").alias("nq"), F.avg("recall").alias("mr")
+        ).collect()[0]
+        rows.append(
+            (
+                p,
+                int(agg["nq"]),
+                agg["mr"] >= prev - 1e-12,
+                (p < max(_SWEEP_PROBES)) or abs(agg["mr"] - 1.0) < 1e-12,
+            )
+        )
+        prev = agg["mr"]
+    return spark.createDataFrame(
+        rows,
+        "n_probe long, n_queries long, monotone_ok boolean, exhaustive_exact boolean",
+    )
