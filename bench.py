@@ -56,6 +56,12 @@ HEADLINE = [
     "pca_audit",
     "doc_classifier_audit",
     "bpe_merges",
+    "fuzzy_typo_pairs",
+    "late_interaction_search",
+    "embedding_standardize",
+    "stream_value_anomalies",
+    "length_bucketed_batches",
+    "ivf_recall_sweep",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number
