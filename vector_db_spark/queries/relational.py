@@ -1165,3 +1165,64 @@ def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_ok"),
         )
     )
+
+
+# --- SCD2 merge (upsert with history) -----------------------------------------
+
+
+@register(
+    "scd2_customer_history",
+    extra=True,
+    oracle="""
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+         TIMESTAMP '2200-01-01 00:00:00' AS valid_to
+  FROM customer),
+u AS (
+  SELECT o_custkey AS c_custkey, o_orderpriority AS segment,
+         o_orderdate::TIMESTAMP AS ts
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+  WHERE rn = 1)
+SELECT c.c_custkey, c.segment, c.valid_from, c.valid_to
+FROM cur c LEFT JOIN u ON c.c_custkey = u.c_custkey WHERE u.c_custkey IS NULL
+UNION ALL
+SELECT c.c_custkey, c.segment, c.valid_from, u.ts AS valid_to
+FROM cur c JOIN u ON c.c_custkey = u.c_custkey
+UNION ALL
+SELECT u.c_custkey, u.segment, u.ts AS valid_from,
+       TIMESTAMP '2200-01-01 00:00:00' AS valid_to
+FROM u
+""",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (operators/scd.py): a customer-segment snapshot
+    merged with a latest-order-per-customer update batch — changed keys
+    get their open version closed at the update timestamp and a new open
+    version appended; order-less customers stay untouched. The oracle
+    reproduces the entire history table (update priorities always differ
+    from snapshot segments, so every updated key versions)."""
+    from vector_db_spark.operators.scd import OPEN_TS, scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    current = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(OPEN_TS).cast("timestamp").alias("valid_to"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    updates = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderpriority").alias("segment"),
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+        )
+    )
+    return scd2_merge(current, updates, "c_custkey", ["segment"], "ts")
