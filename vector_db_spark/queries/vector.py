@@ -464,3 +464,83 @@ def late_interaction_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vec"),
     )
     return late_interaction_topk(query_vecs, doc_vecs, _LI_K)
+
+
+# --- retrieval-quality metrics ------------------------------------------------
+
+
+@register(
+    "bq_retrieval_metrics",
+    extra=True,
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_BQ_N_QUERIES}
+), h AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65), i ->
+           CASE WHEN (q.qv[i] > 0.0) <> (CAST(c.embedding[i] AS DOUBLE) > 0.0)
+           THEN 1 ELSE 0 END))::BIGINT AS hamming,
+         round(list_distance(q.qv, c.embedding::DOUBLE[]), 6) AS dist
+  FROM q CROSS JOIN embeddings c
+), cand AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hrank
+  FROM h
+), res AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+    FROM cand WHERE hrank <= {TOP_K * _BQ_REFINE})
+  WHERE rank <= {TOP_K}
+), ex AS (
+  SELECT query_id, neighbor_id, ({TOP_K} + 1 - rank)::DOUBLE AS rel FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+    FROM h)
+  WHERE rank <= {TOP_K}
+), j AS (
+  SELECT r.query_id, r.rank, COALESCE(e.rel, 0.0) AS rel
+  FROM res r LEFT JOIN ex e USING (query_id, neighbor_id)
+), pq AS (
+  SELECT query_id, count(*) AS n_results,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hit,
+         min(CASE WHEN rel > 0 THEN rank END) AS frr,
+         sum(rel / log2(rank + 1)) AS dcg
+  FROM j GROUP BY 1
+), ideal AS (
+  SELECT query_id, sum(rel / log2(irank + 1)) AS idcg, count(*) AS n_judged
+  FROM (SELECT query_id, rel, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS irank FROM ex)
+  WHERE irank <= {TOP_K} GROUP BY 1
+)
+SELECT pq.query_id, pq.n_results::BIGINT AS n_results,
+       round(pq.n_hit / least({TOP_K}, ideal.n_judged), 6) AS recall_k,
+       round(COALESCE(1.0 / pq.frr, 0.0), 6) AS mrr_k,
+       round(COALESCE(pq.dcg / ideal.idcg, 0.0), 6) AS ndcg_k
+FROM pq JOIN ideal USING (query_id)
+""",
+)
+def bq_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics (operators/evalmetrics.py): recall@k,
+    MRR@k, nDCG@k of the binary-quantized Hamming search against graded
+    exact-euclidean ground truth — both pipelines deterministic, so the
+    full per-query metric table hash-matches the oracle (which re-derives
+    results AND judgments from scratch in SQL)."""
+    from vector_db_spark.operators.binquant import bq_search
+    from vector_db_spark.operators.evalmetrics import retrieval_metrics
+    from vector_db_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _BQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    results = bq_search(emb, queries, TOP_K, dim=64, refine=_BQ_REFINE).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    qrels = knn_join(queries, emb, TOP_K, impl="batch").select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(TOP_K + 1) - F.col("rank")).cast("double").alias("rel"),
+    )
+    return retrieval_metrics(results, qrels, TOP_K)
