@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_db_spark.functions.distance import euclidean
+from vector_db_spark.functions.text import tokens
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.ivf import IVFIndex
 from vector_db_spark.operators.topk import top_k_per_group
@@ -519,4 +520,67 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "n_probe long, n_queries long, monotone_ok boolean, exhaustive_exact boolean",
+    )
+
+
+_TOPIC_TOP_TERMS = 5
+_TOPIC_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "cluster_topic_terms",
+    extra=True,
+    oracle=f"""
+WITH assign AS ({_ASSIGN_SQL}),
+toks AS (
+  SELECT a.cluster_id, unnest({_TOPIC_TOKS}) AS term
+  FROM documents d JOIN assign a ON d.doc_id = a.vec_id),
+tf AS (SELECT cluster_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+cdf AS (SELECT term, count(*) AS cdf FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT cluster_id) AS nc FROM tf),
+scored AS (
+  SELECT tf.cluster_id, tf.term, tf.tf,
+         round(tf.tf * ln(1 + nc * 1.0 / cdf.cdf), 6) AS score
+  FROM tf JOIN cdf USING (term) CROSS JOIN n)
+SELECT cluster_id, term, tf::BIGINT AS tf, score, term_rank::INTEGER AS term_rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY score DESC, term) AS term_rank
+      FROM scored)
+WHERE term_rank <= {_TOPIC_TOP_TERMS}
+""",
+)
+def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERTopic-style topic keywords: documents → deterministic centroid
+    assignment (the literal seeded centroids of ivf_assign_det, so the
+    whole pipeline is engine-reproducible) → per-cluster c-TF-IDF
+    (``tf · ln(1 + n_clusters/cluster_df)``) → top terms per cluster.
+    Embedding clustering and keyword extraction in one verified plan —
+    two aggregations over the exploded token stream, windowed top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    assign = _assign(spark, sf_dir)
+    toks = (
+        docs.join(assign, docs.doc_id == assign.vec_id)
+        .select("cluster_id", F.explode(tokens("text")).alias("term"))
+    )
+    tf = toks.groupBy("cluster_id", "term").agg(F.count("*").alias("tf"))
+    cdf = tf.groupBy("term").agg(F.count("*").alias("cdf"))
+    nc = tf.agg(F.countDistinct("cluster_id").alias("nc"))
+    scored = (
+        tf.join(F.broadcast(cdf), "term")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "cluster_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf") * F.log(1 + F.col("nc") * 1.0 / F.col("cdf")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= _TOPIC_TOP_TERMS)
+        .select("cluster_id", "term", "tf", "score",
+                F.col("term_rank").cast("int").alias("term_rank"))
     )
