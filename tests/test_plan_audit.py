@@ -114,3 +114,32 @@ def test_adaptive_filtered_knn_picks_the_right_regime(spark, sf_smoke, tmp_path)
     assert [tuple(r) for r in via_adaptive.orderBy("rank").collect()] == [
         tuple(r) for r in via_index.orderBy("rank").collect()
     ]
+
+
+# --- registry-wide sweep -------------------------------------------------------
+
+# deliberate exceptions, each argued at the definition site:
+#   embedding_near_dup_brute — the O(n²) recall oracle, never a pipeline path
+_AUDIT_ALLOW = {
+    "embedding_near_dup_brute": ("cartesian-product", "nested-loop-join"),
+}
+
+
+def test_no_scale_errors_in_any_driver_query(spark, sf_smoke):
+    """Every driver-tier query's physical plan must be free of
+    error-severity scale findings (CartesianProduct, row-at-a-time Python
+    UDFs) — the lint, applied to the whole driver contract."""
+    from vector_db_spark.plans import audit_plan
+    from vector_db_spark.queries import QUERIES
+
+    bad = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_smoke)
+        findings = [
+            f
+            for f in audit_plan(df, allow=_AUDIT_ALLOW.get(name, ()))
+            if f.severity == "error"
+        ]
+        if findings:
+            bad[name] = [(f.code, f.detail) for f in findings]
+    assert not bad, bad
