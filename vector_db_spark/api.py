@@ -138,16 +138,24 @@ class VectorDBService:
         metadata_filter: dict[str, str] | None = None,
         n_probe: int = 10,
         exact: bool = False,
+        diversify: float | None = None,
     ) -> DataFrame:
         """Returns (query_id, id, content, metadata, distance, rank) — the
         reference's response rows (app.py:214-227). ``query_id`` indexes
         into ``query_texts``. Filter semantics are the reference's F1+F2:
-        every metadata pair must match, applied BEFORE the search."""
+        every metadata pair must match, applied BEFORE the search.
+
+        ``diversify`` (extension beyond the reference): an MMR λ in
+        (0, 1] — the first pass over-fetches 4×k candidates and a greedy
+        maximal-marginal-relevance pass picks the final k, trading
+        relevance against novelty (operators/rerank.py). ``rank`` is then
+        the MMR pick order and ``distance`` still the true distance."""
         queries = self.spark.createDataFrame(
             [(i, t) for i, t in enumerate(query_texts)], "query_id long, content string"
         ).withColumn("query_vec", self.embedder(F.col("content"))).select(
             "query_id", "query_vec"
         )
+        fetch_k = top_k if diversify is None else 4 * top_k
         corpus = (
             self.nodes.filter_by_metadata(metadata_filter)
             if metadata_filter
@@ -156,7 +164,7 @@ class VectorDBService:
         idx = self._index()
         if exact or idx is None:
             hits = knn_join(
-                queries, corpus.select("id", "embedding"), top_k,
+                queries, corpus.select("id", "embedding"), fetch_k,
                 id_col="id", vec_col="embedding", impl="batch",
             )
         elif metadata_filter:
@@ -170,10 +178,26 @@ class VectorDBService:
             from vector_db_spark.operators.knn import adaptive_filtered_knn
 
             hits = adaptive_filtered_knn(
-                queries, idx, top_k, allowed_ids=corpus.select("id"), n_probe=n_probe
+                queries, idx, fetch_k, allowed_ids=corpus.select("id"), n_probe=n_probe
             )
         else:
-            hits = idx.search(queries, top_k, n_probe)
+            hits = idx.search(queries, fetch_k, n_probe)
+        if diversify is not None:
+            from vector_db_spark.operators.rerank import mmr_rerank
+
+            cands = hits.join(
+                self.nodes.df().select(F.col("id").alias("neighbor_id"), "embedding"),
+                "neighbor_id",
+            ).select(
+                "query_id", "neighbor_id", "dist",
+                (1.0 / (1.0 + F.col("dist"))).alias("rel"), "embedding",
+            )
+            picked = mmr_rerank(cands, top_k, lam=diversify)
+            hits = picked.join(
+                cands.select("query_id", "neighbor_id", "dist"),
+                ["query_id", "neighbor_id"],
+            ).select("query_id", "neighbor_id", "dist",
+                     F.col("mmr_rank").alias("rank"))
         return (
             hits.withColumnRenamed("neighbor_id", "id")
             .join(self.nodes.df().select("id", "content", "metadata"), "id")
