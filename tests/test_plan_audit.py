@@ -143,3 +143,22 @@ def test_no_scale_errors_in_any_driver_query(spark, sf_smoke):
         if findings:
             bad[name] = [(f.code, f.detail) for f in findings]
     assert not bad, bad
+
+
+def test_no_scale_errors_in_extra_tier(spark, sf_smoke):
+    """The extra tier under the same lint — with the deliberate,
+    documented exceptions allow-listed per query."""
+    from vector_db_spark.plans import audit_plan
+    from vector_db_spark.queries import EXTRA_QUERIES
+
+    bad = {}
+    for name, fn in EXTRA_QUERIES.items():
+        df = fn(spark, sf_smoke)
+        findings = [
+            f
+            for f in audit_plan(df, allow=_AUDIT_ALLOW.get(name, ()))
+            if f.severity == "error"
+        ]
+        if findings:
+            bad[name] = [(f.code, f.detail) for f in findings]
+    assert not bad, bad
