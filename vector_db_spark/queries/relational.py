@@ -1226,3 +1226,95 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_merge(current, updates, "c_custkey", ["segment"], "ts")
+
+
+# --- funnel conversion --------------------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    extra=True,
+    oracle=f"""
+WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+       WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s0.t0 GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s1.t1 GROUP BY 1)
+SELECT 0 AS step_idx, '{_FUNNEL[0]}' AS step,
+       (SELECT count(*) FROM s0)::BIGINT AS users
+UNION ALL SELECT 1, '{_FUNNEL[1]}', (SELECT count(*) FROM s1)::BIGINT
+UNION ALL SELECT 2, '{_FUNNEL[2]}', (SELECT count(*) FROM s2)::BIGINT
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): a user advances a step
+    only with an event strictly after their previous step's first
+    completion — the sequential-min semantics real funnel tools use.
+    One keyed aggregation + one join per step; user-bounded state."""
+    ev = load_table(spark, sf_dir, "events")
+    reached = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [reached.count()]
+    for step in _FUNNEL[1:]:
+        reached = (
+            ev.filter(F.col("event_type") == step)
+            .join(reached.select("user_id", F.col("t").alias("prev_t")), "user_id")
+            .filter(F.col("ts") > F.col("prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append(reached.count())
+    return spark.createDataFrame(
+        [(i, s, c) for i, (s, c) in enumerate(zip(_FUNNEL, counts))],
+        "step_idx int, step string, users long",
+    )
+
+
+# --- cohort retention ---------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    extra=True,
+    oracle="""
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT f.cohort AS cohort_week,
+       ((epoch(a.wk) - epoch(f.cohort)) // 604800)::INTEGER AS week_offset,
+       count(DISTINCT a.user_id)::BIGINT AS active_users
+FROM first f JOIN active a USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    in each subsequent active week (UTC-pinned ISO weeks, integer-exact
+    offsets). Two aggregations + one user-keyed join."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        first.join(active, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            (
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort"))
+                / F.lit(604800)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
