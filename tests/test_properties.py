@@ -279,3 +279,80 @@ def test_chunking_covers_every_char_exactly(texts, size, overlap_frac):
         # no start beyond the text, and the last chunk reaches the end
         assert chunks[-1].chunk_start <= max(len(t) - 1, 0)
         assert chunks[-1].chunk_start + len(chunks[-1].chunk_text) == len(t)
+
+
+@settings(**SETTINGS)
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "ba", "c"]), min_size=1, max_size=12),
+    pair=st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("ab", "b")]),
+)
+def test_bpe_merge_fold_matches_ltr_scan(syms, pair):
+    """The native-fold merge must equal a plain left-to-right scan for any
+    symbol sequence, including self-overlapping and merged-token cases."""
+    from vector_db_spark.operators.bpe import merge_pair
+
+    spark = _get_spark()
+    a, b = pair
+    got = (
+        spark.createDataFrame([(syms,)], "symbols array<string>")
+        .select(merge_pair(F.col("symbols"), a, b).alias("m"))
+        .collect()[0]["m"]
+    )
+    want, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            want.append(a + b)
+            i += 2
+        else:
+            want.append(syms[i])
+            i += 1
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=2, max_size=25
+    ),
+    k=st.integers(1, 2),
+)
+def test_fuzzy_join_matches_brute_force(words, k):
+    """q-gram blocking + short pool must lose NO pair vs brute-force
+    levenshtein over a tiny alphabet (maximally adversarial for shared
+    grams)."""
+    from tests.test_fuzzyjoin import _brute
+    from vector_db_spark.operators.fuzzyjoin import fuzzy_self_join
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in fuzzy_self_join(df, "s", max_dist=k).collect()
+    }
+    assert got == _brute(words, k)
+
+
+@settings(**SETTINGS)
+@given(
+    items=st.lists(st.integers(0, 30), min_size=10, max_size=300),
+    frac=st.sampled_from([0.05, 0.1, 0.2]),
+)
+def test_heavy_hitters_exact_on_random_streams(items, frac):
+    import math
+    from collections import Counter
+
+    from vector_db_spark.operators.heavyhitters import heavy_hitters
+
+    spark = _get_spark()
+    vals = [str(x) for x in items]
+    threshold = max(1, math.ceil(frac * len(vals)))
+    df = spark.createDataFrame([(v,) for v in vals], "item string").repartition(5)
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(
+            df, "item", threshold=threshold,
+            k=math.ceil(len(vals) / threshold),
+        ).collect()
+    }
+    want = {v: c for v, c in Counter(vals).items() if c >= threshold}
+    assert got == want
