@@ -1318,3 +1318,57 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# --- incremental view maintenance ---------------------------------------------
+
+_IVM_MOD = 10  # event_id % 10 == 0 → the "new batch"
+
+
+@register(
+    "incremental_hourly_counts",
+    extra=True,
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY 1, 2
+""",
+)
+def incremental_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/maintenance.py
+    merge_agg_delta): the corpus is split into an already-aggregated base
+    and a fresh delta batch; merging the two PRE-AGGREGATED states must
+    equal the oracle's full recompute over everything — the defining IVM
+    contract, hash-checked. Values are summed in integer cents (the
+    engine-exact idiom) so the merge is bit-identical to the recompute."""
+    from vector_db_spark.operators.maintenance import merge_agg_delta
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("hour", "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("value_cents").alias("value_cents"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    base = agg(ev.filter(F.col("event_id") % _IVM_MOD != 0))
+    delta = agg(ev.filter(F.col("event_id") % _IVM_MOD == 0))
+    return merge_agg_delta(
+        base,
+        delta,
+        ["hour", "event_type"],
+        sum_cols=("value_cents",),
+        count_col="n",
+        min_cols=("first_ts",),
+        max_cols=("last_ts",),
+    )
