@@ -157,3 +157,18 @@ def test_pagerank_random_graph_and_partition_invariance(spark):
     want = _ref_pagerank(edges, nodes, n_iter=12)
     for v in nodes:
         assert abs(got[v] - want[v]) < 1e-8
+
+
+def test_triangle_count_known_graphs(spark):
+    from vector_db_spark.operators.knn_graph import triangle_count
+
+    # K4 (4 triangles) ∪ a path 10-11-12 (0 triangles) ∪ a triangle 20-21-22
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(10, 11), (11, 12)] + [(20, 21), (21, 22), (22, 20)]
+    # duplicates and reversed edges must not change the count
+    edges = edges + [(b, a) for a, b in edges[:4]] + edges[:2]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == 5
+    assert row["n_edges"] == len(k4) + 2 + 3
+    assert row["n_nodes"] == 4 + 3 + 3

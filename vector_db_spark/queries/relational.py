@@ -1372,3 +1372,41 @@ def incremental_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_cols=("first_ts",),
         max_cols=("last_ts",),
     )
+
+
+# --- triangle counting over the part co-occurrence graph ----------------------
+
+
+@register(
+    "part_cooccurrence_triangles",
+    extra=True,
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+n AS (SELECT count(DISTINCT v) AS n_nodes
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e))
+SELECT n.n_nodes::BIGINT AS n_nodes,
+       (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       (SELECT count(*) FROM e e1
+          JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)::BIGINT AS n_triangles
+FROM n
+""",
+)
+def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (operators/knn_graph.py triangle_count) of the
+    parts-bought-together graph (parts are linked when they share an
+    order) — graph analytics over a join-derived edge list, value-checked
+    end to end."""
+    from vector_db_spark.operators.knn_graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    return triangle_count(edges)
