@@ -223,3 +223,39 @@ def test_late_interaction_self_retrieval_and_shape(spark):
         top = min(rows_, key=lambda r: r["rank"])
         assert top["doc_id"] == qid          # own doc wins
         assert abs(top["score"] - 4.0) < 1e-5  # Σ of 4 perfect matches
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    from vector_db_spark.operators.curation import weighted_sample
+
+    rows = [(i, 1000.0 if i < 20 else 1.0) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(docs, F.col("w"), 20).collect()}
+    assert len(got) == 20
+    heavy = sum(1 for i in got if i < 20)
+    assert heavy >= 15  # 1000:1 weights dominate the draw
+    # engine-reproducible: identical under repartition
+    got2 = {
+        r["doc_id"]
+        for r in weighted_sample(docs.repartition(7), F.col("w"), 20).collect()
+    }
+    assert got == got2
+
+
+def test_percolate_conjunction_semantics(spark):
+    from vector_db_spark.operators.hybrid import percolate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the hash join plan"),
+            (2, "hash only here"),
+            (3, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    stored = spark.createDataFrame(
+        [("q1", ["hash", "join"]), ("q2", ["hash"])],
+        "query_id string, terms array<string>",
+    )
+    got = {(r["doc_id"], r["query_id"]) for r in percolate(docs, stored).collect()}
+    assert got == {(1, "q1"), (1, "q2"), (2, "q2")}

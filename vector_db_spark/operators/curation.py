@@ -396,3 +396,44 @@ def bigram_doc_scores(
             F.round(F.col("bits"), 2).alias("bigram_bits"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight: Column,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: the top-``n`` rows by the
+    A-Res key ``u^(1/w)`` (Efraimidis-Spirakis) — each row's inclusion
+    probability is proportional to ``weight`` among competitors, computed
+    in one distributed TakeOrdered pass (no sequential reservoir, no
+    rejection loop).
+
+    The uniform is md5-derived (15 hex nibbles → (0,1), the repo's
+    engine-reproducible randomness idiom), so the SAME sample comes out of
+    any engine, any partitioning, any rerun — a quality-weighted corpus
+    subsample you can re-derive, audit, and oracle-check. ``pow`` and
+    ``ln`` are IEEE-deterministic; ties are broken by id.
+
+    Scale: map-side key computation + global top-n (TakeOrderedAndProject
+    — partial top-n per partition, n·P rows to the driver-side merge)."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    val: Column = F.lit(0)
+    for i in range(15):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+        val = val + nib.cast("long") * F.lit(16 ** (14 - i))
+    u = (val.cast("double") + 1.0) / F.lit(float(16**15 + 1))
+    key = F.pow(u, 1.0 / weight)
+    # 6-dp key rounding + id tiebreak: pow() is only ~1-ulp reproducible
+    # ACROSS engines (JVM Math.pow vs C libm), so the order contract rides
+    # on the rounded key, where a 1-ulp disagreement flips a boundary with
+    # probability ~1e-13 per row instead of ~1e-4
+    return (
+        docs.withColumn("__akey", F.round(key, 6))
+        .orderBy(F.col("__akey").desc(), F.col(id_col))
+        .limit(n)
+        .drop("__akey")
+    )

@@ -221,3 +221,49 @@ def late_interaction_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# percolation: stored queries matched against incoming documents
+# ---------------------------------------------------------------------------
+
+
+def percolate(
+    docs: DataFrame,
+    stored: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """(doc_id, query_id): which stored conjunctive term queries match each
+    document — search INVERTED: the queries are the persisted table and
+    the documents are the probe (the alerting/routing pattern; wire into
+    ``foreachBatch`` and each micro-batch of new docs triggers its
+    matching subscriptions).
+
+    Plan: the stored-query term table broadcasts (subscriptions are small
+    next to a corpus); distinct doc tokens equi-join the terms; one
+    partial-aggregated count per (doc, query) compared to the query's
+    term arity — a match means EVERY term hit. No crossJoin, no regex
+    over queries×docs; the corpus shuffles once, keyed on the token."""
+    q_terms = stored.select(
+        query_id_col, F.explode(terms_col).alias("tok")
+    )
+    q_arity = stored.select(
+        query_id_col, F.size(terms_col).alias("__need")
+    )
+    doc_toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    hits = (
+        doc_toks.join(F.broadcast(q_terms), "tok")
+        .groupBy(id_col, query_id_col)
+        .agg(F.count("*").alias("__got"))
+    )
+    return (
+        hits.join(F.broadcast(q_arity), query_id_col)
+        .filter(F.col("__got") == F.col("__need"))
+        .select(id_col, query_id_col)
+    )

@@ -477,3 +477,82 @@ def doc_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train long, n_test long, train_acc_ok boolean, "
         "test_acc_ok boolean, auc_ok boolean",
     )
+
+
+# --- weighted sampling (A-Res) ------------------------------------------------
+
+_WS_N = 50
+
+
+def _nib15(expr: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({expr}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+@register(
+    "weighted_sample_quality",
+    extra=True,
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         round(pow(({_nib15("md5(doc_id::VARCHAR || ':wsample')")} + 1.0)
+                   / {float(16**15 + 1)},
+                   1.0 / n_chars), 6) AS akey
+  FROM documents)
+SELECT doc_id, n_chars::BIGINT AS n_chars
+FROM k ORDER BY akey DESC, doc_id LIMIT {_WS_N}
+""",
+)
+def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample without replacement
+    (operators/curation.py weighted_sample), weights = document length:
+    md5-derived uniforms make the drawn sample engine-reproducible, so
+    the oracle re-derives the IDENTICAL 50 documents."""
+    from vector_db_spark.operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, F.col("n_chars"), _WS_N).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+# --- percolation (stored-query alerting) --------------------------------------
+
+_PERC_QUERIES = [
+    ("q_hash_join", ["hash", "join"]),
+    ("q_stream3", ["stream", "window", "batch"]),
+    ("q_sort", ["sort"]),
+    ("q_missing", ["zzzznope"]),
+]
+_PERC_VALUES = ", ".join(
+    f"('{q}', '{t}')" for q, terms in _PERC_QUERIES for t in terms
+)
+_PERC_ARITY = ", ".join(f"('{q}', {len(terms)})" for q, terms in _PERC_QUERIES)
+
+
+@register(
+    "percolate_alerts",
+    extra=True,
+    oracle=f"""
+WITH dt AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+qt AS (SELECT * FROM (VALUES {_PERC_VALUES}) v(query_id, tok)),
+ar AS (SELECT * FROM (VALUES {_PERC_ARITY}) v(query_id, need)),
+hits AS (SELECT dt.doc_id, qt.query_id, count(*) AS got
+         FROM dt JOIN qt USING (tok) GROUP BY 1, 2)
+SELECT h.doc_id, h.query_id
+FROM hits h JOIN ar USING (query_id) WHERE h.got = ar.need
+""",
+)
+def percolate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation (operators/hybrid.py percolate): four stored
+    conjunctive term subscriptions matched against every document —
+    search inverted, value-checked."""
+    from vector_db_spark.operators.hybrid import percolate
+
+    docs = load_table(spark, sf_dir, "documents")
+    stored = spark.createDataFrame(
+        _PERC_QUERIES, "query_id string, terms array<string>"
+    )
+    return percolate(docs, stored)
