@@ -1410,3 +1410,70 @@ def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     )
     return triangle_count(edges)
+
+
+# --- data-contract expectations -----------------------------------------------
+
+
+@register(
+    "table_expectations",
+    extra=True,
+    oracle="""
+SELECT 'unique(o_orderkey)' AS check, 'orders' AS table_name,
+       (SELECT COALESCE(sum(c - 1), 0) FROM (
+          SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1))::BIGINT
+         AS violations,
+       (SELECT COALESCE(sum(c - 1), 0) FROM (
+          SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) = 0 AS ok
+UNION ALL
+SELECT 'not_null(c_name)', 'customer',
+       (SELECT count(*) FROM customer WHERE c_name IS NULL)::BIGINT,
+       (SELECT count(*) FROM customer WHERE c_name IS NULL) = 0
+UNION ALL
+SELECT 'range(l_discount,[0.0,0.1])', 'lineitem',
+       (SELECT count(*) FROM lineitem
+         WHERE l_discount < 0.0 OR l_discount > 0.1)::BIGINT,
+       (SELECT count(*) FROM lineitem
+         WHERE l_discount < 0.0 OR l_discount > 0.1) = 0
+UNION ALL
+SELECT 'fk(o_custkey->c_custkey)', 'orders',
+       (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))::BIGINT,
+       (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)) = 0
+UNION ALL
+SELECT 'fk(l_orderkey->o_orderkey)', 'lineitem',
+       (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+       (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey)) = 0
+""",
+)
+def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit (operators/quality.py): pk uniqueness, null
+    rate, value range, and two referential-integrity checks over the
+    TPC-H-ish fixtures — exact violation counts, one unioned report."""
+    from vector_db_spark.operators.quality import (
+        expect_foreign_key,
+        expect_in_range,
+        expect_not_null,
+        expect_unique,
+        expectation_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return expectation_report(
+        [
+            expect_unique(orders, ["o_orderkey"], "orders"),
+            expect_not_null(customer, "c_name", "customer"),
+            expect_in_range(lineitem, "l_discount", 0.0, 0.1, "lineitem"),
+            expect_foreign_key(orders, "o_custkey", customer, "c_custkey", "orders"),
+            expect_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem"),
+        ]
+    )
