@@ -62,6 +62,16 @@ HEADLINE = [
     "stream_value_anomalies",
     "length_bucketed_batches",
     "ivf_recall_sweep",
+    "bq_retrieval_metrics",
+    "scd2_customer_history",
+    "funnel_conversion",
+    "cohort_retention",
+    "part_cooccurrence_triangles",
+    "incremental_hourly_counts",
+    "weighted_sample_quality",
+    "percolate_alerts",
+    "table_expectations",
+    "cluster_topic_terms",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number
