@@ -258,3 +258,45 @@ def test_running_anomaly_batch_boundary_invariance(spark, tmp_path):
     ids = [i for i, _ in outs[0]]
     assert 12 in ids and 14 in ids  # both spikes flagged
     assert all(i not in ids for i in range(12))  # calm prefix silent
+
+
+def test_percolation_over_doc_stream(spark, tmp_path):
+    """Stored-query alerting as micro-batch serving: documents arrive as a
+    2-file stream, each batch percolates against the static subscription
+    table through foreachBatch — the union of per-batch alerts must equal
+    the batch percolation over all docs (alerts are per-doc pure, so
+    commit boundaries cannot change them)."""
+    import os
+
+    from vector_db_spark.operators.hybrid import percolate
+    from vector_db_spark.streaming.ingest import query_serving_stream
+
+    stored = spark.createDataFrame(
+        [("q1", ["hash", "join"]), ("q2", ["stream"])],
+        "query_id string, terms array<string>",
+    )
+    docs = [
+        (1, "the hash join plan"),
+        (2, "a stream of batches"),
+        (3, "hash stream join"),
+        (4, "nothing here"),
+    ]
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.filter("doc_id <= 2").coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    df.filter("doc_id > 2").coalesce(1).write.mode("append").parquet(src)
+
+    q = query_serving_stream(
+        spark, src, sink,
+        lambda batch: percolate(batch, stored),
+        schema="doc_id long, text string",
+        checkpoint_dir=ckpt,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["doc_id"], r["query_id"]) for r in spark.read.parquet(sink).collect()
+    }
+    want = {(r["doc_id"], r["query_id"]) for r in percolate(df, stored).collect()}
+    assert got == want and (3, "q1") in got and (4, "q2") not in got
