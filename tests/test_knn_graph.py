@@ -172,3 +172,45 @@ def test_triangle_count_known_graphs(spark):
     assert row["n_triangles"] == 5
     assert row["n_edges"] == len(k4) + 2 + 3
     assert row["n_nodes"] == 4 + 3 + 3
+
+
+def test_k_core_matches_peeling_reference(spark):
+    import random
+    from collections import defaultdict
+
+    from vector_db_spark.operators.knn_graph import k_core
+
+    def ref_k_core(edges, k):
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for u in adj[v]:
+                        adj[u].discard(v)
+                    del adj[v]
+                    changed = True
+        return set(adj)
+
+    rng = random.Random(17)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(140)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 4):
+        got = {r["id"] for r in k_core(df, k).collect()}
+        assert got == ref_k_core(edges, k), k
+
+
+def test_k_core_known_graph(spark):
+    from vector_db_spark.operators.knn_graph import k_core
+
+    # K4 plus a pendant chain: 3-core = exactly the K4
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(3, 10), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert {r["id"] for r in k_core(df, 3).collect()} == {0, 1, 2, 3}
+    assert {r["id"] for r in k_core(df, 1).collect()} == {0, 1, 2, 3, 10, 11}

@@ -365,3 +365,47 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         .crossJoin(nodes.agg(F.count("*").alias("n_nodes")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_iter: int = 100,
+) -> DataFrame:
+    """(id): the nodes of the k-core — the maximal subgraph where every
+    node keeps degree ≥ k — by iterative peeling: drop sub-k-degree nodes,
+    recompute degrees on the induced subgraph, repeat until stable. The
+    standard corpus-graph densifier (keep only well-connected duplicates /
+    co-citation hubs before expensive per-component work).
+
+    Per iteration: one degree aggregation + two semi-joins to induce the
+    subgraph — O(E) each, O(peeling-depth) iterations (≤ max degree, in
+    practice a handful); lineage flattened per round via localCheckpoint.
+    Convergence is detected by node-count fixpoint — the count is the same
+    job that materializes the checkpoint, not an extra pass."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    e = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = -1
+    for _ in range(max_iter):
+        deg = e.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src").localCheckpoint(eager=True)
+        n = keep.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return keep.select(F.col("src").alias("id"))
