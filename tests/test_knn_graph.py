@@ -214,3 +214,37 @@ def test_k_core_known_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     assert {r["id"] for r in k_core(df, 3).collect()} == {0, 1, 2, 3}
     assert {r["id"] for r in k_core(df, 1).collect()} == {0, 1, 2, 3, 10, 11}
+
+
+def test_label_propagation_matches_reference_and_finds_cliques(spark):
+    from collections import Counter, defaultdict
+
+    from vector_db_spark.operators.knn_graph import label_propagation
+
+    def ref_lpa(edges, n_iter):
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        labels = {v: v for v in adj}
+        for _ in range(n_iter):
+            new = {}
+            for v in adj:
+                votes = Counter(labels[u] for u in adj[v])
+                top = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = top[0]
+            labels = new
+        return labels
+
+    # two 5-cliques joined by one bridge edge
+    c1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    c2 = [(a + 10, b + 10) for a, b in c1]
+    edges = c1 + c2 + [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["label"] for r in label_propagation(df, n_iter=5).collect()}
+    assert got == ref_lpa(edges, 5)
+    # the two cliques resolve to two communities
+    assert len({got[v] for v in range(5)}) == 1
+    assert len({got[v + 10] for v in range(5)}) == 1
+    assert got[0] != got[10]

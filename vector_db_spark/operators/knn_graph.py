@@ -409,3 +409,52 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     return keep.select(F.col("src").alias("id"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    n_iter: int = 10,
+) -> DataFrame:
+    """(id, label): community detection by synchronous label propagation —
+    every round each node adopts the most frequent label among its
+    neighbors (ties → smallest label), starting from self-labels. The
+    deterministic synchronous variant: no randomized visit order, so
+    results are a pure function of the graph (reruns and engines agree;
+    tests pin exact equality with a single-node reference). Synchronous
+    LPA can oscillate on bipartite-ish structures — the fixed iteration
+    cap is the standard remedy; communities are whatever the final
+    assignment is, as with every LPA.
+
+    Per round: one edge⋈label join + one (node, label) count + one argmax
+    window per node — all keyed shuffles, O(E) volume; lineage flattened
+    per round."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select("src").distinct().localCheckpoint(eager=True)
+    labels = nodes.select("src", F.col("src").cast("long").alias("label"))
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(n_iter):
+        votes = (
+            e.join(labels.select(F.col("src").alias("dst"), "label"), "dst")
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        best = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("src", "label")
+        )
+        labels = (
+            nodes.join(best, "src", "left")
+            .select("src", F.coalesce("label", F.col("src").cast("long")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("src").alias("id"), "label")
