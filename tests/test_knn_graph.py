@@ -248,3 +248,18 @@ def test_label_propagation_matches_reference_and_finds_cliques(spark):
     assert len({got[v] for v in range(5)}) == 1
     assert len({got[v + 10] for v in range(5)}) == 1
     assert got[0] != got[10]
+
+
+def test_link_prediction_known_graph(spark):
+    from vector_db_spark.operators.knn_graph import link_prediction_jaccard
+
+    # star 0-{1,2,3} plus edge 1-2: candidates (1,3),(2,3) share neighbor 0;
+    # (1,2) is an existing edge and must be excluded
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"]): r.asDict() for r in
+           link_prediction_jaccard(df, top_n=10).collect()}
+    assert (1, 2) not in got
+    # deg(1)=2, deg(3)=1, common={0} → jaccard 1/(2+1-1) = 0.5
+    assert got[(1, 3)]["common"] == 1 and got[(1, 3)]["jaccard"] == 0.5
+    assert got[(2, 3)]["jaccard"] == 0.5

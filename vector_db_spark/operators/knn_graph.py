@@ -458,3 +458,55 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select(F.col("src").alias("id"), "label")
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    top_n: int = 20,
+) -> DataFrame:
+    """(a, b, common, jaccard): the strongest NON-edges — unlinked node
+    pairs ranked by neighborhood Jaccard (common-neighbor count over
+    union degree), the classic link-prediction / related-items scorer.
+
+    Spark shape: candidate pairs come from the wedge join (two nodes can
+    only share a neighbor if a path of length 2 connects them — the same
+    Σ deg² volume as triangle counting, never nodes²); existing edges are
+    removed with one anti-join; degrees broadcast (node-sized). Ties
+    break (jaccard desc, a, b) for a deterministic top-n."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    # wedges through the shared neighbor m: (a, m) + (m, b), a < b
+    common = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+        .join(e.select(F.col("src").alias("m"), F.col("dst").alias("b")), "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    non_edges = common.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = (
+        non_edges.join(F.broadcast(deg.select(F.col("src").alias("a"), F.col("d").alias("da"))), "a")
+        .join(F.broadcast(deg.select(F.col("src").alias("b"), F.col("d").alias("db"))), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("jaccard").desc(), "a", "b").limit(top_n)

@@ -1477,3 +1477,51 @@ def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             expect_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem"),
         ]
     )
+
+
+# --- link prediction over the part co-occurrence graph ------------------------
+
+_LP_TOP = 20
+
+
+@register(
+    "part_link_prediction",
+    extra=True,
+    oracle=f"""
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+common AS (
+  SELECT w1.s AS a, w2.d AS b, count(*) AS common
+  FROM e w1 JOIN e w2 ON w1.d = w2.s
+  WHERE w1.s < w2.d
+  GROUP BY 1, 2),
+ne AS (
+  SELECT c.* FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = c.a AND e.d = c.b)),
+sc AS (
+  SELECT ne.a, ne.b, ne.common,
+         round(ne.common / (da.dg + db.dg - ne.common), 6) AS jaccard
+  FROM ne JOIN deg da ON ne.a = da.s JOIN deg db ON ne.b = db.s)
+SELECT a, b, common::BIGINT AS common, jaccard
+FROM sc ORDER BY jaccard DESC, a, b LIMIT {_LP_TOP}
+""",
+)
+def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (operators/knn_graph.py link_prediction_jaccard):
+    the 20 strongest not-yet-linked part pairs of the bought-together
+    graph by neighborhood Jaccard — related-items candidates, exact
+    against the oracle's full recomputation."""
+    from vector_db_spark.operators.knn_graph import link_prediction_jaccard
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    )
+    return link_prediction_jaccard(edges, top_n=_LP_TOP)

@@ -1021,3 +1021,55 @@ def length_bucketed_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucketed_batches(
         load_table(spark, sf_dir, "documents"), n_buckets=_LB_BUCKETS
     )
+
+
+# --- per-document TF-IDF keywords ---------------------------------------------
+
+_KW_TOP = 3
+
+
+@register(
+    "doc_keywords",
+    extra=True,
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) GROUP BY 1, 2),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS nd FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         round(tf.tf * ln((1.0 + nd) / (1.0 + df.df)), 6) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n)
+SELECT doc_id, tok AS term, tf::BIGINT AS tf, tfidf, kw_rank::INTEGER AS kw_rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS kw_rank FROM sc)
+WHERE kw_rank <= {_KW_TOP}
+""",
+)
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (smoothed idf
+    ``ln((1+N)/(1+df))``): two aggregations over the token stream (term
+    frequencies; document frequencies — broadcastable vocabulary), one
+    windowed top-k per doc. The per-doc tagging primitive of a corpus
+    browser, value-checked end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.count()
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf") * F.log((1.0 + nd) / (1.0 + F.col("df"))), 6
+            ).alias("tfidf"),
+        )
+        .withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= _KW_TOP)
+        .select("doc_id", "term", "tf", "tfidf", F.col("kw_rank").cast("int").alias("kw_rank"))
+    )
