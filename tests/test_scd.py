@@ -68,3 +68,22 @@ def test_scd2_open_rows_unique_per_key(spark):
         .count()
     )
     assert opens == 0
+
+
+def test_snapshot_diff_ops_and_null_handling(spark):
+    from vector_db_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b2", None), (4, None, 4.0)],
+        "id long, s string, v double",
+    )
+    got = {(r["op"], r["id"]): r.asDict() for r in
+           snapshot_diff(old, new, ["id"]).collect()}
+    assert set(got) == {("U", 2), ("D", 3), ("I", 4)}  # id 1 unchanged
+    assert got[("U", 2)]["s"] == "b2" and got[("U", 2)]["v"] is None
+    assert got[("D", 3)]["v"] == 3.0       # deletes carry the old values
+    assert got[("I", 4)]["s"] is None      # null value column on insert ok

@@ -83,3 +83,52 @@ def scd2_merge(
     return closed_rows.unionByName(keep_open).unionByName(close_old).unionByName(
         open_new
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """(op, *keys, ...columns): CDC-style diff of two table versions —
+    ``I`` rows exist only in ``new``, ``D`` only in ``old``, ``U`` exist
+    in both with any non-key column changed (null-safe comparison).
+    Unchanged rows are omitted.
+
+    One full-outer equi-join on the key (the minimal shuffle a diff can
+    have), change detection as a null-safe struct comparison inside
+    codegen. Emitted values are the NEW side for I/U and the old side
+    for D, so the diff is directly apply-able as a changeset."""
+    val_cols = [c for c in new.columns if c not in keys]
+    # explicit presence markers: a row may legitimately hold NULL value
+    # columns, so presence must not be inferred from them
+    o = old.select(
+        *keys, F.lit(True).alias("__o_p"),
+        *[F.col(c).alias(f"__o_{c}") for c in val_cols],
+    )
+    n = new.select(
+        *keys, F.lit(True).alias("__n_p"),
+        *[F.col(c).alias(f"__n_{c}") for c in val_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    in_old = F.coalesce(F.col("__o_p"), F.lit(False))
+    in_new = F.coalesce(F.col("__n_p"), F.lit(False))
+    changed = ~F.struct(*[F.col(f"__o_{c}") for c in val_cols]).eqNullSafe(
+        F.struct(*[F.col(f"__n_{c}") for c in val_cols])
+    )
+    op = (
+        F.when(in_old & ~in_new, F.lit("D"))
+        .when(~in_old & in_new, F.lit("I"))
+        .when(changed, F.lit("U"))
+    )
+    out_vals = [
+        F.when(F.col("__op") == "D", F.col(f"__o_{c}"))
+        .otherwise(F.col(f"__n_{c}"))
+        .alias(c)
+        for c in val_cols
+    ]
+    return (
+        j.withColumn("__op", op)
+        .filter(F.col("__op").isNotNull())
+        .select(F.col("__op").alias("op"), *keys, *out_vals)
+    )

@@ -1525,3 +1525,53 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
     )
     return link_prediction_jaccard(edges, top_n=_LP_TOP)
+
+
+# --- snapshot diff (CDC) ------------------------------------------------------
+
+
+@register(
+    "snapshot_diff_customers",
+    extra=True,
+    oracle="""
+WITH old AS (
+  SELECT c_custkey, c_mktsegment AS segment, round(c_acctbal, 2) AS bal
+  FROM customer WHERE c_custkey % 7 <> 0),
+new AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         round(c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 10.0 ELSE 0.0 END, 2) AS bal
+  FROM customer WHERE c_custkey % 11 <> 0)
+SELECT 'D' AS op, o.c_custkey, o.segment, o.bal
+FROM old o LEFT JOIN new n USING (c_custkey) WHERE n.c_custkey IS NULL
+UNION ALL
+SELECT 'I', n.c_custkey, n.segment, n.bal
+FROM new n LEFT JOIN old o USING (c_custkey) WHERE o.c_custkey IS NULL
+UNION ALL
+SELECT 'U', n.c_custkey, n.segment, n.bal
+FROM new n JOIN old o USING (c_custkey)
+WHERE o.bal <> n.bal OR o.segment <> n.segment
+""",
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/scd.py snapshot_diff): two
+    deterministic versions of the customer table (disjoint key drops +
+    planted balance bumps) diffed into an I/D/U changeset — one
+    full-outer join, value-checked."""
+    from vector_db_spark.operators.scd import snapshot_diff
+
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    new = cust.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 5 == 0, 10.0).otherwise(0.0),
+            2,
+        ).alias("bal"),
+    )
+    return snapshot_diff(old, new, ["c_custkey"])
