@@ -1575,3 +1575,42 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bal"),
     )
     return snapshot_diff(old, new, ["c_custkey"])
+
+
+# --- equi-width histogram -----------------------------------------------------
+
+_HIST_NB = 16
+
+
+@register(
+    "value_histogram",
+    extra=True,
+    oracle=f"""
+WITH st AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+SELECT least({_HIST_NB - 1},
+             floor((value - st.mn) / ((st.mx - st.mn) / {_HIST_NB})))::INTEGER
+         AS bucket,
+       count(*)::BIGINT AS n,
+       round(min(value), 2) AS lo, round(max(value), 2) AS hi
+FROM events CROSS JOIN st
+GROUP BY 1
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bucket equi-width histogram of event values: the two-pass shape
+    (exact min/max scalars, then one map-side bucket assignment + count) —
+    bucket math is identical double arithmetic in any engine because the
+    boundary scalars are exact column extrema, not estimates."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx")).collect()[0]
+    mn, mx = st["mn"], st["mx"]
+    width = (mx - mn) / _HIST_NB
+    b = F.least(F.lit(_HIST_NB - 1), F.floor((F.col("value") - mn) / width)).cast("int")
+    return (
+        ev.groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
