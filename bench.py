@@ -72,6 +72,10 @@ HEADLINE = [
     "percolate_alerts",
     "table_expectations",
     "cluster_topic_terms",
+    "part_link_prediction",
+    "doc_keywords",
+    "snapshot_diff_customers",
+    "value_histogram",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

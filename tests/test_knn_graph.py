@@ -263,3 +263,16 @@ def test_link_prediction_known_graph(spark):
     # deg(1)=2, deg(3)=1, common={0} → jaccard 1/(2+1-1) = 0.5
     assert got[(1, 3)]["common"] == 1 and got[(1, 3)]["jaccard"] == 0.5
     assert got[(2, 3)]["jaccard"] == 0.5
+
+
+def test_link_prediction_scoped_sources(spark):
+    from vector_db_spark.operators.knn_graph import link_prediction_jaccard
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    src = spark.createDataFrame([(3,)], "id long")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           link_prediction_jaccard(df, top_n=10, sources=src).collect()}
+    # only pairs with a == 3 appear; directed (3, b) including b < a
+    assert set(k[0] for k in got) == {3}
+    assert got[(3, 1)] == 0.5 and got[(3, 2)] == 0.5

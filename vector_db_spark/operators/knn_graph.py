@@ -466,16 +466,26 @@ def link_prediction_jaccard(
     dst_col: str = "dst",
     *,
     top_n: int = 20,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, common, jaccard): the strongest NON-edges — unlinked node
     pairs ranked by neighborhood Jaccard (common-neighbor count over
     union degree), the classic link-prediction / related-items scorer.
 
     Spark shape: candidate pairs come from the wedge join (two nodes can
-    only share a neighbor if a path of length 2 connects them — the same
-    Σ deg² volume as triangle counting, never nodes²); existing edges are
-    removed with one anti-join; degrees broadcast (node-sized). Ties
-    break (jaccard desc, a, b) for a deterministic top-n."""
+    only share a neighbor if a path of length 2 connects them — never
+    nodes²); existing edges are removed with one anti-join; degrees
+    broadcast (node-sized). Ties break (jaccard desc, a, b) for a
+    deterministic top-n.
+
+    **Scale knob — ``sources``.** The all-pairs wedge volume is Σ deg²
+    (~300 M at sf0.1's dense co-purchase graph: 68 s measured, and
+    growing quadratically with density). Real deployments score
+    candidates FOR a target set (the items on the page, the batch being
+    refreshed), so passing a one-column ``sources`` frame restricts the
+    wedge's ``a`` side to it map-side — volume drops to
+    Σ_{a∈S} deg(a)·deg(m), linear in |S|. With sources, pairs are
+    directed (a ∈ S, b anywhere); without, unordered a < b."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     e = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -484,11 +494,17 @@ def link_prediction_jaccard(
         .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
-    # wedges through the shared neighbor m: (a, m) + (m, b), a < b
+    # wedges through the shared neighbor m: (a, m) + (m, b)
+    a_side = e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+    if sources is not None:
+        src_ids = sources.select(F.col(sources.columns[0]).alias("a")).distinct()
+        a_side = a_side.join(F.broadcast(src_ids), "a", "left_semi")
+        pair_cond = F.col("a") != F.col("b")
+    else:
+        pair_cond = F.col("a") < F.col("b")
     common = (
-        e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
-        .join(e.select(F.col("src").alias("m"), F.col("dst").alias("b")), "m")
-        .filter(F.col("a") < F.col("b"))
+        a_side.join(e.select(F.col("src").alias("m"), F.col("dst").alias("b")), "m")
+        .filter(pair_cond)
         .groupBy("a", "b")
         .agg(F.count("*").alias("common"))
     )
