@@ -115,3 +115,26 @@ def test_batch_tiebreak_at_partition_boundary(spark):
     got_sql = knn_join(queries, corpus, 5, impl="sql").collect()
     assert [r.neighbor_id for r in got_batch] == [0, 1, 2, 3, 4]
     assert [tuple(r) for r in got_batch] == [tuple(r) for r in got_sql]
+
+
+def test_isotropy_identity_matches_brute_pairs(spark):
+    """The no-pairs identity must equal the literal all-pairs mean dot."""
+    import numpy as np
+
+    from vector_db_spark.queries.vector import embedding_isotropy
+
+    # run on the real fixture and cross-check with numpy brute force
+    from vector_db_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_isotropy(spark, sf).collect()[0]
+    X = np.array(
+        [r["embedding"] for r in load_table(spark, sf, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    n = len(X)
+    G = X @ X.T
+    brute = (G.sum() - np.trace(G)) / (n * (n - 1))
+    assert got["n_vectors"] == n
+    assert abs(got["mean_pairwise_dot"] - round(float(brute), 4)) <= 1e-4
+    assert abs(got["mean_norm_sq"] - round(float(np.trace(G) / n), 4)) <= 1e-4

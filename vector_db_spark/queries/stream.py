@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_db_spark.io import load_table
@@ -347,3 +347,63 @@ def stream_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     return run_to_memory(running_anomaly_stream(events), output_mode="append")
+
+
+# --- frequent event sequences -------------------------------------------------
+
+_SEQ_TOP = 15
+
+
+@register(
+    "frequent_event_paths",
+    extra=True,
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+big AS (
+  SELECT a.event_type AS step1, b.event_type AS step2, count(*) AS n
+  FROM ordered a JOIN ordered b
+    ON a.user_id = b.user_id AND b.rn = a.rn + 1
+  GROUP BY 1, 2)
+SELECT step1, step2, n::BIGINT AS n, rank::INTEGER AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY n DESC, step1, step2) AS rank FROM big)
+WHERE rank <= {_SEQ_TOP}
+""",
+)
+def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top consecutive event-type transitions across user journeys (the
+    behavioral path-mining primitive): per-user event-time ordering via
+    collect-sort inside one aggregation, zip-shift pairs map-side (no
+    positional self-join — the oracle does it the heavyweight rn-join
+    way), one count aggregation, global top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ).alias("seq")
+        )
+    )
+    pairs = seqs.filter(F.size("seq") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("seq", 1, F.size("seq") - 1),
+                F.slice("seq", 2, F.size("seq") - 1),
+                lambda a, b: F.struct(a.alias("step1"), b.alias("step2")),
+            )
+        ).alias("p")
+    )
+    counts = pairs.groupBy("p.step1", "p.step2").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "step1", "step2")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SEQ_TOP)
+        .select("step1", "step2", F.col("n").cast("long").alias("n"),
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -544,3 +544,52 @@ def bq_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(TOP_K + 1) - F.col("rank")).cast("double").alias("rel"),
     )
     return retrieval_metrics(results, qrels, TOP_K)
+
+
+# --- embedding isotropy audit -------------------------------------------------
+
+
+@register(
+    "embedding_isotropy",
+    extra=True,
+    oracle="""
+WITH dims AS (
+  SELECT unnest(embedding) AS x, unnest(range(0, len(embedding))) AS i
+  FROM embeddings),
+per_dim AS (SELECT i, sum(CAST(x AS DOUBLE)) AS s FROM dims GROUP BY i),
+agg AS (
+  SELECT (SELECT count(*) FROM embeddings) AS n,
+         (SELECT sum(s * s) FROM per_dim) AS sum_sq_of_sums,
+         (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM dims) AS sum_norms_sq)
+SELECT n::BIGINT AS n_vectors,
+       round(sum_norms_sq / n, 4) AS mean_norm_sq,
+       round((sum_sq_of_sums - sum_norms_sq) / (n * (n - 1.0)), 4)
+         AS mean_pairwise_dot
+FROM agg
+""",
+)
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit: the mean pairwise dot product over
+    ALL n² vector pairs, computed WITHOUT materializing a single pair via
+    the algebraic identity ``Σ_{i≠j} vi·vj = ||Σv||² - Σ||v||²`` — one
+    aggregation over the exploded dim stream, O(n·d) total. (High mean
+    pairwise similarity = the anisotropic cone that degrades cosine
+    retrieval; the standard audit before deciding to center/whiten with
+    operators/pca.py.) Rounded to 4 dp: the identity's float sums differ
+    from the oracle's only in summation order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("i", "x")).select(
+        "i", F.col("x").cast("double").alias("x")
+    )
+    per_dim = dims.groupBy("i").agg(F.sum("x").alias("s"))
+    n = emb.count()
+    sums = per_dim.agg(F.sum(F.col("s") * F.col("s")).alias("sum_sq_of_sums")).crossJoin(
+        dims.agg(F.sum(F.col("x") * F.col("x")).alias("sum_norms_sq"))
+    )
+    return sums.select(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.round(F.col("sum_norms_sq") / n, 4).alias("mean_norm_sq"),
+        F.round(
+            (F.col("sum_sq_of_sums") - F.col("sum_norms_sq")) / (n * (n - 1.0)), 4
+        ).alias("mean_pairwise_dot"),
+    )
