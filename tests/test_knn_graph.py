@@ -276,3 +276,42 @@ def test_link_prediction_scoped_sources(spark):
     # only pairs with a == 3 appear; directed (3, b) including b < a
     assert set(k[0] for k in got) == {3}
     assert got[(3, 1)] == 0.5 and got[(3, 2)] == 0.5
+
+
+def test_core_numbers_match_reference(spark):
+    import random
+    from collections import defaultdict
+
+    from vector_db_spark.operators.knn_graph import core_numbers
+
+    def ref_coreness(edges):
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        core = {}
+        deg = {v: len(ns) for v, ns in adj.items()}
+        remaining = dict(adj)
+        k = 0
+        while remaining:
+            k_nodes = [v for v in remaining if deg[v] <= k]
+            if not k_nodes:
+                k += 1
+                continue
+            for v in k_nodes:
+                core[v] = k
+                for u in remaining[v]:
+                    if u in remaining:
+                        deg[u] -= 1
+                        remaining[u].discard(v)
+                del remaining[v]
+                deg.pop(v, None)
+        return core
+
+    rng = random.Random(23)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["core"] for r in core_numbers(df).collect()}
+    assert got == ref_coreness(edges)

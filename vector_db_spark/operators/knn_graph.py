@@ -526,3 +526,41 @@ def link_prediction_jaccard(
         )
     )
     return scored.orderBy(F.col("jaccard").desc(), "a", "b").limit(top_n)
+
+
+def core_numbers(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_k: int = 16,
+) -> DataFrame:
+    """(id, core): each node's coreness — the largest k for which it
+    survives the k-core peel. Computed by running :func:`k_core` for
+    ascending k until the core empties (≤ max_k): O(k_max) peel sequences,
+    each O(E)-per-iteration; fine for the moderate k_max of similarity
+    graphs (a bounded-degree k-NN graph has coreness ≤ its degree m).
+    For social-scale k_max, the one-pass distributed peeling that tracks
+    per-node removal rounds is the documented upgrade path."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
+    )
+    result = nodes.select(F.col("src").alias("id"), F.lit(0).alias("core"))
+    for k in range(1, max_k + 1):
+        members = k_core(e, k, "src", "dst")
+        n = members.count()
+        if n == 0:
+            break
+        result = (
+            result.join(members.withColumnRenamed("id", "__m"),
+                        result["id"] == F.col("__m"), "left")
+            .select(
+                "id",
+                F.when(F.col("__m").isNotNull(), F.lit(k))
+                .otherwise(F.col("core"))
+                .alias("core"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return result

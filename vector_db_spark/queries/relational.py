@@ -1617,3 +1617,45 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+# --- winsorized statistics ----------------------------------------------------
+
+
+@register(
+    "winsorized_value_stats",
+    extra=True,
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(value, 0.05) AS p05, quantile_cont(value, 0.95) AS p95
+  FROM events)
+SELECT count(*)::BIGINT AS n,
+       round(q.p05, 6) AS p05, round(q.p95, 6) AS p95,
+       round(avg(least(greatest(value, q.p05), q.p95)), 4) AS winsor_mean,
+       sum(CASE WHEN value < q.p05 OR value > q.p95 THEN 1 ELSE 0 END)::BIGINT
+         AS n_clipped
+FROM events CROSS JOIN q
+GROUP BY q.p05, q.p95
+""",
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%-clipped) statistics of event values — the
+    outlier-robust mean a metrics pipeline reports next to the raw one.
+    Exact linear-interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`), then one map-side clip + aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    ).collect()[0]
+    p05, p95 = q["p05"], q["p95"]
+    clipped = F.least(F.greatest(F.col("value"), F.lit(p05)), F.lit(p95))
+    return ev.agg(
+        F.count("*").alias("n"),
+        F.round(F.lit(p05), 6).alias("p05"),
+        F.round(F.lit(p95), 6).alias("p95"),
+        F.round(F.avg(clipped), 4).alias("winsor_mean"),
+        F.sum(
+            ((F.col("value") < p05) | (F.col("value") > p95)).cast("long")
+        ).alias("n_clipped"),
+    )
