@@ -76,6 +76,9 @@ HEADLINE = [
     "doc_keywords",
     "snapshot_diff_customers",
     "value_histogram",
+    "frequent_event_paths",
+    "embedding_isotropy",
+    "winsorized_value_stats",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number
