@@ -1,0 +1,150 @@
+"""Mergeable sketches (operators/sketches.py): HLL segment/rollup
+lifecycle and the quantile digest's rank-error guarantee.
+
+The digest's contract is *rank* accuracy — for any q, the true rank of
+the returned estimate lies within ±2/max_centroids of q (one compression
+level at build, one at merge). Tests pin that bound on skewed data, under
+repartitioning, and across a persisted day-segment rollup — the exact
+lifecycle the 100 TB posture sells (summaries persisted once, history
+never rescanned)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.sketches import (
+    _compress,
+    digest_quantiles,
+    hll_rollup,
+    hll_segment_sketches,
+    merge_digests,
+    quantile_digest,
+)
+
+
+def _rank_err(values: np.ndarray, est: float, q: float) -> float:
+    """Distance from q to the estimate's rank *interval* [frac(<est),
+    frac(<=est)] — ties make rank an interval, not a point."""
+    lo = float((values < est).sum()) / len(values)
+    hi = float((values <= est).sum()) / len(values)
+    return max(lo - q, q - hi, 0.0)
+
+
+# --- kernel ------------------------------------------------------------------
+
+
+def test_compress_exact_below_capacity():
+    v = np.array([5.0, 1.0, 3.0])
+    m, w = _compress(v, np.ones(3), max_c=8)
+    assert m.tolist() == [1.0, 3.0, 5.0]
+    assert w.tolist() == [1.0, 1.0, 1.0]
+
+
+def test_compress_preserves_total_weight_and_order():
+    rng = np.random.RandomState(7)
+    v = rng.lognormal(0, 2, size=10_000)
+    m, w = _compress(v, np.ones_like(v), max_c=64)
+    assert len(m) <= 64
+    assert w.sum() == pytest.approx(10_000)
+    assert (np.diff(m) >= 0).all()
+
+
+def test_compress_deterministic():
+    rng = np.random.RandomState(11)
+    v = rng.normal(size=5000)
+    a = _compress(v, np.ones_like(v), 128)
+    b = _compress(v.copy(), np.ones_like(v), 128)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+# --- digest rank-error bound -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    rng = np.random.RandomState(42)
+    vals = np.concatenate(
+        [rng.lognormal(0, 2, 6000), rng.uniform(0, 1e6, 2000), np.zeros(500)]
+    )
+    grp = (np.arange(len(vals)) % 3).astype("int64")
+    df = spark.createDataFrame(
+        [(int(g), float(v)) for g, v in zip(grp, vals)], "g long, x double"
+    )
+    return df, vals, grp
+
+
+def test_digest_rank_error_bound(spark, skewed):
+    df, vals, grp = skewed
+    dig = quantile_digest(df, "x", ["g"], max_centroids=256)
+    out = digest_quantiles(dig, [0.01, 0.25, 0.5, 0.9, 0.99], ["g"]).collect()
+    assert len(out) == 15
+    for r in out:
+        sub = vals[grp == r.g]
+        # 2 levels × 1/256, plus per-Arrow-batch partials slack
+        assert _rank_err(sub, r.est, r.q) <= 0.02, (r.g, r.q)
+
+
+def test_digest_partition_layout_rank_invariant(spark, skewed):
+    df, vals, _ = skewed
+    for parts in (1, 7):
+        dig = quantile_digest(df.repartition(parts), "x", max_centroids=256)
+        (row,) = digest_quantiles(dig, [0.5]).collect()
+        assert _rank_err(vals, row.est, 0.5) <= 0.02
+
+
+def test_digest_exact_for_small_groups(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    dig = quantile_digest(df, "x", max_centroids=512)
+    (row,) = digest_quantiles(dig, [0.5]).collect()
+    # n < max_centroids: digest holds every value; estimate is the first
+    # value whose cumulative count reaches half ⇒ exactly 49.0
+    assert row.est == 49.0
+
+
+def test_merge_digests_day_rollup(spark, tmp_path, skewed):
+    df, vals, _ = skewed
+    daily = quantile_digest(
+        df.withColumn("day", F.col("g")), "x", ["day"], max_centroids=256
+    )
+    path = str(tmp_path / "daily_digests")
+    daily.write.parquet(path)  # persisted summary table — the whole point
+    reopened = spark.read.parquet(path)
+    total = merge_digests(reopened.drop("day"), [], max_centroids=256)
+    (row,) = digest_quantiles(total, [0.9]).collect()
+    assert _rank_err(vals, row.est, 0.9) <= 0.03  # 3 levels
+
+
+# --- HLL lifecycle -----------------------------------------------------------
+
+
+def test_hll_segment_persist_merge(spark, tmp_path, sf_correctness):
+    ev = spark.read.parquet(f"{sf_correctness}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":  # nanos fixture variant
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = ev.withColumn("day", F.to_date("ts"))
+    seg = hll_segment_sketches(ev, "user_id", ["event_type", "day"])
+    path = str(tmp_path / "hll_segments")
+    seg.write.parquet(path)  # binary sketch column persists as plain Parquet
+    reopened = spark.read.parquet(path)
+
+    est = {r.event_type: r.distinct_est for r in hll_rollup(reopened, ["event_type"]).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(0.05 * n, 2), k
+
+
+def test_hll_sparse_segments_are_cheap_and_tight(spark):
+    df = spark.createDataFrame(
+        [(i % 50, f"u{i % 400}") for i in range(5000)], "seg int, user string"
+    )
+    seg = hll_segment_sketches(df, "user", ["seg"])
+    (row,) = hll_rollup(seg.drop("seg").withColumn("one", F.lit(1)), ["one"]).collect()
+    assert abs(row.distinct_est - 400) <= 20
