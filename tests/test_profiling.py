@@ -1,0 +1,105 @@
+"""Unit pins for the wave-2 round-3 operators: key-skew profiling
+(operators/profiling.py), adaptive per-group cuts (operators/curation.py)
+and the matryoshka truncation audit (operators/evalmetrics.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.curation import per_group_quantile_cut, per_group_top_frac
+from vector_db_spark.operators.evalmetrics import truncation_overlap
+from vector_db_spark.operators.profiling import key_skew_report
+
+
+# --- key_skew_report ---------------------------------------------------------
+
+
+def test_key_skew_report_exact(spark):
+    # key 7 → 6 rows, keys 1..3 → 2 rows each: total 12, n_keys 4, mean 3
+    rows = [(7,)] * 6 + [(1,), (1,), (2,), (2,), (3,), (3,)]
+    df = spark.createDataFrame(rows, "k long")
+    (r,) = key_skew_report(df, "k").collect()
+    assert (r.n_keys, r.total_rows, r.max_cnt, r.top_key) == (4, 12, 6, 7)
+    assert r.skew_ratio == pytest.approx(2.0)
+    assert r.salt_hint == 2
+
+
+def test_key_skew_report_tie_breaks_to_max_key(spark):
+    df = spark.createDataFrame([(1,), (1,), (9,), (9,), (4,)], "k long")
+    (r,) = key_skew_report(df, "k").collect()
+    assert r.max_cnt == 2 and r.top_key == 9  # 1 and 9 tie; larger key wins
+
+
+def test_key_skew_report_uniform(spark):
+    df = spark.createDataFrame([(i % 5,) for i in range(25)], "k long")
+    (r,) = key_skew_report(df, "k").collect()
+    assert r.skew_ratio == pytest.approx(1.0) and r.salt_hint == 1
+
+
+# --- per-group adaptive cuts -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # two groups: "a" 10 rows score=id, "b" 4 rows score=100+id
+    rows = [(i, "a", float(i)) for i in range(10)] + [
+        (100 + i, "b", 100.0 + i) for i in range(4)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, g string, s double")
+
+
+def test_per_group_top_frac_exact(spark, scored):
+    out = per_group_top_frac(scored, "g", "s", 0.5).collect()
+    by_g = {g: sorted(r.doc_id for r in out if r.g == g) for g in ("a", "b")}
+    assert by_g["a"] == [5, 6, 7, 8, 9]  # top 5 of 10 by score
+    assert by_g["b"] == [102, 103]  # top 2 of 4
+
+
+def test_per_group_top_frac_keeps_at_least_one(spark, scored):
+    out = per_group_top_frac(scored, "g", "s", 0.01).collect()
+    by_g = {g: [r.doc_id for r in out if r.g == g] for g in ("a", "b")}
+    assert by_g["a"] == [9] and by_g["b"] == [103]
+
+
+def test_per_group_top_frac_tie_prefers_smaller_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 5.0), (3, "a", 1.0)], "doc_id long, g string, s double"
+    )
+    out = per_group_top_frac(df, "g", "s", 0.3).collect()  # ceil(0.9) = 1 row
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_per_group_quantile_cut_matches_exact_within_bound(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, "g" + str(i % 2), float(v))
+        for i, v in enumerate(rng.lognormal(0, 1, 4000))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+    kept = per_group_quantile_cut(df, "g", "s", 0.25, max_centroids=256)
+    for g in ("g0", "g1"):
+        n = df.filter(F.col("g") == g).count()
+        k = kept.filter(F.col("g") == g).count()
+        # boundary within the digest's rank-error bound (±2/256 + slack)
+        assert abs(k / n - 0.25) <= 0.02, g
+
+
+# --- truncation audit --------------------------------------------------------
+
+
+def test_truncation_overlap_full_dim_is_identity(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    out = truncation_overlap(emb, k=5, d_trunc=64, n_queries=5).collect()
+    assert len(out) == 5
+    assert all(r.overlap_frac == 1.0 for r in out)
+
+
+def test_truncation_overlap_prefix_keeps_self_hit(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    out = truncation_overlap(emb, k=5, d_trunc=8, n_queries=5).collect()
+    # each query's own vector is rank-1 under any prefix → overlap ≥ 1/k
+    assert all(r.overlap_cnt >= 1 for r in out)
+    assert all(0.0 <= r.overlap_frac <= 1.0 for r in out)

@@ -437,3 +437,62 @@ def weighted_sample(
         .limit(n)
         .drop("__akey")
     )
+
+
+def per_group_top_frac(
+    docs: DataFrame,
+    group_col: str,
+    score_col: str,
+    frac: float,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adaptive per-group quality cut: keep the top ``frac`` of each group
+    by ``score_col`` (at least one row per group), ties broken by smaller
+    id. A global threshold over-prunes weak domains and under-prunes
+    strong ones; ranking *within* the group (language, source, shard)
+    applies the same selectivity everywhere — the standard "per-language
+    quality floor" of corpus curation.
+
+    Exact semantics: survivor ⇔ row_number ≤ ⌈frac · n_group⌉ under
+    (score desc, id asc) — deterministic, reproducible in any engine with
+    window SQL. Cost: one shuffle on ``group_col`` + an in-partition
+    sort. If a single group outweighs a task at corpus scale, compute the
+    group's score threshold from a quantile digest instead
+    (operators/sketches.py) and filter map-side — same cut within the
+    digest's rank-error bound, no sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col)
+    ranked = docs.withColumn(
+        "__rk",
+        F.row_number().over(w.orderBy(F.desc(score_col), F.asc(id_col))),
+    ).withColumn("__n", F.count("*").over(w))
+    return ranked.filter(
+        F.col("__rk") <= F.greatest(F.lit(1), F.ceil(F.lit(frac) * F.col("__n")))
+    ).drop("__rk", "__n")
+
+
+def per_group_quantile_cut(
+    docs: DataFrame,
+    group_col: str,
+    score_col: str,
+    frac: float,
+    *,
+    max_centroids: int = 512,
+) -> DataFrame:
+    """The sort-free, corpus-scale form of :func:`per_group_top_frac`:
+    per-group score threshold from a mergeable quantile digest
+    (operators/sketches.py — raw scores never shuffle), broadcast back,
+    filter map-side. Keeps ≈ the top ``frac`` of each group, boundary
+    accuracy within the digest's rank-error bound (±2/max_centroids of
+    exact — pinned in tests/test_curation.py)."""
+    from vector_db_spark.operators.sketches import digest_quantiles, quantile_digest
+
+    dig = quantile_digest(docs, score_col, [group_col], max_centroids=max_centroids)
+    thr = digest_quantiles(dig, [1.0 - frac], [group_col]).select(
+        group_col, F.col("est").alias("__thr")
+    )
+    return docs.join(F.broadcast(thr), group_col).filter(
+        F.col(score_col) >= F.col("__thr")
+    ).drop("__thr")

@@ -84,3 +84,52 @@ def retrieval_metrics(
             ).alias("ndcg_k"),
         )
     )
+
+
+def truncation_overlap(
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    d_trunc: int = 16,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation audit: per query, the overlap@k between
+    exact k-NN under the full embedding and under its first ``d_trunc``
+    dimensions — ``(query_id, overlap_cnt, overlap_frac)``.
+
+    The operational question behind MRL-trained embeddings (Kusupati et
+    al., NeurIPS'22): how much retrieval quality survives storing/searching
+    a prefix of each vector (4× fewer bytes at d/4)? High overlap ⇒ the
+    prefix index can serve first-pass retrieval with full-dim re-rank —
+    exactly the two-stage shape operators/binquant.py uses for sign bits.
+
+    Both k-NN runs use the partial-top-k batch kernel (operators/knn.py);
+    the truncated side slices map-side, so its scan moves d_trunc/d of
+    the bytes. Deterministic end-to-end (rounded-distance + id
+    tie-breaks) ⇒ exact-oracle-checkable in SQL."""
+    from vector_db_spark.operators.knn import knn_self
+
+    full = knn_self(corpus, k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    trunc = knn_self(
+        corpus.withColumn(vec_col, F.slice(vec_col, 1, d_trunc)),
+        k,
+        n_queries=n_queries,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    inter = (
+        full.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("overlap_cnt"))
+    )
+    qids = full.select("query_id").distinct()
+    return qids.join(inter, "query_id", "left").select(
+        "query_id",
+        F.coalesce("overlap_cnt", F.lit(0)).alias("overlap_cnt"),
+        F.round(F.coalesce("overlap_cnt", F.lit(0)) / F.lit(float(k)), 6).alias(
+            "overlap_frac"
+        ),
+    )

@@ -556,3 +556,64 @@ def percolate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PERC_QUERIES, "query_id string, terms array<string>"
     )
     return percolate(docs, stored)
+
+
+# --- key-skew profiling + adaptive quality cut --------------------------------
+
+@register(
+    "event_key_skew",
+    oracle="""
+WITH c AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+s AS (SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS total_rows,
+             max(cnt)::BIGINT AS max_cnt
+      FROM c)
+SELECT n_keys, total_rows, max_cnt,
+       (SELECT max(k) FROM c WHERE cnt = (SELECT max(cnt) FROM c)) AS top_key,
+       round(max_cnt / (total_rows * 1.0 / n_keys), 6) AS skew_ratio,
+       CAST(ceil(max_cnt / (total_rows * 1.0 / n_keys)) AS BIGINT) AS salt_hint
+FROM s
+""",
+    extra=True,
+)
+def event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-key diagnostics (operators/profiling.py) on the
+    sessionization key: one O(1)-output job answering "how skewed is
+    user_id, and what salt fan-out levels it?" — the number every skew
+    mitigation in SCALE.md takes as input."""
+    from vector_db_spark.operators.profiling import key_skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id")
+
+
+@register(
+    "adaptive_quality_cut",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
+             + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6
+         ) AS quality
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, quality,
+         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM s
+)
+SELECT doc_id, lang, quality FROM r WHERE rk <= greatest(1, ceil(0.4 * n))
+""",
+    extra=True,
+)
+def adaptive_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality floor: keep the top 40 % of each
+    language by quality score (curation.per_group_top_frac) — same
+    selectivity for every domain, unlike a global threshold. Ranked on
+    the 6-dp-rounded score so the cross-engine order contract holds."""
+    from vector_db_spark.functions.text import quality_score
+    from vector_db_spark.operators.curation import per_group_top_frac
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.round(quality_score("text"), 6).alias("quality")
+    )
+    return per_group_top_frac(docs, "lang", "quality", 0.4)

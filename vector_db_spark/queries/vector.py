@@ -593,3 +593,47 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_sq_of_sums") - F.col("sum_norms_sq")) / (n * (n - 1.0)), 4
         ).alias("mean_pairwise_dot"),
     )
+
+
+_MATRYOSHKA_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         list_slice(embedding::DOUBLE[], 1, 16) AS qt
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), f AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_distance(q.qv, c.embedding::DOUBLE[]), 6), c.vec_id
+           ) AS r
+    FROM q CROSS JOIN embeddings c
+  ) WHERE r <= {TOP_K}
+), t AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_distance(q.qt, list_slice(c.embedding::DOUBLE[], 1, 16)), 6),
+                      c.vec_id
+           ) AS r
+    FROM q CROSS JOIN embeddings c
+  ) WHERE r <= {TOP_K}
+)
+SELECT f.query_id, count(t.neighbor_id)::BIGINT AS overlap_cnt,
+       round(count(t.neighbor_id) / {TOP_K}.0, 6) AS overlap_frac
+FROM f LEFT JOIN t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY 1
+"""
+
+
+@register("matryoshka_overlap", extra=True, oracle=_MATRYOSHKA_ORACLE)
+def matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation audit (operators/evalmetrics.py::truncation_overlap):
+    overlap@10 between full-dim (64) and prefix-dim (16) exact k-NN — the
+    measurement that licenses a prefix-dim first-pass index. Exact and
+    hash-checked; the truncated scan reads 1/4 of the vector bytes."""
+    from vector_db_spark.operators.evalmetrics import truncation_overlap
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncation_overlap(emb, k=TOP_K, d_trunc=16, n_queries=N_QUERIES)
