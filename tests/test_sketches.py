@@ -148,3 +148,20 @@ def test_hll_sparse_segments_are_cheap_and_tight(spark):
     seg = hll_segment_sketches(df, "user", ["seg"])
     (row,) = hll_rollup(seg.drop("seg").withColumn("one", F.lit(1)), ["one"]).collect()
     assert abs(row.distinct_est - 400) <= 20
+
+
+def test_hll_merge_is_batch_boundary_stable(spark):
+    """Segment layout must not change the merged answer beyond sketch
+    resolution. (Not bit-identical: DataSketches promotes sparse→dense at
+    layout-dependent points, so a single exact-mode sketch and a union of
+    thirteen can differ by a few counts — both stay within the error
+    bound, which is the contract streaming ingest relies on.)"""
+    df = spark.createDataFrame(
+        [(i, f"u{i % 777}") for i in range(4000)], "id long, user string"
+    )
+    one = hll_segment_sketches(df.withColumn("seg", F.lit(0)), "user", ["seg"])
+    many = hll_segment_sketches(df.withColumn("seg", F.col("id") % 13), "user", ["seg"])
+    (a,) = hll_rollup(one.select("hll").withColumn("g", F.lit(1)), ["g"]).collect()
+    (b,) = hll_rollup(many.select("hll").withColumn("g", F.lit(1)), ["g"]).collect()
+    assert abs(a.distinct_est - 777) <= 0.03 * 777
+    assert abs(b.distinct_est - 777) <= 0.03 * 777

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from vector_db_spark.functions.distance import euclidean
 from vector_db_spark.io import load_table
+from vector_db_spark.operators.knn import knn_join
 from vector_db_spark.operators.pq import PQModel
 from vector_db_spark.operators.topk import top_k_per_group
 from vector_db_spark.queries import register
@@ -183,3 +184,82 @@ def pq_adc_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     ).filter(F.col("query_id") < N_QUERIES)
     return model.adc_search(queries, codes, TOP_K)
+
+
+# --- OPQ: rotated PQ ----------------------------------------------------------
+
+_OPQ_CACHE: dict[str, tuple] = {}
+
+
+def _opq_model(spark: SparkSession, sf_dir: str) -> tuple:
+    """Train-once-per-process OPQ model + cached codes (same pattern as
+    _pq_model: the bench times the build separately)."""
+    if sf_dir not in _OPQ_CACHE:
+        from vector_db_spark.operators.opq import OPQModel
+
+        path = tempfile.mkdtemp(prefix="opq_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        model = OPQModel.train(spark, emb, path, n_chunks=M_CHUNKS, k=K_CODES)
+        codes = model.encode(emb).select("vec_id", "codes").cache()
+        codes.count()
+        _OPQ_CACHE[sf_dir] = (model, codes)
+    return _OPQ_CACHE[sf_dir]
+
+
+@register(
+    "opq_adc_recall",
+    oracle=f"""
+SELECT COUNT(*)::BIGINT AS n_queries, TRUE AS norm_ok, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+    extra=True,
+)
+def opq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ end-to-end invariant projection (operators/opq.py): the learned
+    rotation must preserve query norms (orthogonality, rel err < 1e-3)
+    and rotated-space ADC must reach the same mean-recall floor plain PQ
+    is held to (≥ 0.3 @10) — exact facts the oracle reproduces. The
+    rotation/codebook estimates themselves are pinned in tests/test_opq.py
+    (distortion + recall vs plain PQ)."""
+    model, codes = _opq_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < N_QUERIES)
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+
+    rot = model.rotate(queries, "query_vec").select(
+        "query_id", _norm(F.col("query_vec")).alias("rot_norm")
+    )
+    norms = (
+        queries.select("query_id", _norm(F.col("query_vec")).alias("orig_norm"))
+        .join(rot, "query_id")
+        .agg(
+            F.count("*").alias("n_queries"),
+            (
+                F.max(
+                    F.abs(F.col("rot_norm") - F.col("orig_norm"))
+                    / F.greatest(F.col("orig_norm"), F.lit(1e-9))
+                )
+                < 1e-3
+            ).alias("norm_ok"),
+        )
+    )
+
+    k = 10
+    exact = knn_join(queries, emb, k)
+    approx = model.adc_search(queries, codes, k)
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .agg((F.count("*") / F.lit(float(k * N_QUERIES)) >= 0.3).alias("recall_ok"))
+    )
+    return norms.join(F.broadcast(hits)).select("n_queries", "norm_ok", "recall_ok")

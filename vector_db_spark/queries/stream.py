@@ -407,3 +407,44 @@ def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("step1", "step2", F.col("n").cast("long").alias("n"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "stream_hll_rollup",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+       TRUE AS est_ok
+FROM events GROUP BY 1
+""",
+    extra=True,
+)
+def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch maintenance under streaming ingest: events re-staged as 4
+    files stream one per trigger through sketch_maintenance_stream; the
+    accumulated HLL segment table is rolled up per event type and must
+    land within 5 % of the exact distinct-user count — batch boundaries
+    change the number of sketch rows, never the merged answer (HLL union
+    is associative). Same invariant projection as hll_rollup_users, which
+    pins the batch-built path."""
+    from vector_db_spark.operators.sketches import hll_rollup
+    from vector_db_spark.streaming.ingest import sketch_maintenance_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="hll_stream_")
+    src, sketches, ckpt = (os.path.join(work, d) for d in ("src", "sketches", "ckpt"))
+    ev.repartition(4).write.parquet(src)
+
+    q = sketch_maintenance_stream(spark, src, sketches, checkpoint_dir=ckpt)
+    q.awaitTermination()
+
+    est = hll_rollup(spark.read.parquet(sketches), ["event_type"])
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_ok"),
+    )

@@ -377,3 +377,41 @@ def running_anomaly_stream(events: DataFrame, *, min_history: int = 10,
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def sketch_maintenance_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_path: str,
+    *,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Incremental sketch maintenance on the ingest path: every arriving
+    micro-batch is reduced to per-(event_type, day) HLL segment rows
+    (operators/sketches.py) appended to a summary table. Distinct-count
+    questions over any span then merge kilobyte sketch rows instead of
+    rescanning the event history — the streaming form of the segment/
+    rollup lifecycle, and the scale answer to "how many unique users has
+    this pipeline ever seen": state grows with (groups × batches), not
+    with the stream. HLL union is commutative/associative, so batch
+    boundaries never change the merged answer beyond sketch resolution.
+    Returns the StreamingQuery (caller awaits termination)."""
+    from vector_db_spark.operators.sketches import hll_segment_sketches
+
+    events = read_events_stream(spark, source_dir, max_files_per_trigger)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        seg = hll_segment_sketches(
+            batch_df.withColumn("day", F.to_date("ts")),
+            "user_id",
+            ["event_type", "day"],
+        )
+        seg.write.mode("append").parquet(sketch_path)
+
+    return (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
