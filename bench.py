@@ -79,6 +79,14 @@ HEADLINE = [
     "frequent_event_paths",
     "embedding_isotropy",
     "winsorized_value_stats",
+    # round-4 additions: sketches, profiling, adaptive cuts, OPQ
+    "hll_rollup_users",
+    "digest_price_quantiles",
+    "event_key_skew",
+    "adaptive_quality_cut",
+    "matryoshka_overlap",
+    "opq_adc_recall",
+    "stream_hll_rollup",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number
@@ -90,12 +98,13 @@ def _time_builds(spark, timings: dict[str, float]) -> None:
     regression gate tracks steady-state search (the *_kmeans query numbers
     below run against the warm per-process caches these calls populate)."""
     from vector_db_spark.queries.indexing import _ivfpq_index, _kmeans_index
-    from vector_db_spark.queries.pquant import _pq_model
+    from vector_db_spark.queries.pquant import _opq_model, _pq_model
 
     for name, build in (
         ("ivf_kmeans_build", _kmeans_index),
         ("ivfpq_build", _ivfpq_index),
         ("pq_train_build", _pq_model),
+        ("opq_build", _opq_model),
     ):
         t0 = time.perf_counter()
         build(spark, SF_DIR)

@@ -103,3 +103,72 @@ def test_truncation_overlap_prefix_keeps_self_hit(spark, sf_smoke):
     # each query's own vector is rank-1 under any prefix → overlap ≥ 1/k
     assert all(r.overlap_cnt >= 1 for r in out)
     assert all(0.0 <= r.overlap_frac <= 1.0 for r in out)
+
+
+# --- join_size_estimate ------------------------------------------------------
+
+
+def test_join_size_estimate_matches_actual(spark):
+    from vector_db_spark.operators.profiling import join_size_estimate
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(1,), (1,), (1,), (3,), (4,)], "k long")
+    (r,) = join_size_estimate(a, b, "k").collect()
+    actual = a.join(b, "k").count()
+    assert r.est_rows == actual == 7  # 2*3 + 1*1
+    assert r.n_shared_keys == 2
+    assert r.max_key_rows == 6 and r.top_key == 1
+
+
+# --- group_sample_fixed_k ----------------------------------------------------
+
+
+def test_group_sample_exact_k_and_deterministic(spark):
+    from vector_db_spark.operators.curation import group_sample_fixed_k
+
+    rows = [(i, "g" + str(i % 3)) for i in range(60)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    s1 = sorted(r.doc_id for r in group_sample_fixed_k(df, "g", 4).collect())
+    s2 = sorted(
+        r.doc_id
+        for r in group_sample_fixed_k(df.repartition(7), "g", 4).collect()
+    )
+    assert s1 == s2  # layout-invariant draw
+    out = group_sample_fixed_k(df, "g", 4)
+    per = {r[0]: r[1] for r in out.groupBy("g").count().collect()}
+    assert per == {"g0": 4, "g1": 4, "g2": 4, "tiny": 1}  # min(k, n_group)
+
+
+# --- token_distribution_drift ------------------------------------------------
+
+
+def test_drift_zero_for_identical_corpora(spark):
+    from vector_db_spark.operators.curation import token_distribution_drift
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta")], "doc_id long, text string"
+    )
+    (r,) = token_distribution_drift(docs, docs).collect()
+    assert r.js_divergence == 0.0
+    assert r.n_tokens_a == r.n_tokens_b == 6
+
+
+def test_drift_ln2_for_disjoint_corpora(spark):
+    import math
+
+    from vector_db_spark.operators.curation import token_distribution_drift
+
+    a = spark.createDataFrame([(1, "aa bb cc")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "xx yy zz")], "doc_id long, text string")
+    (r,) = token_distribution_drift(a, b).collect()
+    assert r.js_divergence == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_drift_is_symmetric(spark):
+    from vector_db_spark.operators.curation import token_distribution_drift
+
+    a = spark.createDataFrame([(1, "aa bb bb cc")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "bb cc cc dd")], "doc_id long, text string")
+    (ab,) = token_distribution_drift(a, b).collect()
+    (ba,) = token_distribution_drift(b, a).collect()
+    assert ab.js_divergence == ba.js_divergence > 0.0

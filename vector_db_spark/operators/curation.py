@@ -496,3 +496,95 @@ def per_group_quantile_cut(
     return docs.join(F.broadcast(thr), group_col).filter(
         F.col(score_col) >= F.col("__thr")
     ).drop("__thr")
+
+
+def group_sample_fixed_k(
+    docs: DataFrame,
+    group_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "gsample",
+) -> DataFrame:
+    """Exactly ``min(k, n_group)`` rows per group, drawn uniformly and
+    **reproducibly**: order within the group by ``md5(id:salt)`` (a
+    deterministic uniform permutation — same discipline as
+    :func:`weighted_sample`) and keep the first k. Any engine, any
+    partitioning, any rerun draws the identical sample — the property
+    that makes eval subsets and debugging slices citable.
+
+    One shuffle on ``group_col``; the window sorts md5 strings, so
+    per-task memory is the group's rows (for corpus-scale groups cut
+    first, or sample via the digest-threshold pattern)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(group_col).orderBy(F.col("__h"), F.col(id_col))
+    return (
+        docs.withColumn("__h", h)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__h", "__rk")
+    )
+
+
+def token_distribution_drift(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's unigram
+    distributions — ONE row ``(n_tokens_a, n_tokens_b, vocab_union,
+    js_divergence)``. The drift alarm of a crawl-over-crawl pipeline:
+    JS is symmetric, bounded [0, ln 2], and defined even where supports
+    differ (KL is not), so it is THE standard between-snapshot metric.
+
+    Shape: one token-count aggregation per corpus (vocab-sized outputs),
+    a full-outer join of the two count tables, one scalar aggregation.
+    Raw corpora are scanned once each; nothing corpus-sized shuffles.
+    Engine-exact: per-token contributions are rounded to 12 dp and
+    decimal-summed, immune to float summation order at any parallelism."""
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias(name))
+        )
+
+    ca, cb = counts(corpus_a, "cnt_a"), counts(corpus_b, "cnt_b")
+    joined = ca.join(cb, "tok", "full_outer").select(
+        F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+    )
+    tot = joined.agg(
+        F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb"), F.count("*").alias("v")
+    )
+    with_p = joined.join(F.broadcast(tot)).select(
+        (F.col("cnt_a") / F.col("na")).alias("p"),
+        (F.col("cnt_b") / F.col("nb")).alias("q"),
+        "na",
+        "nb",
+        "v",
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    contrib = (
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+        + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+    )
+    return (
+        with_p.select(
+            "na",
+            "nb",
+            "v",
+            F.round(contrib, 12).cast("decimal(28,12)").alias("c"),
+        )
+        .groupBy("na", "nb", "v")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("js_divergence"))
+        .select(
+            F.col("na").alias("n_tokens_a"),
+            F.col("nb").alias("n_tokens_b"),
+            F.col("v").alias("vocab_union"),
+            "js_divergence",
+        )
+    )

@@ -59,3 +59,35 @@ def key_skew_report(df: DataFrame, key: str) -> DataFrame:
             F.ceil(F.col("max_cnt") / mean).alias("salt_hint"),
         )
     )
+
+
+def join_size_estimate(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str | None = None
+) -> DataFrame:
+    """Pre-flight equi-join sizing WITHOUT running the join:
+
+    ``(est_rows, n_shared_keys, max_key_rows, top_key)``
+
+    For an equi-join the output cardinality is exactly
+    ``Σ_k cnt_left(k) · cnt_right(k)`` — computing it costs two keyed
+    counts plus a join of *distinct-key count tables* (vastly smaller than
+    the join itself), so a pipeline can know, before shuffling 100 TB,
+    whether a join explodes (many-to-many key) and which key dominates —
+    ``max_key_rows`` is the single-key output volume AQE's skew handling
+    must absorb, the companion number to :func:`key_skew_report`'s input-
+    side salt_hint. Deterministic: ``top_key`` ties resolve to the largest
+    key."""
+    right_key = right_key or left_key
+    cl = left.groupBy(F.col(left_key).alias("__k")).agg(F.count("*").alias("ca"))
+    cr = right.groupBy(F.col(right_key).alias("__k")).agg(F.count("*").alias("cb"))
+    prod = cl.join(cr, "__k").select("__k", (F.col("ca") * F.col("cb")).alias("rows"))
+    stats = prod.agg(
+        F.sum("rows").alias("est_rows"),
+        F.count("*").alias("n_shared_keys"),
+        F.max("rows").alias("max_key_rows"),
+    )
+    top = (
+        prod.join(F.broadcast(stats.select("max_key_rows")), prod.rows == F.col("max_key_rows"))
+        .agg(F.max("__k").alias("top_key"))
+    )
+    return stats.join(F.broadcast(top))

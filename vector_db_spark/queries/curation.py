@@ -617,3 +617,104 @@ def adaptive_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.round(quality_score("text"), 6).alias("quality")
     )
     return per_group_top_frac(docs, "lang", "quality", 0.4)
+
+
+@register(
+    "join_size_preflight",
+    oracle="""
+WITH cl AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+cr AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1),
+p AS (SELECT k, ca * cb AS rows FROM cl JOIN cr USING (k)),
+s AS (SELECT sum(rows)::BIGINT AS est_rows, count(*)::BIGINT AS n_shared_keys,
+             max(rows)::BIGINT AS max_key_rows
+      FROM p)
+SELECT est_rows, n_shared_keys, max_key_rows,
+       (SELECT max(k) FROM p WHERE rows = (SELECT max(rows) FROM p)) AS top_key,
+       (SELECT count(*)::BIGINT FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS actual_rows,
+       est_rows = (SELECT count(*) FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS est_exact
+FROM s
+""",
+    extra=True,
+)
+def join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join sizing before the shuffle (operators/profiling.py::
+    join_size_estimate): Σ cnt·cnt over the shared keys — exact for an
+    equi-join, computed from count tables orders of magnitude smaller
+    than the join. est_exact re-runs the real join at fixture scale to
+    prove the identity the 100 TB pre-flight relies on."""
+    from vector_db_spark.operators.profiling import join_size_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    est = join_size_estimate(orders, li, "o_orderkey", "l_orderkey")
+    actual = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    return est.select(
+        "est_rows",
+        "n_shared_keys",
+        "max_key_rows",
+        "top_key",
+        F.lit(actual).alias("actual_rows"),
+        (F.col("est_rows") == actual).alias("est_exact"),
+    )
+
+
+@register(
+    "group_sample_per_lang",
+    oracle="""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR || ':gsample'), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 5
+""",
+    extra=True,
+)
+def group_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible fixed-k-per-group sampling (curation.
+    group_sample_fixed_k): exactly 5 docs per language, drawn by md5
+    permutation — identical rows on any engine, partitioning, or rerun."""
+    from vector_db_spark.operators.curation import group_sample_fixed_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_sample_fixed_k(docs, "lang", 5).select("doc_id", "lang")
+
+
+@register(
+    "corpus_drift_js",
+    oracle=f"""
+WITH ta AS (SELECT unnest({_TOKS}) AS tok FROM documents WHERE lang = 'en'),
+tb AS (SELECT unnest({_TOKS}) AS tok FROM documents WHERE lang <> 'en'),
+ca AS (SELECT tok, count(*) AS cnt_a FROM ta GROUP BY 1),
+cb AS (SELECT tok, count(*) AS cnt_b FROM tb GROUP BY 1),
+j AS (SELECT COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM ca FULL OUTER JOIN cb USING (tok)),
+t AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb, count(*) AS v FROM j),
+c AS (
+  SELECT na, nb, v,
+         CAST(round(
+           CASE WHEN cnt_a > 0 THEN 0.5 * (cnt_a / na) * ln((cnt_a / na) / ((cnt_a / na + cnt_b / nb) / 2)) ELSE 0 END
+         + CASE WHEN cnt_b > 0 THEN 0.5 * (cnt_b / nb) * ln((cnt_b / nb) / ((cnt_a / na + cnt_b / nb) / 2)) ELSE 0 END,
+         12) AS DECIMAL(28,12)) AS contrib
+  FROM j CROSS JOIN t
+)
+SELECT na::BIGINT AS n_tokens_a, nb::BIGINT AS n_tokens_b, v::BIGINT AS vocab_union,
+       round(CAST(sum(contrib) AS DOUBLE), 6) AS js_divergence
+FROM c GROUP BY 1, 2, 3
+""",
+    extra=True,
+)
+def corpus_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl drift alarm (curation.token_distribution_drift):
+    Jensen-Shannon divergence between the English and non-English token
+    distributions — symmetric, bounded, defined on disjoint supports.
+    Vocab-sized joins only; decimal-summed 12-dp contributions make the
+    scalar engine-exact."""
+    from vector_db_spark.operators.curation import token_distribution_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_distribution_drift(
+        docs.filter(F.col("lang") == "en"), docs.filter(F.col("lang") != "en")
+    )
