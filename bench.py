@@ -87,6 +87,11 @@ HEADLINE = [
     "matryoshka_overlap",
     "opq_adc_recall",
     "stream_hll_rollup",
+    "join_size_preflight",
+    "group_sample_per_lang",
+    "corpus_drift_js",
+    "interleave_training_order",
+    "corpus_governance_report",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

@@ -172,3 +172,35 @@ def test_drift_is_symmetric(spark):
     (ab,) = token_distribution_drift(a, b).collect()
     (ba,) = token_distribution_drift(b, a).collect()
     assert ab.js_divergence == ba.js_divergence > 0.0
+
+
+# --- interleave_by_group -----------------------------------------------------
+
+
+def test_interleave_rotates_groups(spark):
+    from vector_db_spark.operators.packing import interleave_by_group
+
+    rows = [(i, "g" + str(i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = interleave_by_group(df, "g").orderBy("interleave_rank").collect()
+    # every window of 4 consecutive ranks covers all 4 groups
+    for w in range(0, 40, 4):
+        assert {r.g for r in out[w : w + 4]} == {"g0", "g1", "g2", "g3"}
+    # ranks are unique (total order)
+    assert len({r.interleave_rank for r in out}) == 40
+
+
+def test_interleave_layout_invariant_and_handles_exhaustion(spark):
+    from vector_db_spark.operators.packing import interleave_by_group
+
+    rows = [(i, "big") for i in range(10)] + [(100, "small")]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    a = sorted((r.doc_id, r.interleave_rank) for r in interleave_by_group(df, "g").collect())
+    b = sorted(
+        (r.doc_id, r.interleave_rank)
+        for r in interleave_by_group(df.repartition(5), "g").collect()
+    )
+    assert a == b
+    # 'small' exhausts after rank 1; 'big' continues with gaps — order total
+    ranks = [x[1] for x in a]
+    assert len(set(ranks)) == len(ranks)

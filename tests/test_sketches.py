@@ -165,3 +165,37 @@ def test_hll_merge_is_batch_boundary_stable(spark):
     (b,) = hll_rollup(many.select("hll").withColumn("g", F.lit(1)), ["g"]).collect()
     assert abs(a.distinct_est - 777) <= 0.03 * 777
     assert abs(b.distinct_est - 777) <= 0.03 * 777
+
+
+def test_digest_maintenance_stream_rollup(spark, tmp_path, sf_correctness):
+    """Streamed per-batch digests, merged, answer within the 3-level
+    rank-error bound of the exact batch quantile."""
+    import os
+
+    from vector_db_spark.io import load_table
+    from vector_db_spark.streaming.ingest import digest_maintenance_stream
+
+    ev = load_table(spark, sf_correctness, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    digests = str(tmp_path / "digests")
+    q = digest_maintenance_stream(
+        spark,
+        src,
+        digests,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_centroids=256,
+    )
+    q.awaitTermination()
+
+    merged = merge_digests(spark.read.parquet(digests), ["event_type"], max_centroids=256)
+    out = digest_quantiles(merged, [0.5], ["event_type"]).collect()
+    assert len(out) > 0
+    vals = {
+        r.event_type: [v.value for v in ev.filter(F.col("event_type") == r.event_type).select("value").collect()]
+        for r in out
+    }
+    import numpy as np
+
+    for r in out:
+        assert _rank_err(np.array(vals[r.event_type]), r.est, 0.5) <= 0.03, r.event_type

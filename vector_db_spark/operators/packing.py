@@ -163,3 +163,52 @@ def length_bucketed_batches(
             ),
         )
     )
+
+
+def interleave_by_group(
+    df: DataFrame,
+    group_col: str,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "interleave",
+) -> DataFrame:
+    """Deterministic round-robin training order across groups (domains,
+    sources, languages): adds ``interleave_rank`` such that sorting by it
+    visits groups in rotation — the standard mixing discipline that keeps
+    any training-step window close to the corpus mixture instead of
+    serving one domain for a million steps.
+
+    Construction: within each group, a reproducible md5-permutation rank
+    r (1-based, same draw discipline as curation.group_sample_fixed_k);
+    globally, ``interleave_rank = (r-1)·G + group_index`` with the G
+    group indexes assigned in lexicographic group order (broadcast map).
+    Groups that exhaust early leave gaps — the *order* is what matters
+    and it stays total and engine-reproducible.
+
+    Scale: one shuffle on ``group_col`` for the within-group window +
+    a broadcast of the G-row group table. No global window, no single-
+    partition sort — the final ordering is materialized by whatever
+    consumes it (e.g. export.shard_plan's in-task sort)."""
+    from pyspark.sql import Window
+
+    groups = (
+        df.select(F.col(group_col).alias("__g"))
+        .distinct()
+        .withColumn(
+            "__gidx",
+            F.row_number().over(Window.orderBy("__g")) - 1,
+        )
+    )
+    n_groups = groups.count()
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(group_col).orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__r", F.row_number().over(w))
+        .join(F.broadcast(groups), F.col(group_col) == F.col("__g"))
+        .withColumn(
+            "interleave_rank",
+            (F.col("__r") - 1) * F.lit(n_groups) + F.col("__gidx"),
+        )
+        .drop("__h", "__r", "__g", "__gidx")
+    )

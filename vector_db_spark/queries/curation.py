@@ -718,3 +718,84 @@ def corpus_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_distribution_drift(
         docs.filter(F.col("lang") == "en"), docs.filter(F.col("lang") != "en")
     )
+
+
+@register(
+    "interleave_training_order",
+    oracle="""
+WITH g AS (
+  SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS gidx
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR || ':interleave'), doc_id
+         ) AS r
+  FROM documents
+)
+SELECT r.doc_id, r.lang,
+       ((r.r - 1) * (SELECT count(*) FROM g) + g.gidx)::BIGINT AS interleave_rank
+FROM r JOIN g USING (lang)
+""",
+    extra=True,
+)
+def interleave_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin training order across languages
+    (packing.interleave_by_group): sorting by interleave_rank visits
+    languages in rotation, keeping any training window close to the
+    corpus mixture. Engine-reproducible md5 permutation within groups."""
+    from vector_db_spark.operators.packing import interleave_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return interleave_by_group(docs, "lang").select(
+        "doc_id", "lang", F.col("interleave_rank").cast("long").alias("interleave_rank")
+    )
+
+
+_EMAIL_SQL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_SQL = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+@register(
+    "corpus_governance_report",
+    oracle=f"""
+SELECT 'docs_total' AS check_name, count(*)::BIGINT AS value FROM documents
+UNION ALL
+SELECT 'empty_docs', count(*) FILTER (WHERE text IS NULL OR trim(text) = '')::BIGINT FROM documents
+UNION ALL
+SELECT 'pii_email_docs', count(*) FILTER (WHERE regexp_matches(lower(text), '{_EMAIL_SQL}'))::BIGINT FROM documents
+UNION ALL
+SELECT 'pii_phone_docs', count(*) FILTER (WHERE regexp_matches(lower(text), '{_PHONE_SQL}'))::BIGINT FROM documents
+UNION ALL
+SELECT 'exact_dup_docs', (count(*) - count(DISTINCT md5(text)))::BIGINT FROM documents
+UNION ALL
+SELECT 'langs_distinct', count(DISTINCT lang)::BIGINT FROM documents
+""",
+    extra=True,
+)
+def corpus_governance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus governance audit in long format ``(check_name,
+    value)``: volume, empty docs, PII exposure (email/phone regex over
+    lowercased text — same cross-engine-safe patterns as pii_scrub),
+    exact-duplicate count, language coverage. The compliance-dashboard
+    companion to operators/quality.py's relational expectations; all
+    counts exact, single scan + one distinct-agg pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    row = docs.agg(
+        F.count("*").alias("docs_total"),
+        F.sum(
+            (F.col("text").isNull() | (F.trim("text") == "")).cast("long")
+        ).alias("empty_docs"),
+        F.sum(F.lower("text").rlike(EMAIL_RE).cast("long")).alias("pii_email_docs"),
+        F.sum(F.lower("text").rlike(PHONE_RE).cast("long")).alias("pii_phone_docs"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("exact_dup_docs"),
+        F.countDistinct("lang").alias("langs_distinct"),
+    )
+    return row.selectExpr(
+        "stack(6, 'docs_total', docs_total, 'empty_docs', empty_docs, "
+        "'pii_email_docs', pii_email_docs, 'pii_phone_docs', pii_phone_docs, "
+        "'exact_dup_docs', exact_dup_docs, 'langs_distinct', langs_distinct) "
+        "AS (check_name, value)"
+    )

@@ -415,3 +415,37 @@ def sketch_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def digest_maintenance_stream(
+    spark: SparkSession,
+    source_dir: str,
+    digest_path: str,
+    *,
+    value_col: str = "value",
+    by: tuple[str, ...] = ("event_type",),
+    max_centroids: int = 512,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Quantile-digest twin of :func:`sketch_maintenance_stream`: each
+    micro-batch is reduced to per-group centroid digests
+    (operators/sketches.py) appended to a summary table; any span's
+    quantiles come from ``merge_digests`` + ``digest_quantiles`` over
+    summary rows. One extra merge level vs the batch build ⇒ rank error
+    ≤ 3/max_centroids. Returns the StreamingQuery."""
+    from vector_db_spark.operators.sketches import quantile_digest
+
+    events = read_events_stream(spark, source_dir, max_files_per_trigger)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        quantile_digest(
+            batch_df, value_col, list(by), max_centroids=max_centroids
+        ).write.mode("append").parquet(digest_path)
+
+    return (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
