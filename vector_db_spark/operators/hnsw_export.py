@@ -1,0 +1,236 @@
+"""Per-partition HNSW export — the serving-layer artifact for the one
+reference capability this engine deliberately does not run online.
+
+The reference's HNSW (reference hnsw.py:143-225 insert, 330-374 search)
+is a sequentially-built mutable graph — anti-Spark as a *distributed*
+index, which is why ANN search here is IVF/IVFPQ/LSH (SURVEY §2.3 V5,
+documented divergence). But the graph itself is still the right artifact
+for a low-latency *serving* tier, and building it is embarrassingly
+parallel once the corpus is partitioned: each IVF cluster (or any
+partition key) gets its own small in-memory HNSW built inside one Arrow
+task, and the adjacency lists are exported as an ordinary DataFrame
+``(cluster_id, src_id, level, neighbors array<long>)`` — rows a serving
+process can load per cluster, no pickle (the reference pickles its graph,
+hnsw.py:376-398; here index state is just a table, same stance as IVF).
+
+Graph semantics follow the public HNSW construction (Malkov & Yashunin,
+TPAMI'18), made **deterministic** so the export is reproducible:
+
+- level(id) = ⌊−ln(u)·(1/ln M)⌋ with u drawn from md5(id) — the
+  geometric level draw (reference hnsw.py:66-68) with a seeded-by-id
+  uniform instead of a PRNG stream, so any task order yields the same
+  levels;
+- insertion in ascending id order within the partition;
+- beam (ef_construction) candidate search per level, M nearest kept,
+  bidirectional edges, degree pruned to M (2M at level 0) by
+  (distance, id) order — ties cannot flip between runs.
+
+Scale: per-task memory is O(n_cluster · d + n_cluster · M); compute
+O(n_cluster · ef · d) per insert. Mega-clusters get the same answer as
+operators/knn_graph.py — sub-split by salt (shards each get a graph;
+the serving tier fans out) or rebuild the IVF with larger k. The build
+never shuffles vectors beyond the partitionBy the corpus already has.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LEVEL_DENOM = float(16**12)
+
+
+def _hash_uniform(ids: np.ndarray) -> np.ndarray:
+    """Deterministic uniform in (0, 1] per id via md5 — same discipline as
+    curation.weighted_sample (engine/run/layout invariant)."""
+    import hashlib
+
+    out = np.empty(len(ids), dtype=np.float64)
+    for i, x in enumerate(ids):
+        h = hashlib.md5(f"{int(x)}:hnsw".encode()).hexdigest()[:12]
+        out[i] = (int(h, 16) + 1.0) / (_LEVEL_DENOM + 1.0)
+    return out
+
+
+def _levels_for(ids: np.ndarray, m: int) -> np.ndarray:
+    mult = 1.0 / math.log(m)
+    return np.floor(-np.log(_hash_uniform(ids)) * mult).astype(np.int64)
+
+
+def _search_layer(
+    X: np.ndarray,
+    adj: list[dict[int, list[int]]],
+    q: np.ndarray,
+    entries: list[int],
+    ef: int,
+    level: int,
+) -> list[tuple[float, int]]:
+    """Beam search one layer: returns up to ef (dist, idx) sorted asc.
+    Pure candidate/visited sets over numpy distances; deterministic
+    because expansion order is (dist, idx)-heap order."""
+    import heapq
+
+    dist = lambda i: float(np.sqrt(((X[i] - q) ** 2).sum()))
+    visited = set(entries)
+    cand = [(dist(i), i) for i in entries]
+    heapq.heapify(cand)
+    best: list[tuple[float, int]] = [(-d, i) for d, i in cand]
+    heapq.heapify(best)
+    while cand:
+        d, i = heapq.heappop(cand)
+        if best and d > -best[0][0] and len(best) >= ef:
+            break
+        for j in adj[level].get(i, ()):
+            if j in visited:
+                continue
+            visited.add(j)
+            dj = dist(j)
+            if len(best) < ef or dj < -best[0][0]:
+                heapq.heappush(cand, (dj, j))
+                heapq.heappush(best, (-dj, j))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return sorted((-nd, i) for nd, i in best)
+
+
+def _build_one_graph(
+    ids: np.ndarray, X: np.ndarray, m: int, ef_construction: int
+) -> list[tuple[int, int, list[int]]]:
+    """Sequential HNSW build over one partition's vectors (ascending-id
+    insertion). Returns (src_idx→id resolved) adjacency rows."""
+    order = np.argsort(ids, kind="mergesort")
+    ids, X = ids[order], X[order]
+    levels = _levels_for(ids, m)
+    max_level = -1
+    entry = -1
+    adj: list[dict[int, list[int]]] = []
+
+    def ensure_level(l: int) -> None:
+        while len(adj) <= l:
+            adj.append({})
+
+    def prune(i: int, level: int, cap: int) -> None:
+        nbrs = adj[level][i]
+        if len(nbrs) <= cap:
+            return
+        ds = sorted(
+            (float(np.sqrt(((X[i] - X[j]) ** 2).sum())), j) for j in nbrs
+        )
+        adj[level][i] = [j for _, j in ds[:cap]]
+
+    for i in range(len(ids)):
+        li = int(levels[i])
+        ensure_level(li)
+        if entry < 0:
+            for l in range(li + 1):
+                adj[l][i] = []
+            entry, max_level = i, li
+            continue
+        # greedy descend from the top to li+1
+        curr = [entry]
+        for l in range(max_level, li, -1):
+            curr = [_search_layer(X, adj, X[i], curr, 1, l)[0][1]]
+        # connect on each level from min(li, max_level) down to 0
+        for l in range(min(li, max_level), -1, -1):
+            found = _search_layer(X, adj, X[i], curr, ef_construction, l)
+            cap = 2 * m if l == 0 else m
+            chosen = [j for _, j in found[:m]]
+            adj[l][i] = chosen
+            for j in chosen:
+                adj[l].setdefault(j, []).append(i)
+                prune(j, l, cap)
+            curr = [j for _, j in found] or curr
+        for l in range(max_level + 1, li + 1):
+            adj[l][i] = []
+        if li > max_level:
+            entry, max_level = i, li
+
+    rows: list[tuple[int, int, list[int]]] = []
+    for l, layer in enumerate(adj):
+        for i, nbrs in layer.items():
+            rows.append((int(ids[i]), l, [int(ids[j]) for j in nbrs]))
+    return rows
+
+
+def export_partition_hnsw(
+    corpus: DataFrame,
+    *,
+    partition_col: str = "cluster_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ef_construction: int = 50,
+) -> DataFrame:
+    """One HNSW graph per ``partition_col`` group, exported as
+    ``(cluster_id, src_id, level, neighbors array<long>)``.
+
+    Each group builds independently inside an Arrow task (applyInPandas);
+    the output is plain rows — persist with
+    ``df.write.partitionBy(partition_col)`` and a serving node loads only
+    its cluster's adjacency. Deterministic end-to-end (hash levels,
+    id-ordered insertion, (dist, id) tie-breaks): the same corpus always
+    exports the same graph."""
+    part_t = dict(corpus.select(partition_col).dtypes)[partition_col]
+    schema = (
+        f"{partition_col} {part_t}, src_id long, level int, neighbors array<long>"
+    )
+    mm, efc = m, ef_construction
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        rows = _build_one_graph(ids, X, mm, efc)
+        return pd.DataFrame(
+            {
+                partition_col: [key[0]] * len(rows),
+                "src_id": [r[0] for r in rows],
+                "level": [r[1] for r in rows],
+                "neighbors": [r[2] for r in rows],
+            }
+        )
+
+    return (
+        corpus.select(partition_col, id_col, vec_col)
+        .groupBy(partition_col)
+        .applyInPandas(build, schema)
+    )
+
+
+def hnsw_graph_search(
+    graph_rows: list,
+    vectors: dict[int, np.ndarray],
+    query: np.ndarray,
+    k: int,
+    *,
+    ef: int = 50,
+) -> list[int]:
+    """Reference-semantics search over ONE exported graph (greedy route
+    down, beam at layer 0 — reference hnsw.py:330-374). Test/serving-side
+    helper operating on collected rows: the serving tier is explicitly
+    NOT Spark (that is the point of the export); pipelines never call
+    this on corpus-scale data."""
+    by_level: dict[int, dict[int, list[int]]] = {}
+    for r in graph_rows:
+        by_level.setdefault(r.level, {})[r.src_id] = list(r.neighbors)
+    if not by_level:
+        return []
+    max_level = max(by_level)
+    # entry point: a node present at the top level (min id, deterministic)
+    entry = min(by_level[max_level])
+    ids = sorted(vectors)
+    idx_of = {v: i for i, v in enumerate(ids)}
+    X = np.array([vectors[i] for i in ids], dtype=np.float64)
+    adj = [
+        {idx_of[s]: [idx_of[j] for j in nbrs] for s, nbrs in by_level.get(l, {}).items()}
+        for l in range(max_level + 1)
+    ]
+    curr = [idx_of[entry]]
+    for l in range(max_level, 0, -1):
+        curr = [_search_layer(X, adj, query, curr, 1, l)[0][1]]
+    found = _search_layer(X, adj, query, curr, max(ef, k), 0)
+    return [ids[i] for _, i in found[:k]]

@@ -584,3 +584,69 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "term", "tf", "score",
                 F.col("term_rank").cast("int").alias("term_rank"))
     )
+
+
+@register(
+    "hnsw_export_stats",
+    oracle="""
+SELECT label AS cluster_id, count(*)::BIGINT AS n_nodes,
+       TRUE AS level0_complete, TRUE AS degree_cap_ok, TRUE AS connectivity_ok
+FROM embeddings GROUP BY 1
+""",
+    extra=True,
+)
+def hnsw_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition HNSW export (operators/hnsw_export.py) validated by
+    invariant projection: every cluster's graph must contain all its
+    nodes at level 0, respect the M/2M degree caps, and keep ≥ 90 % of
+    nodes in one level-0 component (the reference's structural battery,
+    tests/indexing/test_hnsw.py:155-185) — checked DISTRIBUTED via
+    hash-min components, no driver BFS. n_nodes is exact per cluster."""
+    from vector_db_spark.operators.hnsw_export import export_partition_hnsw
+    from vector_db_spark.operators.knn_graph import components_from_edges
+
+    m = 8
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "label", "cluster_id"
+    )
+    g = export_partition_hnsw(emb, m=m, ef_construction=50)
+    g = g.persist()
+    l0 = g.filter(F.col("level") == 0)
+
+    sizes = emb.groupBy("cluster_id").agg(F.count("*").alias("n_nodes"))
+    l0_nodes = l0.groupBy("cluster_id").agg(
+        F.countDistinct("src_id").alias("l0_nodes")
+    )
+    caps = g.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("level") == 0, F.size("neighbors"))).alias("d0"),
+        F.coalesce(
+            F.max(F.when(F.col("level") > 0, F.size("neighbors"))), F.lit(0)
+        ).alias("dup"),
+    )
+
+    edges = l0.select(
+        F.col("src_id").alias("src"), F.explode("neighbors").alias("dst")
+    )
+    comp = components_from_edges(edges, nodes=l0.select("src_id").distinct())
+    comp_sized = (
+        l0.select("cluster_id", F.col("src_id").alias("id"))
+        .distinct()
+        .join(comp, "id")
+        .groupBy("cluster_id", "component")
+        .agg(F.count("*").alias("csz"))
+        .groupBy("cluster_id")
+        .agg(F.max("csz").alias("max_comp"))
+    )
+
+    return (
+        sizes.join(l0_nodes, "cluster_id")
+        .join(caps, "cluster_id")
+        .join(comp_sized, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_nodes",
+            (F.col("l0_nodes") == F.col("n_nodes")).alias("level0_complete"),
+            ((F.col("d0") <= 2 * m) & (F.col("dup") <= m)).alias("degree_cap_ok"),
+            (F.col("max_comp") >= 0.9 * F.col("n_nodes")).alias("connectivity_ok"),
+        )
+    )
