@@ -204,3 +204,27 @@ def test_interleave_layout_invariant_and_handles_exhaustion(spark):
     # 'small' exhausts after rank 1; 'big' continues with gaps — order total
     ranks = [x[1] for x in a]
     assert len(set(ranks)) == len(ranks)
+
+
+# --- spherical equivalence (cosine via normalization) -------------------------
+
+
+def test_spherical_euclid_matches_cosine_topk(spark, sf_smoke):
+    """On unit vectors euclidean² = 2 − 2cos: top-k under normalized
+    euclidean must match cosine top-k (up to rounding ties at the k
+    boundary) — the law ivf_search_cosine_det rides on."""
+    from vector_db_spark.operators.knn import knn_self
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    dv = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.transform(dv, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    nemb = emb.select(
+        "vec_id", F.transform(dv, lambda x: (x / norm).cast("float")).alias("embedding")
+    )
+    eu = knn_self(nemb, 10, n_queries=5, metric="euclidean")
+    co = knn_self(emb, 10, n_queries=5, metric="cosine")
+    a = {(r.query_id, r.neighbor_id) for r in eu.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in co.collect()}
+    assert len(a & b) / len(a | b) >= 0.9

@@ -650,3 +650,117 @@ def hnsw_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_comp") >= 0.9 * F.col("n_nodes")).alias("connectivity_ok"),
         )
     )
+
+
+# --- cosine ANN via spherical normalization -----------------------------------
+
+_NORM_SQL = """
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))
+         ) AS nv
+  FROM embeddings
+"""
+
+_NCENT_LIST_SQL = f"""
+  SELECT cluster_id, list(centroid_val ORDER BY dim_idx) AS centroid
+  FROM (
+    SELECT label AS cluster_id, i::INTEGER AS dim_idx,
+           CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_val
+    FROM (SELECT label, unnest(nv) AS v, unnest(range(0, {DIM})) AS i FROM ({_NORM_SQL}))
+    GROUP BY 1, 2
+  ) GROUP BY cluster_id
+"""
+
+
+@register(
+    "ivf_search_cosine_det",
+    oracle=f"""
+WITH nemb AS ({_NORM_SQL}),
+cent AS ({_NCENT_LIST_SQL}),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.nv, c.centroid), 6), c.cluster_id
+           ) AS rn
+    FROM nemb e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, nv AS qv FROM nemb WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, qv, cluster_id FROM (
+    SELECT q.query_id, q.qv, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_distance(q.qv, c.centroid), 6), c.cluster_id
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(list_distance(p.qv, e.nv), 6) AS dist
+  FROM probes p
+  JOIN assign a ON a.cluster_id = p.cluster_id
+  JOIN nemb e ON e.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, dist, rank::INTEGER AS rank FROM (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {TOP_K}
+""",
+    extra=True,
+)
+def ivf_search_cosine_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine ANN through the SAME probe-pruned IVF plan, by spherical
+    normalization: on unit vectors euclidean² = 2 − 2·cos, so euclidean
+    argmin/top-k ≡ cosine top-k — normalize once (map-side), then every
+    euclidean index (IVF, PQ, BQ, HNSW export) serves cosine unchanged.
+    Deterministic label-mean centroids over the normalized corpus; the
+    oracle reproduces probe selection, membership join and top-k exactly.
+    Distances reported are unit-sphere euclidean (monotone in cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.transform(dv, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    nemb = emb.select(
+        "vec_id", "label", F.transform(dv, lambda x: x / norm).alias("embedding")
+    )
+    # deterministic per-label centroids of the NORMALIZED corpus
+    # (decimal-exact per-dim means, same discipline as _centroids_flat)
+    flat = (
+        nemb.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+        .groupBy(F.col("label").alias("cluster_id"), "dim_idx")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*")
+            ).alias("centroid_val")
+        )
+    )
+    cents = flat.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "centroid_val"))),
+            lambda s: s.centroid_val,
+        ).alias("centroid")
+    )
+    scored = nemb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cluster_id",
+        F.round(euclidean("embedding", "centroid"), 6).alias("cdist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cdist").asc(), F.col("cluster_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id")
+    )
+    queries = nemb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < N_QUERIES)
+    return ivf_det_search(queries, cents, assign, nemb)

@@ -637,3 +637,79 @@ def matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return truncation_overlap(emb, k=TOP_K, d_trunc=16, n_queries=N_QUERIES)
+
+
+@register(
+    "recall_bytes_frontier",
+    oracle="""
+SELECT * FROM (VALUES
+  ('full_f32',   256, TRUE),
+  ('prefix16',    64, TRUE),
+  ('pq8',          8, TRUE),
+  ('opq8',         8, TRUE),
+  ('bq_sign',      8, TRUE)
+) AS t(method, bytes_per_vector, recall_ok)
+""",
+    extra=True,
+)
+def recall_bytes_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capacity-planning artifact: mean recall@10 (vs exact full-dim
+    k-NN) for every compressed representation this engine serves, each at
+    its bytes-per-vector cost — full float32 (256 B), matryoshka prefix-16
+    (64 B), PQ and OPQ codes (8 B), packed sign bits (8 B). recall_ok
+    asserts documented per-method floors (full 1.0; prefix ≥ 0.1; BQ ≥ 0.3
+    — its exact re-rank pays off; PQ/OPQ ≥ 0.15), which hold across
+    fixture scales; exact per-method recall curves are pinned in
+    tests/test_opq.py, test_binquant.py, test_pq.py. One Arrow-batched
+    k-NN pass per method; the compressed passes scan 4-32× fewer bytes."""
+    from vector_db_spark.operators.binquant import bq_search
+    from vector_db_spark.queries.pquant import _opq_model, _pq_model
+
+    k, n = TOP_K, 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < n)
+    exact = knn_self(emb, k, n_queries=n).select("query_id", "neighbor_id")
+
+    def mean_recall(approx: DataFrame):
+        return (
+            approx.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .agg((F.count("*") / F.lit(float(k * n))).alias("r"))
+        )
+
+    pq_m, pq_codes = _pq_model(spark, sf_dir)
+    opq_m, opq_codes = _opq_model(spark, sf_dir)
+    methods = [
+        ("full_f32", 256, mean_recall(exact), 0.999),
+        (
+            "prefix16",
+            64,
+            mean_recall(
+                knn_self(
+                    emb.withColumn("embedding", F.slice("embedding", 1, 16)),
+                    k,
+                    n_queries=n,
+                )
+            ),
+            0.1,
+        ),
+        ("pq8", 8, mean_recall(pq_m.adc_search(queries, pq_codes, k)), 0.15),
+        ("opq8", 8, mean_recall(opq_m.adc_search(queries, opq_codes, k)), 0.15),
+        (
+            "bq_sign",
+            8,
+            mean_recall(bq_search(emb, queries, k, dim=64, refine=4)),
+            0.3,
+        ),
+    ]
+    out = None
+    for name, nbytes, rdf, floor in methods:
+        row = rdf.select(
+            F.lit(name).alias("method"),
+            F.lit(nbytes).alias("bytes_per_vector"),
+            (F.col("r") >= floor).alias("recall_ok"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
