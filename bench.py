@@ -95,6 +95,8 @@ HEADLINE = [
     "hnsw_export_stats",
     "recall_bytes_frontier",
     "ivf_search_cosine_det",
+    "asof_next_order",
+    "asof_nearest_order",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

@@ -45,3 +45,78 @@ def test_asof_join_semantics(spark):
     assert out["exact_boundary"].asof_price == 250.0  # deterministic tie: max
     assert out["after_two"].asof_price == 250.0  # latest, not just any earlier
     assert out["other_key"].asof_price is None  # key 2 has no right rows
+
+
+# --- directional variants (pandas.merge_asof parity) --------------------------
+
+
+def _mk(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 25.0, "b"), (2, 5.0, "c")],
+        "k long, t double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8.0, 100.0), (1, 20.0, 200.0), (1, 30.0, 300.0)],
+        "k long, rt double, val double",
+    )
+    return left, right
+
+
+def test_forward_picks_next(spark):
+    from vector_db_spark.operators.asof import as_of_join_directional
+
+    left, right = _mk(spark)
+    out = {
+        r.tag: (r.asof_time, r.asof_val)
+        for r in as_of_join_directional(
+            left, right, on="k", left_time="t", right_time="rt",
+            value_cols=["val"], direction="forward",
+        ).collect()
+    }
+    assert out["a"] == (20.0, 200.0)  # next at/after 10
+    assert out["b"] == (30.0, 300.0)
+    assert out["c"] == (None, None)  # key 2 has no right rows
+
+
+def test_nearest_tie_prefers_backward(spark):
+    from vector_db_spark.operators.asof import as_of_join_directional
+
+    left = spark.createDataFrame([(1, 10.0, "x")], "k long, t double, tag string")
+    right = spark.createDataFrame(
+        [(1, 8.0, 1.0), (1, 12.0, 2.0)], "k long, rt double, val double"
+    )
+    (r,) = as_of_join_directional(
+        left, right, on="k", left_time="t", right_time="rt",
+        value_cols=["val"], direction="nearest",
+    ).collect()
+    assert (r.asof_time, r.asof_val) == (8.0, 1.0)  # |Δ|=2 both ways → backward
+
+
+def test_tolerance_nulls_far_matches(spark):
+    from vector_db_spark.operators.asof import as_of_join_directional
+
+    left, right = _mk(spark)
+    out = {
+        r.tag: r.asof_time
+        for r in as_of_join_directional(
+            left, right, on="k", left_time="t", right_time="rt",
+            value_cols=["val"], direction="backward", tolerance_seconds=3.0,
+        ).collect()
+    }
+    assert out["a"] == 8.0  # Δ=2 within tolerance
+    assert out["b"] is None  # nearest backward is 20, Δ=5 > 3
+
+
+def test_directional_rejects_bad_direction(spark):
+    import pytest as _pytest
+
+    from vector_db_spark.operators.asof import as_of_join_directional
+
+    left, right = _mk(spark)
+    with _pytest.raises(ValueError):
+        as_of_join_directional(
+            left, right, on="k", left_time="t", right_time="rt",
+            value_cols=["val"], direction="sideways",
+        )

@@ -72,3 +72,147 @@ def as_of_join(
         "asof_time",
         *[F.col(f"asof_{c}") for c in value_cols],
     )
+
+
+def as_of_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """pandas.merge_asof-parity as-of join: ``direction`` in
+    {"backward", "forward", "nearest"} with an optional match tolerance.
+
+    - backward — greatest ``right_time <= left_time`` (delegates to
+      :func:`as_of_join`, same carry-forward plan);
+    - forward — smallest ``right_time >= left_time``: the mirrored
+      window (first-following over ``[current, unbounded following]``,
+      left rows ordered before equal-timestamp right rows so >= holds);
+    - nearest — both passes, keep the smaller |Δt|, ties to backward
+      (the pandas rule).
+
+    ``tolerance_seconds`` nulls out matches farther than the bound —
+    applied AFTER direction resolution, exactly like pandas. Every
+    variant is the same one-shuffle union+window shape; nearest costs a
+    second window over the same partitioning (no extra shuffle: the
+    union is partitioned once by key)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    tiebreak_cols = tiebreak_cols or []
+
+    def tol_filter(df: DataFrame) -> DataFrame:
+        if tolerance_seconds is None:
+            return df
+        far = (
+            F.abs(
+                F.col(left_time).cast("double") - F.col("asof_time").cast("double")
+            )
+            > tolerance_seconds
+        )
+        out = df
+        for c in ["asof_time"] + [f"asof_{c}" for c in value_cols]:
+            out = out.withColumn(c, F.when(far, F.lit(None)).otherwise(F.col(c)))
+        return out
+
+    if direction == "backward":
+        return tol_filter(
+            as_of_join(
+                left,
+                right,
+                on=on,
+                left_time=left_time,
+                right_time=right_time,
+                value_cols=value_cols,
+                tiebreak_cols=tiebreak_cols,
+            )
+        )
+
+    lcols = [c for c in left.columns if c not in (on, left_time)]
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__rt"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{c}") for c in tiebreak_cols],
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_time).alias("__rt"),
+        *[F.col(c).alias(f"__tb_{c}") for c in tiebreak_cols],
+    )
+    u = l.unionByName(r)
+    # forward window: left (side 1) sorts BEFORE right at equal t via side
+    # desc, so an equal-timestamp right row is inside [current, following]
+    # equal-t right-row ties: tiebreaks desc so first() picks the max —
+    # the same winner backward's last()-over-asc rule selects
+    wf = Window.partitionBy("__k").orderBy(
+        F.col("__t").asc(),
+        F.col("__side").desc(),
+        *[F.col(f"__tb_{c}").desc_nulls_last() for c in tiebreak_cols],
+    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    fwd = u.select(
+        "*",
+        F.first("__rt", ignorenulls=True).over(wf).alias("fwd_time"),
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(wf).alias(f"fwd_{c}")
+            for c in value_cols
+        ],
+    )
+    if direction == "forward":
+        out = fwd.filter(F.col("__side") == 1).select(
+            F.col("__k").alias(on),
+            F.col("__t").alias(left_time),
+            *lcols,
+            F.col("fwd_time").alias("asof_time"),
+            *[F.col(f"fwd_{c}").alias(f"asof_{c}") for c in value_cols],
+        )
+        return tol_filter(out)
+
+    # nearest: backward window over the SAME union/partitioning
+    wb = Window.partitionBy("__k").orderBy(
+        F.col("__t").asc(),
+        F.col("__side").asc(),
+        *[F.col(f"__tb_{c}").asc_nulls_first() for c in tiebreak_cols],
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    both = fwd.select(
+        "*",
+        F.last("__rt", ignorenulls=True).over(wb).alias("bwd_time"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"bwd_{c}")
+            for c in value_cols
+        ],
+    ).filter(F.col("__side") == 1)
+    lt = F.col("__t").cast("double")
+    d_b = lt - F.col("bwd_time").cast("double")
+    d_f = F.col("fwd_time").cast("double") - lt
+    use_bwd = F.col("fwd_time").isNull() | (
+        F.col("bwd_time").isNotNull() & (d_b <= d_f)
+    )
+    out = both.select(
+        F.col("__k").alias(on),
+        F.col("__t").alias(left_time),
+        *lcols,
+        F.when(use_bwd, F.col("bwd_time")).otherwise(F.col("fwd_time")).alias("asof_time"),
+        *[
+            F.when(use_bwd, F.col(f"bwd_{c}"))
+            .otherwise(F.col(f"fwd_{c}"))
+            .alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return tol_filter(out)

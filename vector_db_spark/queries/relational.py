@@ -1659,3 +1659,100 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("value") < p05) | (F.col("value") > p95)).cast("long")
         ).alias("n_clipped"),
     )
+
+
+@register(
+    "asof_next_order",
+    oracle="""
+WITH raw AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         (SELECT MIN(o.o_orderdate) FROM orders o
+          WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts) AS rt
+  FROM events e
+),
+t AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN rt IS NOT NULL AND epoch(rt) - epoch(ts) <= 2592000.0
+              THEN rt END AS asof_time
+  FROM raw
+)
+SELECT t.event_id, t.user_id, t.ts, t.asof_time,
+       (SELECT MAX(o.o_totalprice) FROM orders o
+        WHERE o.o_custkey = t.user_id AND o.o_orderdate = t.asof_time) AS asof_o_totalprice
+FROM t
+""",
+    extra=True,
+)
+def asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (operators/asof.py::
+    as_of_join_directional, pandas.merge_asof parity): each event joined
+    to the user's NEXT order within 30 days — the "time-to-conversion"
+    lookup. Matches beyond tolerance null out, equal-date ties take the
+    max totalprice (same rule as the backward query)."""
+    from vector_db_spark.operators.asof import as_of_join_directional
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_totalprice"
+    )
+    return as_of_join_directional(
+        ev,
+        o,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_totalprice"],
+        direction="forward",
+        tolerance_seconds=2_592_000.0,
+        tiebreak_cols=["o_totalprice"],
+    ).select("event_id", "user_id", "ts", "asof_time", "asof_o_totalprice")
+
+
+@register(
+    "asof_nearest_order",
+    oracle="""
+WITH m AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         (SELECT MAX(o.o_orderdate) FROM orders o
+          WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS bt,
+         (SELECT MIN(o.o_orderdate) FROM orders o
+          WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts) AS ft
+  FROM events e
+),
+t AS (
+  SELECT event_id, user_id, ts,
+         CASE
+           WHEN ft IS NULL THEN bt
+           WHEN bt IS NULL THEN ft
+           WHEN epoch(ts) - epoch(bt) <= epoch(ft) - epoch(ts) THEN bt
+           ELSE ft
+         END AS asof_time
+  FROM m
+)
+SELECT t.event_id, t.user_id, t.ts, t.asof_time,
+       (SELECT MAX(o.o_totalprice) FROM orders o
+        WHERE o.o_custkey = t.user_id AND o.o_orderdate = t.asof_time) AS asof_o_totalprice
+FROM t
+""",
+    extra=True,
+)
+def asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (pandas tie rule: equal distance → backward): each
+    event joined to the user's closest order in either direction. One
+    union shuffle, two windows over the same key partitioning."""
+    from vector_db_spark.operators.asof import as_of_join_directional
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_totalprice"
+    )
+    return as_of_join_directional(
+        ev,
+        o,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_totalprice"],
+        direction="nearest",
+        tiebreak_cols=["o_totalprice"],
+    ).select("event_id", "user_id", "ts", "asof_time", "asof_o_totalprice")
