@@ -97,6 +97,12 @@ HEADLINE = [
     "ivf_search_cosine_det",
     "asof_next_order",
     "asof_nearest_order",
+    # round-3 (this session): time-series rollups + KMV theta sketches
+    "ohlc_daily_bars",
+    "resample_ffill_purchases",
+    "ewma_purchase_values",
+    "value_mad_outliers",
+    "kmv_orderkey_overlap",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

@@ -199,3 +199,80 @@ def test_digest_maintenance_stream_rollup(spark, tmp_path, sf_correctness):
 
     for r in out:
         assert _rank_err(np.array(vals[r.event_type]), r.est, 0.5) <= 0.03, r.event_type
+
+
+# --- KMV (theta) sketches ----------------------------------------------------
+
+
+def _kmv_imports():
+    from vector_db_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_intersect_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    return kmv_sketch, kmv_merge, kmv_distinct_estimate, kmv_intersect_estimate
+
+
+def test_kmv_sketch_is_layout_invariant(spark):
+    kmv_sketch, _, _, _ = _kmv_imports()
+    df = spark.createDataFrame([(i % 500, "g") for i in range(2000)], "v long, g string")
+    a = sorted(r.kmv_hash for r in kmv_sketch(df.coalesce(1), "v", ["g"], k=64).collect())
+    b = sorted(r.kmv_hash for r in kmv_sketch(df.repartition(16), "v", ["g"], k=64).collect())
+    assert a == b and len(a) == 64
+
+
+def test_kmv_sparse_mode_is_exact(spark):
+    kmv_sketch, _, kmv_distinct_estimate, _ = _kmv_imports()
+    df = spark.createDataFrame([(i % 37, "g") for i in range(300)], "v long, g string")
+    sk = kmv_sketch(df, "v", ["g"], k=256)
+    (r,) = kmv_distinct_estimate(sk, ["g"], k=256).collect()
+    assert r.n_hashes == 37 and r.distinct_est == 37.0
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    kmv_sketch, kmv_merge, _, _ = _kmv_imports()
+    seg_a = spark.createDataFrame([(i, "g") for i in range(0, 800)], "v long, g string")
+    seg_b = spark.createDataFrame([(i, "g") for i in range(400, 1200)], "v long, g string")
+    k = 64
+    merged = kmv_merge(
+        kmv_sketch(seg_a, "v", ["g"], k=k).union(kmv_sketch(seg_b, "v", ["g"], k=k)),
+        ["g"],
+        k=k,
+    )
+    direct = kmv_sketch(seg_a.union(seg_b), "v", ["g"], k=k)
+    assert sorted(r.kmv_hash for r in merged.collect()) == sorted(
+        r.kmv_hash for r in direct.collect()
+    )
+
+
+def test_kmv_estimate_within_bound_dense(spark):
+    kmv_sketch, _, kmv_distinct_estimate, _ = _kmv_imports()
+    n = 5000
+    df = spark.createDataFrame([(i, "g") for i in range(n)], "v long, g string")
+    sk = kmv_sketch(df, "v", ["g"], k=128)
+    (r,) = kmv_distinct_estimate(sk, ["g"], k=128).collect()
+    assert abs(r.distinct_est - n) <= 0.3 * n  # 3.4σ at RSE 1/√126
+
+
+def test_kmv_intersection_disjoint_and_identical(spark):
+    kmv_sketch, _, kmv_distinct_estimate, kmv_intersect_estimate = _kmv_imports()
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(3000, 6000)], "v long")
+    k = 128
+    sa, sb = kmv_sketch(a, "v", k=k), kmv_sketch(b, "v", k=k)
+    (dis,) = kmv_intersect_estimate(sa, sb, k=k).collect()
+    assert dis.n_common == 0 and dis.intersect_est == 0.0
+    (same,) = kmv_intersect_estimate(sa, sa, k=k).collect()
+    (est,) = kmv_distinct_estimate(sa, k=k).collect()
+    # identical sketches: every hash below theta is common -> est == distinct est
+    assert same.intersect_est == pytest.approx(est.distinct_est, rel=0.02)
+
+
+def test_kmv_intersection_half_overlap_bound(spark):
+    kmv_sketch, _, _, kmv_intersect_estimate = _kmv_imports()
+    a = spark.createDataFrame([(i,) for i in range(0, 4000)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(2000, 6000)], "v long")
+    (r,) = kmv_intersect_estimate(kmv_sketch(a, "v", k=256), kmv_sketch(b, "v", k=256), k=256).collect()
+    assert abs(r.intersect_est - 2000) <= 0.35 * 2000

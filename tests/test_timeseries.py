@@ -1,0 +1,164 @@
+"""Unit pins for the time-series surface (operators/timeseries.py):
+OHLC rollup tie-breaks, resample gap-fill semantics, truncated-EWMA
+arithmetic, and MAD outlier flags."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.timeseries import (
+    ewma,
+    mad_outliers,
+    ohlc_bars,
+    resample_ffill,
+)
+
+
+def _ts(day, hour=0):
+    return datetime(2024, 1, day, hour)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+# --- ohlc_bars ---------------------------------------------------------------
+
+
+def test_ohlc_open_close_high_low(spark):
+    df = _events(
+        spark,
+        [
+            (1, _ts(1, 1), 7, 10.0),
+            (2, _ts(1, 5), 7, 40.0),
+            (3, _ts(1, 9), 7, 5.0),
+            (4, _ts(1, 23), 7, 20.0),
+            (5, _ts(2, 0), 7, 99.0),  # next day bucket
+        ],
+    )
+    bars = {
+        r.bucket_ts: r
+        for r in ohlc_bars(df, key="user_id", step="1 day").collect()
+    }
+    b1 = bars[_ts(1)]
+    assert (b1.open, b1.high, b1.low, b1.close, b1.n_obs, b1.total) == (
+        10.0, 40.0, 5.0, 20.0, 4, 75.0,
+    )
+    b2 = bars[_ts(2)]
+    assert (b2.open, b2.close, b2.n_obs) == (99.0, 99.0, 1)
+
+
+def test_ohlc_equal_ts_ties_break_by_id(spark):
+    # two rows at the identical timestamp: open must be the lower event_id,
+    # close the higher — on any partitioning
+    df = _events(
+        spark,
+        [(10, _ts(1, 3), 7, 111.0), (9, _ts(1, 3), 7, 222.0)],
+    ).repartition(4)
+    (bar,) = ohlc_bars(df, key="user_id", step="1 day").collect()
+    assert bar.open == 222.0 and bar.close == 111.0  # id 9 first, id 10 last
+
+
+# --- resample_ffill ----------------------------------------------------------
+
+
+def test_resample_fills_gaps_forward(spark):
+    df = _events(
+        spark,
+        [
+            (1, _ts(1, 5), 7, 10.0),
+            (2, _ts(4, 5), 7, 40.0),  # days 2,3 are gaps
+        ],
+    )
+    rows = sorted(
+        resample_ffill(df, key="user_id", step_hours=24).collect(),
+        key=lambda r: r.bucket_ts,
+    )
+    assert [r.bucket_ts.day for r in rows] == [1, 2, 3, 4]
+    assert [r.value_ffill for r in rows] == [10.0, 10.0, 10.0, 40.0]
+    assert [r.is_observed for r in rows] == [True, False, False, True]
+
+
+def test_resample_last_obs_in_bucket_wins(spark):
+    df = _events(
+        spark,
+        [(1, _ts(1, 2), 7, 10.0), (2, _ts(1, 22), 7, 30.0)],
+    )
+    (row,) = resample_ffill(df, key="user_id", step_hours=24).collect()
+    assert row.value_ffill == 30.0 and row.is_observed
+
+
+def test_resample_grid_is_per_key(spark):
+    # key 8 observed only on day 5: its grid must not start at key 7's day 1
+    df = _events(
+        spark,
+        [(1, _ts(1), 7, 1.0), (2, _ts(3), 7, 3.0), (3, _ts(5), 8, 5.0)],
+    )
+    out = resample_ffill(df, key="user_id", step_hours=24)
+    per_key = {r.user_id for r in out.filter(F.col("user_id") == 8).collect()}
+    assert out.filter(F.col("user_id") == 8).count() == 1
+    assert out.filter(F.col("user_id") == 7).count() == 3
+    assert per_key == {8}
+
+
+# --- ewma --------------------------------------------------------------------
+
+
+def test_ewma_head_and_weights(spark):
+    df = _events(
+        spark,
+        [(1, _ts(1), 7, 10.0), (2, _ts(2), 7, 20.0), (3, _ts(3), 7, 40.0)],
+    )
+    rows = {r.event_id: r.ewma_value for r in ewma(df, alpha=0.5, k_lags=8).collect()}
+    assert rows[1] == 10.0  # head: no lags, renormalized to the value itself
+    assert rows[2] == pytest.approx((20.0 + 0.5 * 10.0) / 1.5, abs=1e-6)
+    assert rows[3] == pytest.approx(
+        (40.0 + 0.5 * 20.0 + 0.25 * 10.0) / 1.75, abs=1e-6
+    )
+
+
+def test_ewma_truncates_at_k_lags(spark):
+    # with k_lags=1 only the immediate predecessor contributes
+    df = _events(
+        spark,
+        [(1, _ts(1), 7, 100.0), (2, _ts(2), 7, 10.0), (3, _ts(3), 7, 10.0)],
+    )
+    rows = {r.event_id: r.ewma_value for r in ewma(df, alpha=0.5, k_lags=1).collect()}
+    assert rows[3] == pytest.approx(10.0, abs=1e-6)  # 100.0 is beyond the horizon
+
+
+def test_ewma_partition_invariant(spark):
+    df = _events(
+        spark,
+        [(i, _ts(1 + i % 28, i % 24), i % 3, float(i * 7 % 101)) for i in range(120)],
+    )
+    a = sorted(ewma(df.coalesce(1)).collect())
+    b = sorted(ewma(df.repartition(16)).collect())
+    assert a == b
+
+
+# --- mad_outliers ------------------------------------------------------------
+
+
+def test_mad_outliers_hand_computed(spark):
+    # values 1..9 plus an outlier 1000: med=5.5, MAD=2.5 -> cut at 3.5*1.4826*2.5≈12.97
+    rows = [(i, _ts(1), 7, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    df = _events(spark, rows).withColumn("event_type", F.lit("t"))
+    out = mad_outliers(df, group="event_type", value="value", z_cut=3.5)
+    flagged = [r.value for r in out.filter("is_outlier").collect()]
+    assert flagged == [1000.0]
+    (r,) = out.limit(1).collect()
+    assert r.med == pytest.approx(5.5) and r.mad == pytest.approx(2.5)
+
+
+def test_mad_zero_flags_nothing(spark):
+    # constant group: MAD=0 — must not flag everything
+    rows = [(i, _ts(1), 7, 5.0) for i in range(6)] + [(9, _ts(1), 7, 5.000001)]
+    df = _events(spark, rows).withColumn("event_type", F.lit("t"))
+    out = mad_outliers(df, group="event_type", value="value")
+    assert out.filter("is_outlier").count() == 0

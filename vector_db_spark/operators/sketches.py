@@ -198,3 +198,163 @@ def digest_quantiles(
     qdf = digest.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
     hit = e.join(F.broadcast(qdf)).filter(F.col("cum") >= F.col("q") * F.col("total"))
     return hit.groupBy(*by, "q").agg(F.min_by("mean", "i").alias("est"))
+
+
+# --- KMV (theta) distinct-count sketches ------------------------------------
+#
+# HLL answers "how many distinct" per group and unions across groups, but it
+# cannot INTERSECT: "how many users did BOTH X and Y" has no HLL merge. The
+# k-minimum-values / theta sketch (Beyer et al., SIGMOD'07; the DataSketches
+# theta family) does: keep the k smallest hash values of the distinct set;
+# under the k-th smallest hash θ every sketch is a uniform sample of its set
+# with inclusion probability θ/2^60, so set-algebra estimates follow from
+# counting shared hashes below the common θ.
+#
+# Everything is md5-derived (the repo's engine-reproducible randomness
+# idiom): the k smallest distinct hashes are a PURE FUNCTION of the value
+# set — layout-, rerun-, and engine-invariant — so unlike HLL's opaque
+# binary state, KMV estimates are themselves oracle-checkable value-for-
+# value in DuckDB.
+
+_KMV_SCALE = float(2**60)  # hashes are 60-bit (15 md5 nibbles); 2^60 is an
+# exact double, so /2^60 is an exact binary-exponent shift in both engines
+
+
+def _kmv_hash(col: str, salt: str):
+    """60-bit integer hash of ``col`` (15 md5 hex nibbles via conv), the
+    same construction DuckDB reproduces as ('0x'||substr(md5(..),1,15))."""
+    h = F.md5(F.concat(F.col(col).cast("string"), F.lit(":" + salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    *,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct 60-bit hashes of
+    ``col`` as plain rows ``(*by, kmv_hash)`` — a persistable Parquet
+    table, like the HLL segment rows.
+
+    Plan: a map-side Arrow kernel keeps the k smallest distinct hashes
+    per group per partition (O(groups×k) task memory, the Misra-Gries
+    shape from heavyhitters.py), so the shuffle carries ≤ tasks×k rows
+    per group — corpus-row-independent. One final per-group rank over
+    candidates selects the true global k minima (dedup across partitions
+    happens here). Groups with fewer than k distinct values keep them
+    all: the sketch degrades to the exact distinct set ("sparse mode").
+    """
+    from pyspark.sql import Window
+
+    by = list(by)
+    hashed = df.select(*by, _kmv_hash(col, salt).alias("kmv_hash"))
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        best: dict[tuple, np.ndarray] = {}
+        for pdf in batches:
+            for key, g in pdf.groupby(by, sort=False) if by else [((), pdf)]:
+                key = key if isinstance(key, tuple) else (key,)
+                merged = np.unique(
+                    np.concatenate(
+                        [best.get(key, np.empty(0, np.int64)), g["kmv_hash"].to_numpy(np.int64)]
+                    )
+                )
+                best[key] = merged[:k]
+        for key, hs in best.items():
+            out = {c: np.repeat(v, len(hs)) for c, v in zip(by, key)}
+            out["kmv_hash"] = hs
+            yield pd.DataFrame(out)
+
+    fields = ", ".join(
+        [f"{c} {t}" for c, t in df.select(*by).dtypes] + ["kmv_hash long"]
+    )
+    cand = hashed.mapInPandas(kernel, fields).dropDuplicates(by + ["kmv_hash"])
+    w = (
+        Window.partitionBy(*by).orderBy("kmv_hash")
+        if by
+        else Window.partitionBy(F.lit(1)).orderBy("kmv_hash")
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(sketches: DataFrame, by: Sequence[str] = (), *, k: int = 256) -> DataFrame:
+    """Union of KMV sketches (e.g. per-day segments → a span): concat the
+    hash rows, dedup, keep each group's k smallest. Input is sketch rows
+    (≤ k per group per segment), never raw data."""
+    from pyspark.sql import Window
+
+    by = list(by)
+    w = (
+        Window.partitionBy(*by).orderBy("kmv_hash")
+        if by
+        else Window.partitionBy(F.lit(1)).orderBy("kmv_hash")
+    )
+    return (
+        sketches.dropDuplicates(by + ["kmv_hash"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, by: Sequence[str] = (), *, k: int = 256) -> DataFrame:
+    """``(*by, n_hashes, distinct_est)`` from sketch rows. Sparse groups
+    (fewer than k hashes = the full distinct set) are exact; dense groups
+    use the unbiased KMV estimator (k−1)/θ with θ = k-th smallest
+    normalized hash. Deterministic — same value from any engine."""
+    by = list(by)
+    agg = sketch.groupBy(*by).agg(
+        F.count("*").alias("n_hashes"), F.max("kmv_hash").alias("__theta")
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("__theta").cast("double") / F.lit(_KMV_SCALE)))
+    return agg.select(*by, "n_hashes", F.round(est, 4).alias("distinct_est"))
+
+
+def kmv_intersect_estimate(
+    sk_a: DataFrame, sk_b: DataFrame, *, k: int = 256
+) -> DataFrame:
+    """One-row ``(n_common, intersect_est)``: estimated |A ∩ B| from two
+    single-group sketches. θ = min of the two sketches' thetas (sparse
+    side ⇒ θ=1); ``n_common`` counts hashes below θ present in BOTH
+    sketches — each is a θ-probability uniform sample of its set, so
+    n_common/θ is the standard theta-sketch intersection estimate.
+    Join volume: ≤ k × k sketch rows, zero corpus access."""
+
+    def theta(sk: DataFrame) -> DataFrame:
+        return sk.agg(
+            F.when(F.count("*") < k, F.lit(int(_KMV_SCALE)))
+            .otherwise(F.max("kmv_hash"))
+            .alias("th")
+        )
+
+    th = (
+        theta(sk_a).select(F.col("th").alias("th_a"))
+        .join(theta(sk_b).select(F.col("th").alias("th_b")))
+        .select(F.least("th_a", "th_b").alias("theta"))
+    )
+    common = sk_a.select("kmv_hash").join(sk_b.select("kmv_hash"), "kmv_hash")
+    return (
+        common.join(F.broadcast(th))
+        .filter(F.col("kmv_hash") < F.col("theta"))
+        .groupBy("theta")
+        .agg(F.count("*").alias("n_common"))
+        .union(th.select("theta", F.lit(0).alias("n_common")))  # empty-intersection fallback
+        .groupBy()
+        .agg(
+            F.max("n_common").alias("n_common"),
+            F.round(
+                F.max("n_common").cast("double")
+                / (F.min("theta").cast("double") / F.lit(_KMV_SCALE)),
+                4,
+            ).alias("intersect_est"),
+        )
+    )

@@ -1,0 +1,216 @@
+"""Time-series surface: hypertable-style rollups over an event stream.
+
+The brief's operator list names "hypertable rollup" beside as-of and range
+joins as the time-series capabilities a Spark-native engine should express
+natively (the reference itself has no time axis beyond ingest order — its
+events are rows in a FastAPI queue, reference api/routes.py). This module
+supplies the four canonical shapes:
+
+- ``ohlc_bars`` — per-bucket open/high/low/close/volume (the hypertable
+  continuous-aggregate rollup). One keyed aggregation, map-side partial.
+- ``resample_ffill`` — regularize an irregular series onto a fixed grid and
+  carry the last observation forward (gap fill). Grid generation is
+  per-key `sequence()` (no driver loop); the fill is one carry-forward
+  window — the same single-shuffle idiom as ``asof.as_of_join``.
+- ``ewma`` — exponentially weighted moving average, truncated at ``k_lags``
+  terms so the whole recurrence unrolls into fixed ``lag()`` expressions
+  inside whole-stage codegen (no per-key Python, no sequential scan).
+- ``mad_outliers`` — robust anomaly flags via median/MAD (median absolute
+  deviation): exact interpolated percentiles, two tiny aggregations, flag
+  computation map-side.
+
+Scale posture (SCALE.md): every operator here shuffles ON THE SERIES KEY
+exactly once (plus O(groups)-row broadcast joins for the stats forms);
+nothing materializes pairs, nothing collects the corpus. ``resample_ffill``
+output volume is grid-bounded (keys × buckets), which the caller controls
+via ``step``; the gaps a 100 TB deployment fills are per-key and
+independent, so AQE handles key skew the same way it does for the as-of
+join.
+
+Determinism: window orders carry an id tie-break everywhere; EWMA weights
+are exact powers of (1-α) rounded at 6 dp so the oracle (DuckDB lag-sum
+form) reproduces values bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ohlc_bars(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    key: str | None = None,
+    tiebreak: str = "event_id",
+    step: str = "1 day",
+) -> DataFrame:
+    """Per-bucket open/high/low/close/volume/vwap-style rollup.
+
+    ``open``/``close`` are the values at the earliest/latest ``(ts,
+    tiebreak)`` in the bucket — ``min_by``/``max_by`` over a struct order,
+    so ties at identical timestamps resolve deterministically by id on any
+    engine and any partitioning.
+
+    One aggregation keyed on (key, bucket): map-side partials combine
+    min/max/sum/count and the struct-ordered extremes, so the shuffle
+    carries one row per (key, bucket) per map task — the classic
+    hypertable continuous-aggregate budget. At 100 TB this is the same
+    plan: bucket derivation is map-side, no window, no join.
+    """
+    bucket = F.window(F.col(ts), step).start.alias("bucket_ts")
+    keys = ([F.col(key)] if key else []) + [bucket]
+    order = F.struct(F.col(ts), F.col(tiebreak))
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.min_by(F.col(value), order).alias("open"),
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            F.max_by(F.col(value), order).alias("close"),
+            F.count("*").alias("n_obs"),
+            F.sum(value).alias("total"),
+        )
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+    step_hours: int = 24,
+) -> DataFrame:
+    """Regularize each key's irregular series onto a fixed ``step_hours``
+    grid, carrying the last observation forward into empty buckets.
+
+    Plan (one key-shuffle, grid-bounded output):
+
+    1. per-(key, bucket) last observation — one aggregation, ``max_by``
+       over the (ts, tiebreak) struct;
+    2. per-key grid — `sequence(min_bucket, max_bucket, interval)` +
+       `explode`, derived from the same aggregation re-aggregated (no
+       driver loop, no literal calendar);
+    3. grid ⟕ observations on (key, bucket), then ONE carry-forward
+       window `last(value, ignorenulls)` per key — the as-of idiom.
+
+    Output columns: ``(key, bucket_ts, value_ffill, is_observed)``.
+    Grid volume = keys × span/step, controlled by the caller; the window
+    state is one value per key. Leading buckets before a key's first
+    observation cannot exist (the grid starts at the key's own min).
+    """
+    bucket = F.window(F.col(ts), f"{step_hours} hours").start
+    obs = (
+        df.select(F.col(key), bucket.alias("bucket_ts"), F.col(value), F.col(ts), F.col(tiebreak))
+        .groupBy(key, "bucket_ts")
+        .agg(F.max_by(F.col(value), F.struct(F.col(ts), F.col(tiebreak))).alias("obs_value"))
+    )
+    grid = (
+        obs.groupBy(key)
+        .agg(F.min("bucket_ts").alias("b0"), F.max("bucket_ts").alias("b1"))
+        .select(
+            key,
+            F.explode(
+                F.sequence("b0", "b1", F.expr(f"INTERVAL {step_hours} HOURS"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy("bucket_ts")
+    return (
+        grid.join(obs, [key, "bucket_ts"], "left")
+        .select(
+            key,
+            "bucket_ts",
+            F.last("obs_value", ignorenulls=True).over(w).alias("value_ffill"),
+            F.col("obs_value").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+def _ewma_expr(value: str, alpha: float, k_lags: int, w: Window) -> Column:
+    """Truncated-EWMA as unrolled lag expressions: weighted mean of the
+    current value and up to ``k_lags`` predecessors with weights
+    (1-α)^i, renormalized over the lags that actually exist (series
+    heads see fewer terms — same convention as pandas ewm(adjust=True))."""
+    num: Column = F.col(value).cast("double")
+    den: Column = F.lit(1.0)
+    for i in range(1, k_lags + 1):
+        wt = float((1.0 - alpha) ** i)
+        lagged = F.lag(F.col(value).cast("double"), i).over(w)
+        num = num + F.coalesce(lagged * F.lit(wt), F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return num / den
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+    alpha: float = 0.5,
+    k_lags: int = 8,
+    out: str = "ewma_value",
+) -> DataFrame:
+    """Exponentially weighted moving average per key, truncated at
+    ``k_lags`` terms.
+
+    The infinite EWMA recurrence is inherently sequential; truncating at
+    K terms (weight (1-α)^K ≤ 0.4% of the head at the defaults) turns it
+    into K fixed ``lag()`` columns summed inside whole-stage codegen —
+    one shuffle on the key, zero Python, and (unlike the recurrence) any
+    row's value depends only on a bounded window, so late/partitioned
+    recomputation is local. ``adjust``-style renormalization handles
+    series heads exactly.
+
+    Emitted value is rounded to 6 dp: the weights are exact doubles both
+    engines compute identically, so the rounded stream is oracle-exact.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak))
+    return df.select(
+        key,
+        ts,
+        tiebreak,
+        F.col(value),
+        F.round(_ewma_expr(value, alpha, k_lags, w), 6).alias(out),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    *,
+    group: str = "event_type",
+    value: str = "value",
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flags: |value − median| > z_cut·1.4826·MAD.
+
+    Median and MAD are exact interpolated percentiles (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont`` — the cross-engine identity the winsorized
+    stats already rely on). Two group-keyed aggregations (each one
+    shuffle of O(groups) output rows) with the group stats broadcast back
+    onto the scan; the flag itself is a map-side expression. Degenerate
+    groups (MAD = 0) flag nothing rather than everything.
+
+    Returns the input plus ``(med, mad, is_outlier)``.
+    """
+    med = df.groupBy(group).agg(F.expr(f"percentile({value}, 0.5)").alias("med"))
+    with_med = df.join(F.broadcast(med), group)
+    mad = (
+        with_med.groupBy(group)
+        .agg(F.expr(f"percentile(abs({value} - med), 0.5)").alias("mad"))
+    )
+    scaled = F.col("mad") * F.lit(1.4826)
+    return (
+        with_med.join(F.broadcast(mad), group)
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("mad") > 0, F.abs(F.col(value) - F.col("med")) > F.lit(z_cut) * scaled)
+            .otherwise(F.lit(False)),
+        )
+    )

@@ -100,3 +100,105 @@ def digest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("ok", F.when(F.col("q") == 0.5, 1).otherwise(0)).alias("p50_ok"),
         F.max_by("ok", F.when(F.col("q") == 0.9, 1).otherwise(0)).alias("p90_ok"),
     )
+
+
+@register(
+    "kmv_orderkey_overlap",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+         ('0x' || substr(md5(l_orderkey::VARCHAR || ':kmv'), 1, 15))::UBIGINT::BIGINT AS kmv_hash
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+r AS (
+  SELECT l_returnflag, kmv_hash,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY kmv_hash) AS rn
+  FROM h),
+sk AS (SELECT l_returnflag, kmv_hash FROM r WHERE rn <= 256),
+est AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n_hashes,
+         CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+              ELSE 255e0 / (max(kmv_hash)::DOUBLE / 1152921504606846976e0) END AS distinct_est,
+         CASE WHEN count(*) < 256 THEN 1152921504606846976 ELSE max(kmv_hash) END AS th
+  FROM sk GROUP BY 1),
+exact AS (
+  SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_distinct
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+theta AS (SELECT min(th) AS theta FROM est),
+common AS (
+  SELECT count(*)::BIGINT AS n_common FROM (
+    SELECT kmv_hash FROM sk WHERE l_returnflag = 'A'
+    INTERSECT SELECT kmv_hash FROM sk WHERE l_returnflag = 'R') s, theta
+  WHERE s.kmv_hash < theta.theta),
+exact_i AS (
+  SELECT count(*)::BIGINT AS exact_intersect FROM (
+    SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'))
+SELECT e.l_returnflag, e.n_hashes, round(e.distinct_est, 4) AS distinct_est,
+       x.exact_distinct,
+       abs(e.distinct_est - x.exact_distinct) <= 0.2 * x.exact_distinct AS est_ok,
+       c.n_common,
+       round(c.n_common / (t.theta::DOUBLE / 1152921504606846976e0), 4) AS intersect_est,
+       i.exact_intersect,
+       abs(c.n_common / (t.theta::DOUBLE / 1152921504606846976e0) - i.exact_intersect)
+         <= 0.25 * i.exact_intersect AS intersect_ok
+FROM est e JOIN exact x USING (l_returnflag)
+CROSS JOIN common c CROSS JOIN theta t CROSS JOIN exact_i i
+""",
+    extra=True,
+)
+def kmv_orderkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-orderkey KMV (theta) sketches per return flag, plus the
+    set operation HLL cannot do: the estimated |A ∩ R| overlap. The k=256
+    smallest md5 hashes are a pure function of the value set, so every
+    estimate is deterministic and value-hash-oracled exactly — alongside
+    exact counts and the ±3σ-style bound booleans (KMV RSE ≈ 1/√(k−2) ≈
+    6.3%; intersection inherits union-θ sampling error, bounded at 25%).
+    Sketch build is a map-side Arrow k-min kernel: the shuffle carries
+    ≤ tasks×k candidate rows, never the distinct stream."""
+    from vector_db_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    K = 256
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    sk = kmv_sketch(li, "l_orderkey", ["l_returnflag"], k=K).cache()
+    est = kmv_distinct_estimate(sk, ["l_returnflag"], k=K)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    inter = kmv_intersect_estimate(
+        sk.filter(F.col("l_returnflag") == "A"),
+        sk.filter(F.col("l_returnflag") == "R"),
+        k=K,
+    )
+    a_keys = li.filter(F.col("l_returnflag") == "A").select("l_orderkey").distinct()
+    r_keys = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    exact_i = a_keys.join(r_keys, "l_orderkey").agg(
+        F.count("*").alias("exact_intersect")
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .join(F.broadcast(inter))
+        .join(F.broadcast(exact_i))
+        .select(
+            "l_returnflag",
+            "n_hashes",
+            "distinct_est",
+            "exact_distinct",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+                <= 0.2 * F.col("exact_distinct")
+            ).alias("est_ok"),
+            "n_common",
+            "intersect_est",
+            "exact_intersect",
+            (
+                F.abs(F.col("intersect_est") - F.col("exact_intersect"))
+                <= 0.25 * F.col("exact_intersect")
+            ).alias("intersect_ok"),
+        )
+    )

@@ -1,0 +1,167 @@
+"""Time-series rollup queries over the `events` table: hypertable-style
+OHLC bars, gap-filled resampling, truncated EWMA smoothing, and MAD-robust
+outlier flags (operators/timeseries.py).
+
+All four are fully deterministic, so each carries a complete value-level
+DuckDB oracle. EWMA uses α=0.5 deliberately: every weight (1-α)^i is an
+exact binary fraction, so decimal-vs-double literal parsing differences
+between engines cannot perturb the arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_spark.io import load_table
+from vector_db_spark.operators.timeseries import (
+    ewma,
+    mad_outliers,
+    ohlc_bars,
+    resample_ffill,
+)
+from vector_db_spark.queries import register
+
+
+@register(
+    "ohlc_daily_bars",
+    oracle="""
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts, value, ts, event_id,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT event_type, bucket_ts,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+       count(*)::BIGINT AS n_obs,
+       round(sum(value), 4) AS total
+FROM b GROUP BY 1, 2
+""",
+    extra=True,
+)
+def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open/high/low/close/volume bars per event type — the
+    hypertable continuous-aggregate rollup as ONE map-side-partial
+    aggregation (no window, no join; the oracle's row_number form is the
+    heavyweight equivalent)."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlc_bars(ev, key="event_type", step="1 day")
+    return bars.select(
+        "event_type",
+        "bucket_ts",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "n_obs",
+        F.round("total", 4).alias("total"),
+    )
+
+
+@register(
+    "resample_ffill_purchases",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts, value, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'),
+last_obs AS (
+  SELECT user_id, bucket_ts, value AS obs_value FROM obs WHERE rn = 1),
+span AS (
+  SELECT user_id, min(bucket_ts) AS b0, max(bucket_ts) AS b1
+  FROM last_obs GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 24 HOURS)) AS bucket_ts
+  FROM span)
+SELECT g.user_id, g.bucket_ts,
+       round(last_value(o.obs_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_ts), 6) AS value_ffill,
+       (o.obs_value IS NOT NULL) AS is_observed
+FROM grid g LEFT JOIN last_obs o
+  ON g.user_id = o.user_id AND g.bucket_ts = o.bucket_ts
+""",
+    extra=True,
+)
+def resample_ffill_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's purchase stream regularized onto a daily grid with the
+    last value carried into gap days — the resample/gap-fill every
+    downstream ML feature pipeline wants. One key shuffle; grid rows are
+    keys × span-days, never corpus-scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    filled = resample_ffill(ev, key="user_id", step_hours=24)
+    return filled.select(
+        "user_id",
+        "bucket_ts",
+        F.round("value_ffill", 6).alias("value_ffill"),
+        "is_observed",
+    )
+
+
+_EWMA_W = [0.5**i for i in range(1, 9)]
+_EWMA_NUM_SQL = "value" + "".join(
+    f" + coalesce(lag(value, {i}) OVER w * {w!r}, 0e0)" for i, w in enumerate(_EWMA_W, 1)
+)
+_EWMA_DEN_SQL = "1e0" + "".join(
+    f" + CASE WHEN lag(value, {i}) OVER w IS NOT NULL THEN {w!r} ELSE 0e0 END"
+    for i, w in enumerate(_EWMA_W, 1)
+)
+
+
+@register(
+    "ewma_purchase_values",
+    oracle=f"""
+SELECT user_id, ts, event_id, value,
+       round(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}), 6) AS ewma_value
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    extra=True,
+)
+def ewma_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed purchase values per user (α=0.5, 8-term truncation —
+    the tail weight is ≤0.4% of the head). The recurrence is unrolled
+    into fixed lag() expressions inside whole-stage codegen: one key
+    shuffle, zero Python, bounded dependence per row."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ewma(ev, key="user_id", alpha=0.5, k_lags=8, out="ewma_value")
+
+
+@register(
+    "value_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+SELECT e.event_type,
+       count(*)::BIGINT AS n,
+       round(any_value(m.med), 6) AS med,
+       round(any_value(d.mad), 6) AS mad,
+       sum(CASE WHEN d.mad > 0
+                 AND abs(e.value - m.med) > 3.5e0 * 1.4826e0 * d.mad
+            THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+GROUP BY 1
+""",
+    extra=True,
+)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier census via median/MAD (exact interpolated
+    percentiles both engines compute identically). Two O(groups)-row
+    aggregations broadcast back; the flag is map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    flagged = mad_outliers(ev, group="event_type", value="value", z_cut=3.5)
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    )
