@@ -344,6 +344,106 @@ class IVFIndex:
             fs.delete(jpath(tmp), True)
         return {"max_shift": max_shift, "drifted": drifted, "moved": moved}
 
+    # -- maintenance: hot-cluster split ------------------------------------------
+
+    def split_cluster(self, cluster_id: int, n_sub: int = 2, *, max_iter: int = 10, seed: int = 42) -> dict:
+        """Mega-cluster mitigation as a first-class operator (SCALE.md
+        "what would break first" #1): re-cluster ONE oversized cluster into
+        ``n_sub`` sub-clusters, touching nothing else.
+
+        Natural k-means skew concentrates mass in a few clusters; every
+        downstream per-cluster kernel (knn_graph, hnsw_export, SemDeDup)
+        and every probe of the hot partition pays for it. AQE splits the
+        *join tasks* at read time, but the partition itself stays fat on
+        disk. This fixes the layout:
+
+        1. scan only the hot partition (partition-pruned read);
+        2. fit ``n_sub`` sub-centroids on a bounded sample of its members
+           (operators.kmeans — driver sees ≤ capped-sample rows);
+        3. broadcast-argmin assignment to FRESH cluster ids (old max+1…),
+           so stale references to the retired id can never alias a
+           half-rewritten partition;
+        4. stage the sub-partitions to a tmp dir and swap via the
+           FileSystem API (same protocol as :meth:`delete`), removing the
+           retired partition dir;
+        5. rewrite the centroid table: retired row out, ``n_sub`` rows in.
+
+        Search semantics are preserved exactly under exhaustive probing
+        (probe-all ≡ brute force before and after — pinned in
+        tests/test_ivf.py); at fixed ``n_probe`` the finer quantizer can
+        only tighten the probed region around the split.
+
+        Returns ``{"retired", "new_clusters", "sizes"}``."""
+        if n_sub < 2:
+            raise ValueError("n_sub must be >= 2")
+        from vector_db_spark.operators.kmeans import train_centroids
+
+        cent_rows = self.centroids().select("cluster_id", "centroid").collect()
+        if cluster_id not in {int(r.cluster_id) for r in cent_rows}:
+            raise ValueError(f"unknown cluster_id {cluster_id}")
+        next_id = max(int(r.cluster_id) for r in cent_rows) + 1
+        members = self.corpus().filter(F.col("cluster_id") == cluster_id)
+        n_members = members.count()
+        if n_members < n_sub:
+            raise ValueError(
+                f"cluster {cluster_id} has {n_members} members, cannot split into {n_sub}"
+            )
+
+        subs = train_centroids(
+            members.select(self.vec_col), self.vec_col, n_sub, max_iter=max_iter, seed=seed
+        )
+        centers = [(next_id + i, list(c)) for i, c in enumerate(subs)]
+        assigned = assign_to_centroids(
+            members.select(self.id_col, self.vec_col).drop("cluster_id"),
+            centers,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+
+        tmp = self.corpus_path.rstrip("/") + ".tmp-split"
+        assigned.select(self.id_col, self.vec_col, "cluster_id").write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(tmp)
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path
+        fs = jpath(self.corpus_path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(jpath(os.path.join(self.corpus_path, f"cluster_id={cluster_id}")), True)
+        for c, _ in centers:
+            src = jpath(os.path.join(tmp, f"cluster_id={c}"))
+            if fs.exists(src):  # a sub-centroid can end up empty on tiny clusters
+                fs.rename(src, jpath(os.path.join(self.corpus_path, f"cluster_id={c}")))
+        fs.delete(jpath(tmp), True)
+
+        import pyarrow as pa
+
+        from vector_db_spark.io import write_small_parquet
+
+        kept = [
+            (int(r.cluster_id), [float(x) for x in r.centroid])
+            for r in cent_rows
+            if int(r.cluster_id) != cluster_id
+        ]
+        all_centers = sorted(kept + [(c, [float(x) for x in v]) for c, v in centers])
+        write_small_parquet(
+            self.centroids_path,
+            pa.table(
+                {
+                    "cluster_id": pa.array([c for c, _ in all_centers], pa.int32()),
+                    "centroid": pa.array([v for _, v in all_centers], pa.list_(pa.float64())),
+                }
+            ),
+        )
+        sizes = {
+            int(r.cluster_id): int(r.cluster_size)
+            for r in self.cluster_sizes()
+            .filter(F.col("cluster_id").isin([c for c, _ in centers]))
+            .collect()
+        }
+        return {
+            "retired": cluster_id,
+            "new_clusters": [c for c, _ in centers],
+            "sizes": sizes,
+        }
+
     # -- search (reference ivf.py:138-199) --------------------------------------
 
     def search(
