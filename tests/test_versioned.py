@@ -1,0 +1,136 @@
+"""VersionedTable pins: snapshot isolation, time travel, copy-on-write
+delete file pruning, rollback, commit-conflict handling, vacuum retention."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_spark.operators.versioned import CommitConflict, VersionedTable
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path / "vtab"))
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame([(i, f"r{i}") for i in range(lo, hi)], "id long, s string")
+
+
+def test_append_and_time_travel(spark, vt):
+    v0 = vt.append(_df(spark, 0, 100))
+    v1 = vt.append(_df(spark, 100, 150))
+    assert (v0, v1) == (0, 1)
+    assert vt.read(v0).count() == 100
+    assert vt.read(v1).count() == 150
+    assert vt.read().count() == 150  # head
+    hist = vt.history()
+    assert [h["version"] for h in hist] == [0, 1]
+    assert [h["n_rows"] for h in hist] == [100, 150]
+
+
+def test_overwrite_replaces_snapshot_keeps_history(spark, vt):
+    vt.append(_df(spark, 0, 50))
+    v1 = vt.overwrite(_df(spark, 0, 10))
+    assert vt.read(v1).count() == 10
+    assert vt.read(0).count() == 50  # old snapshot still readable
+
+
+def test_delete_where_rewrites_only_hit_files(spark, vt):
+    # two separate appends -> two txn dirs; delete rows living only in one
+    vt.append(_df(spark, 0, 100).coalesce(1))
+    vt.append(_df(spark, 100, 200).coalesce(1))
+    m_before = vt._read_manifest(vt.current_version())
+    v2 = vt.delete_where(F.col("id") >= 150)
+    m_after = vt._read_manifest(v2)
+    assert vt.read().count() == 150
+    # the first txn's file must carry over by reference (same path)
+    first_files = [f for f in m_before["files"] if f in m_after["files"]]
+    assert len(first_files) == 1
+    # time travel still sees the pre-delete snapshot
+    assert vt.read(v2 - 1).count() == 200
+
+
+def test_delete_where_null_predicate_rows_survive(spark, vt):
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "b")], "id long, s string")
+    vt.append(df)
+    vt.delete_where(F.col("s") == "a")  # NULL comparison -> NULL, must survive
+    assert sorted(r.id for r in vt.read().collect()) == [2, 3]
+
+
+def test_delete_where_no_match_is_metadata_only(spark, vt):
+    vt.append(_df(spark, 0, 10))
+    files_before = vt._read_manifest(vt.current_version())["files"]
+    v = vt.delete_where(F.col("id") > 999)
+    assert vt._read_manifest(v)["files"] == files_before
+
+
+def test_rollback_restores_without_erasing(spark, vt):
+    vt.append(_df(spark, 0, 100))
+    vt.overwrite(_df(spark, 0, 1))  # the "bad" commit
+    v2 = vt.rollback(0)
+    assert vt.read().count() == 100
+    assert vt.read(1).count() == 1  # bad version still inspectable
+    assert vt.history()[-1]["op"] == "rollback:0" and v2 == 2
+
+
+def test_commit_conflict_rebases_append_on_new_head(spark, vt):
+    vt.append(_df(spark, 0, 10))
+    # simulate a concurrent writer claiming version 1: head becomes a copy
+    # of v0 (same files) committed by someone else
+    import json
+
+    m0 = vt._read_manifest(0)
+    os.makedirs(vt.manifest_dir, exist_ok=True)
+    with open(vt._manifest_path(1), "w") as fh:
+        json.dump({**m0, "version": 1}, fh)
+    v = vt.append(_df(spark, 10, 20))
+    assert v == 2  # lost the race for v1, landed on v2
+    # base re-derived from the NEW head: both batches visible
+    assert vt.read(2).count() == 20
+    assert sorted(r.id for r in vt.read(2).collect()) == list(range(20))
+
+
+def test_append_retries_and_rebases_after_losing_race(spark, vt, monkeypatch):
+    import json
+
+    vt.append(_df(spark, 0, 10))
+    real = vt._try_commit
+    state = {"raced": False}
+
+    def racing_commit(files, op, n_rows):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent writer lands v1 (same snapshot re-committed)
+            # in the window between head read and manifest claim
+            with open(vt._manifest_path(1), "w") as fh:
+                json.dump({**vt._read_manifest(0), "version": 1}, fh)
+            raise CommitConflict("simulated lost race")
+        return real(files, op, n_rows)
+
+    monkeypatch.setattr(vt, "_try_commit", racing_commit)
+    v = vt.append(_df(spark, 10, 20))
+    assert state["raced"] and v == 2
+    assert sorted(r.id for r in vt.read(2).collect()) == list(range(20))
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, vt):
+    vt.append(_df(spark, 0, 100))
+    vt.overwrite(_df(spark, 0, 10))
+    vt.append(_df(spark, 10, 30))
+    out = vt.vacuum(keep_last=2)
+    assert out["removed_versions"] == 1 and out["removed_files"] >= 1
+    assert vt.read(1).count() == 10 and vt.read(2).count() == 30
+    with pytest.raises(FileNotFoundError):
+        vt.read(0)
+
+
+def test_readers_never_see_uncommitted_data(spark, vt):
+    vt.append(_df(spark, 0, 10))
+    # land a data dir with NO manifest (a writer mid-flight)
+    orphan = _df(spark, 900, 1000)
+    orphan.write.parquet(os.path.join(vt.data_dir, "txn-orphan"))
+    assert vt.read().count() == 10  # invisible until a manifest commits

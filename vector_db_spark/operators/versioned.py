@@ -1,0 +1,243 @@
+"""Versioned Parquet tables: snapshot isolation, time travel, file-level
+copy-on-write deletes, rollback, and vacuum over plain Parquet — the
+manifest-log pattern (Delta Lake / Apache Iceberg, both public designs)
+reduced to its load-bearing core.
+
+Why it belongs in this engine: the reference persists index state as
+whole-file pickle snapshots and reloads on start (reference ivf.py:217-241,
+store.py save/load) — implicit version-of-one. A 100 TB corpus needs the
+general form: ingest batches land as new files while readers keep a
+consistent snapshot; a bad batch rolls back without rewriting data; "what
+did training job X read" is answerable forever by version number.
+
+Design (all public knowledge):
+
+- ``<path>/data/`` holds immutable Parquet files, written once by Spark
+  jobs, never modified.
+- ``<path>/_manifest/v{N:012d}.json`` lists exactly the data files visible
+  at version N (absolute of table root, relative stored). A reader of
+  version N loads that file list — nothing else — so readers NEVER race
+  writers: files referenced by any manifest are immutable, and a
+  half-written data directory is invisible until its manifest commits.
+- Commit = exclusive creation (O_EXCL) of the next manifest file: exactly
+  one writer wins each version number; a loser gets
+  :class:`CommitConflict` and re-validates against the new head —
+  ``append`` re-derives its base, ``overwrite``/``rollback`` retry
+  verbatim, a conflicted ``delete_where`` must re-scan (optimistic
+  concurrency — the local-FS/HDFS form; on an object store the same
+  protocol rides a conditional PUT / put-if-absent).
+- ``delete_where`` is file-level copy-on-write: only files that actually
+  contain matching rows are rewritten (pruned via ``input_file_name``);
+  untouched files carry over by reference. The rewrite volume tracks the
+  match locality, not the table size.
+- ``vacuum`` removes data files referenced by no retained manifest —
+  the only operation that ever deletes data, and it respects time travel
+  by construction (it keeps everything the retained versions can see).
+
+Scale: manifests are O(files) JSON — the known Delta/Iceberg scaling
+limit at millions of files is checkpointed/Avro-paged manifests, noted
+here as the production follow-on; the read path (explicit file list →
+``spark.read.parquet(*files)``) and the commit protocol are unchanged by
+that upgrade.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifest"
+_DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this transaction targeted."""
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.manifest_dir = os.path.join(path, _MANIFEST_DIR)
+        self.data_dir = os.path.join(path, _DATA_DIR)
+
+    # -- manifest log ---------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.manifest_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version:012d}.json")
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def current_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: ``{version, op, n_files, n_rows}``."""
+        return [
+            {k: m[k] for k in ("version", "op", "n_files", "n_rows")}
+            for m in (self._read_manifest(v) for v in self._versions())
+        ]
+
+    def _try_commit(self, files: list[str], op: str, n_rows: int) -> int:
+        """One atomic attempt to claim the next version: the manifest is
+        created with O_EXCL, so exactly one writer wins each version
+        number. Losing raises :class:`CommitConflict` — the CALLER decides
+        whether its file list is still valid against the new head (append
+        re-derives its base; overwrite/rollback retry verbatim; a
+        conflicting delete must re-scan)."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        version = (self.current_version() + 1) if self._versions() else 0
+        manifest = {
+            "version": version,
+            "op": op,
+            "files": sorted(files),
+            "n_files": len(files),
+            "n_rows": n_rows,
+        }
+        try:
+            fd = os.open(
+                self._manifest_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError as exc:
+            raise CommitConflict(f"version {version} was claimed concurrently") from exc
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        return version
+
+    # -- writes ---------------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
+        """Land ``df`` as immutable files in a fresh txn subdir of data/.
+        The directory is invisible to every reader until a manifest that
+        references it commits."""
+        txn = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:12]}")
+        out = os.path.join(self.path, txn)
+        df.write.mode("overwrite").parquet(out)
+        files = sorted(
+            os.path.join(txn, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        n_rows = self.spark.read.parquet(out).count()
+        return files, n_rows
+
+    def append(self, df: DataFrame, *, retries: int = 5) -> int:
+        """Append commutes with concurrent commits: on conflict the base
+        file list is RE-DERIVED from the new head (the new files landed
+        once; only the manifest merge repeats)."""
+        files, n = self._write_files(df)
+        for _ in range(retries):
+            prev = self.current_version()
+            m = self._read_manifest(prev) if prev is not None else {"files": [], "n_rows": 0}
+            try:
+                return self._try_commit(m["files"] + files, "append", m["n_rows"] + n)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"append lost {retries} consecutive commit races")
+
+    def overwrite(self, df: DataFrame, *, retries: int = 5) -> int:
+        """Overwrite is base-independent — a lost race retries verbatim."""
+        files, n = self._write_files(df)
+        for _ in range(retries):
+            try:
+                return self._try_commit(files, "overwrite", n)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"overwrite lost {retries} consecutive commit races")
+
+    def delete_where(self, cond: Column) -> int:
+        """Copy-on-write delete: prune to the files that contain matching
+        rows (one filtered scan collecting distinct ``input_file_name`` —
+        O(files) output), rewrite ONLY those files without the matches,
+        and carry every untouched file over by reference."""
+        prev = self.current_version()
+        if prev is None:
+            raise ValueError("empty table")
+        m = self._read_manifest(prev)
+        current = [os.path.join(self.path, f) for f in m["files"]]
+        if not current:
+            return self._try_commit([], "delete", 0)
+        df = self.spark.read.parquet(*current).withColumn(
+            "__file", F.input_file_name()
+        )
+        hit_files = {
+            os.path.relpath(r["__file"].removeprefix("file://"), self.path)
+            for r in df.filter(cond).select("__file").distinct().collect()
+        }
+        if not hit_files:
+            return self._try_commit(m["files"], "delete", m["n_rows"])
+        keep = [f for f in m["files"] if f not in hit_files]
+        # NULL predicate = no match: a row where cond is NULL must survive
+        # (filter(~cond) alone would silently drop it)
+        survivors = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in sorted(hit_files)]
+        ).filter(~F.coalesce(cond, F.lit(False)))
+        new_files, n_new = self._write_files(survivors)
+        kept_rows = (
+            self.spark.read.parquet(*[os.path.join(self.path, f) for f in keep]).count()
+            if keep
+            else 0
+        )
+        return self._try_commit(keep + new_files, "delete", kept_rows + n_new)
+
+    def rollback(self, version: int) -> int:
+        """Restore an old snapshot as a NEW commit (history is never
+        erased; the bad versions stay inspectable)."""
+        m = self._read_manifest(version)  # raises if unknown
+        return self._try_commit(m["files"], f"rollback:{version}", m["n_rows"])
+
+    # -- reads ----------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError("empty table")
+        m = self._read_manifest(v)
+        if not m["files"]:
+            raise ValueError(f"version {v} is empty")
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in m["files"]]
+        )
+
+    # -- maintenance ----------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Drop manifests older than the last ``keep_last`` versions and
+        delete data files no retained manifest references. Time travel to
+        retained versions is untouched by construction."""
+        vs = self._versions()
+        retained, expired = vs[-keep_last:], vs[:-keep_last]
+        live: set[str] = set()
+        for v in retained:
+            live.update(self._read_manifest(v)["files"])
+        removed_files = 0
+        for root, _, names in os.walk(self.data_dir):
+            for name in names:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.path)
+                if name.endswith(".parquet") and rel not in live:
+                    os.remove(full)
+                    removed_files += 1
+        for v in expired:
+            os.remove(self._manifest_path(v))
+        # prune empty txn dirs left behind
+        for root, dirs, names in os.walk(self.data_dir, topdown=False):
+            if root != self.data_dir and not dirs and not names:
+                os.rmdir(root)
+        return {"removed_files": removed_files, "removed_versions": len(expired)}
