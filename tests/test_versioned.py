@@ -101,7 +101,7 @@ def test_append_retries_and_rebases_after_losing_race(spark, vt, monkeypatch):
     real = vt._try_commit
     state = {"raced": False}
 
-    def racing_commit(files, op, n_rows):
+    def racing_commit(files, op, n_rows, **kw):
         if not state["raced"]:
             state["raced"] = True
             # a concurrent writer lands v1 (same snapshot re-committed)
@@ -109,7 +109,7 @@ def test_append_retries_and_rebases_after_losing_race(spark, vt, monkeypatch):
             with open(vt._manifest_path(1), "w") as fh:
                 json.dump({**vt._read_manifest(0), "version": 1}, fh)
             raise CommitConflict("simulated lost race")
-        return real(files, op, n_rows)
+        return real(files, op, n_rows, **kw)
 
     monkeypatch.setattr(vt, "_try_commit", racing_commit)
     v = vt.append(_df(spark, 10, 20))
@@ -134,3 +134,53 @@ def test_readers_never_see_uncommitted_data(spark, vt):
     orphan = _df(spark, 900, 1000)
     orphan.write.parquet(os.path.join(vt.data_dir, "txn-orphan"))
     assert vt.read().count() == 10  # invisible until a manifest commits
+
+
+# --- txn-id idempotent appends & exactly-once streaming ingest ---------------
+
+
+def test_append_txn_id_is_idempotent(spark, vt):
+    v = vt.append(_df(spark, 0, 10), txn_id="batch:0")
+    v_again = vt.append(_df(spark, 0, 10), txn_id="batch:0")  # the replay
+    assert v_again == v
+    assert vt.read().count() == 10
+    assert len(vt.history()) == 1
+    assert vt.append(_df(spark, 10, 20), txn_id="batch:1") == v + 1
+    assert vt.read().count() == 20
+
+
+def test_versioned_ingest_stream_exactly_once(spark, tmp_path):
+    import time
+
+    from vector_db_spark.streaming.ingest import versioned_ingest_stream
+
+    src, tab = str(tmp_path / "src"), str(tmp_path / "tab")
+    schema = "id long, s string"
+    _df(spark, 0, 50).coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # distinct modTime -> deterministic file order
+    _df(spark, 50, 80).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ckpt):
+        q = versioned_ingest_stream(
+            spark, src, tab, schema=schema,
+            checkpoint_dir=str(tmp_path / ckpt), max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+
+    run("ckpt")
+    vt = VersionedTable(spark, tab)
+    assert vt.read().count() == 80
+    n_versions = len(vt.history())
+    assert n_versions == 2  # one atomic version per micro-batch
+
+    # same checkpoint: source offsets already committed, nothing replays
+    run("ckpt")
+    assert vt.read().count() == 80 and len(vt.history()) == n_versions
+
+    # WORST CASE: checkpoint lost entirely -> every epoch replays with the
+    # same epoch ids; the txn log must absorb all of it
+    run("ckpt-lost")
+    assert vt.read().count() == 80 and len(vt.history()) == n_versions
+
+    # snapshot-per-batch lineage: version 0 is exactly the first file
+    assert vt.read(0).count() == 50

@@ -94,7 +94,19 @@ class VersionedTable:
             for m in (self._read_manifest(v) for v in self._versions())
         ]
 
-    def _try_commit(self, files: list[str], op: str, n_rows: int) -> int:
+    def txn_version(self, txn_id: str) -> int | None:
+        """Version that committed ``txn_id``, or None. The sink-side
+        exactly-once primitive (the Delta `txn` appId/version idea): a
+        replayed writer finds its transaction already in the log and
+        skips. One log scan — O(versions), no data access."""
+        for v in self._versions():
+            if self._read_manifest(v).get("txn_id") == txn_id:
+                return v
+        return None
+
+    def _try_commit(
+        self, files: list[str], op: str, n_rows: int, *, txn_id: str | None = None
+    ) -> int:
         """One atomic attempt to claim the next version: the manifest is
         created with O_EXCL, so exactly one writer wins each version
         number. Losing raises :class:`CommitConflict` — the CALLER decides
@@ -110,6 +122,8 @@ class VersionedTable:
             "n_files": len(files),
             "n_rows": n_rows,
         }
+        if txn_id is not None:
+            manifest["txn_id"] = txn_id
         try:
             fd = os.open(
                 self._manifest_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
@@ -137,16 +151,31 @@ class VersionedTable:
         n_rows = self.spark.read.parquet(out).count()
         return files, n_rows
 
-    def append(self, df: DataFrame, *, retries: int = 5) -> int:
+    def append(self, df: DataFrame, *, txn_id: str | None = None, retries: int = 5) -> int:
         """Append commutes with concurrent commits: on conflict the base
         file list is RE-DERIVED from the new head (the new files landed
-        once; only the manifest merge repeats)."""
+        once; only the manifest merge repeats).
+
+        ``txn_id`` makes the append idempotent: if the log already holds a
+        commit with this id, the call is a no-op returning that version —
+        a crashed-and-replayed streaming micro-batch (foreachBatch re-runs
+        epochs the checkpoint never acknowledged) cannot double-append.
+        The check runs before any data write, so replays cost one log
+        scan. (Idempotence assumes one live writer per txn_id — the
+        streaming-checkpoint contract; concurrent same-id writers are a
+        misconfiguration the log would record as duplicates.)"""
+        if txn_id is not None:
+            seen = self.txn_version(txn_id)
+            if seen is not None:
+                return seen
         files, n = self._write_files(df)
         for _ in range(retries):
             prev = self.current_version()
             m = self._read_manifest(prev) if prev is not None else {"files": [], "n_rows": 0}
             try:
-                return self._try_commit(m["files"] + files, "append", m["n_rows"] + n)
+                return self._try_commit(
+                    m["files"] + files, "append", m["n_rows"] + n, txn_id=txn_id
+                )
             except CommitConflict:
                 continue
         raise CommitConflict(f"append lost {retries} consecutive commit races")
