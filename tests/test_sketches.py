@@ -276,3 +276,64 @@ def test_kmv_intersection_half_overlap_bound(spark):
     b = spark.createDataFrame([(i,) for i in range(2000, 6000)], "v long")
     (r,) = kmv_intersect_estimate(kmv_sketch(a, "v", k=256), kmv_sketch(b, "v", k=256), k=256).collect()
     assert abs(r.intersect_est - 2000) <= 0.35 * 2000
+
+
+# --- Count-Min sketches ------------------------------------------------------
+
+
+def _cms_imports():
+    from vector_db_spark.operators.sketches import cms_estimate, cms_merge, cms_sketch
+
+    return cms_sketch, cms_merge, cms_estimate
+
+
+def test_cms_never_underestimates_and_is_exact_when_sparse(spark):
+    cms_sketch, _, cms_estimate = _cms_imports()
+    rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "t string")
+    sk = cms_sketch(df, "t", depth=4, width=256)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("absent",)], "item string")
+    got = {r.item: r.est_cnt for r in cms_estimate(sk, probes, depth=4, width=256).collect()}
+    # 3 distinct items in 256 buckets: no collisions -> exact
+    assert got == {"a": 50, "b": 20, "c": 1, "absent": 0}
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    cms_sketch, cms_merge, _ = _cms_imports()
+    seg1 = spark.createDataFrame([(f"w{i % 40}",) for i in range(500)], "t string")
+    seg2 = spark.createDataFrame([(f"w{i % 70}",) for i in range(700)], "t string")
+    merged = cms_merge(
+        cms_sketch(seg1, "t", depth=4, width=128).union(
+            cms_sketch(seg2, "t", depth=4, width=128)
+        )
+    )
+    direct = cms_sketch(seg1.union(seg2), "t", depth=4, width=128)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cms_overestimate_bounded_under_collisions(spark):
+    cms_sketch, _, cms_estimate = _cms_imports()
+    # 2000 distinct items into width=64: collisions guaranteed
+    n = 4000
+    df = spark.createDataFrame([(f"w{i % 2000}",) for i in range(n)], "t string")
+    sk = cms_sketch(df, "t", depth=4, width=64)
+    probes = spark.createDataFrame([(f"w{i}",) for i in range(10)], "item string")
+    for r in cms_estimate(sk, probes, depth=4, width=64).collect():
+        assert r.est_cnt >= 2  # true count of every probe
+        assert r.est_cnt <= 2 + 2 * n / 64  # CM bound with huge slack
+
+
+def test_cms_grouped_segments(spark):
+    cms_sketch, _, cms_estimate = _cms_imports()
+    df = spark.createDataFrame(
+        [("d1", "x")] * 5 + [("d2", "x")] * 9, "day string, t string"
+    )
+    sk = cms_sketch(df, "t", ["day"], depth=4, width=64)
+    probes = spark.createDataFrame([("x",)], "item string")
+    per_day = {
+        day: cms_estimate(sk.filter(F.col("day") == day).drop("day"), probes, depth=4, width=64)
+        .collect()[0]
+        .est_cnt
+        for day in ("d1", "d2")
+    }
+    assert per_day == {"d1": 5, "d2": 9}

@@ -358,3 +358,85 @@ def kmv_intersect_estimate(
             ).alias("intersect_est"),
         )
     )
+
+
+# --- Count-Min frequency sketches -------------------------------------------
+#
+# The frequency companion of the HLL/KMV distinct sketches: heavyhitters.py
+# answers "which items are frequent" exactly, but a 100 TB pipeline also
+# wants point frequency ESTIMATES over rolling segments ("how often did
+# this token/domain/fingerprint appear this month") without re-scanning
+# history or materializing a vocabulary-sized table per segment. Count-Min
+# (Cormode & Muthukrishnan, J. Algorithms'05): a depth×width counter
+# matrix; est(x) = min_i cnt[i][h_i(x)] is NEVER below the true count and
+# exceeds it by more than 2N/width with probability ≤ (1/2)^depth.
+#
+# Hashes are md5-derived (engine-reproducible idiom), so segment sketches,
+# merges, and every estimate are deterministic — value-hash-oracleable in
+# DuckDB, like the KMV surface and unlike opaque HLL state.
+
+
+def _cms_bucket(col, i: int, width: int, salt: str):
+    h = F.md5(F.concat(col.cast("string"), F.lit(f":{salt}:{i}")))
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(width))
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Per-group Count-Min sketch as plain rows ``(*by, d, bucket, cnt)``
+    — a persistable Parquet table of ≤ depth×width rows per group.
+
+    Build: each row derives its ``depth`` buckets map-side (posexplode of
+    a depth-length array — the same bounded fan-out the MinHash stage
+    pays), then ONE keyed count with map-side partial aggregation, so the
+    post-combine shuffle is ≤ groups × depth × width rows per task —
+    corpus-row-independent. Only non-empty buckets are materialized
+    (absent ⇒ 0)."""
+    by = list(by)
+    buckets = F.array(*[_cms_bucket(F.col(col), i, width, salt) for i in range(depth)])
+    return (
+        df.select(*by, F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy(*by, "d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Merge segment sketches (linear: counters add). One keyed sum over
+    sketch rows only; merged == sketch-of-union exactly (deterministic
+    hashing), which tests pin."""
+    return sketches.groupBy(*list(by), "d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str = "item",
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """``(item, est_cnt)`` for each probe item: min over the depth rows of
+    its bucket counters (missing bucket ⇒ 0). Probe side re-derives the
+    same md5 buckets; the join is probes×depth rows against sketch rows —
+    broadcast the probe side, zero corpus access."""
+    probes = items.select(
+        F.col(item_col).alias("item"),
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(item_col), i, width, salt) for i in range(depth)])
+        ).alias("d", "bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["d", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )

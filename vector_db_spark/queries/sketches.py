@@ -202,3 +202,87 @@ def kmv_orderkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intersect_ok"),
         )
     )
+
+
+_CMS_PROBES = ["join", "hash", "scan", "filter", "merge", "order", "zzz-absent"]
+_CMS_DEPTH, _CMS_WIDTH = 4, 1024
+# the 60-bit hash is non-negative, so mod == pmod here (DuckDB has no pmod)
+_CMS_BUCKET_SQL = (
+    "mod(('0x' || substr(md5({item} || ':cms:' || {i}), 1, 15))::UBIGINT::BIGINT, 1024)"
+)
+
+
+def _cms_oracle() -> str:
+    probes = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+    bucket_rows = " UNION ALL ".join(
+        "SELECT item, "
+        + _CMS_BUCKET_SQL.format(item="item", i=i)
+        + f" AS bucket, {i} AS d FROM probes"
+        for i in range(_CMS_DEPTH)
+    )
+    sketch_rows = " UNION ALL ".join(
+        "SELECT "
+        + _CMS_BUCKET_SQL.format(item="t", i=i)
+        + f" AS bucket, {i} AS d FROM toks"
+        for i in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n_toks FROM toks),
+sketch AS (
+  SELECT d, bucket, count(*)::BIGINT AS cnt FROM ({sketch_rows}) GROUP BY 1, 2),
+probes AS (SELECT * FROM (VALUES {probes}) p(item)),
+pb AS ({bucket_rows}),
+est AS (
+  SELECT pb.item, min(coalesce(s.cnt, 0))::BIGINT AS est_cnt
+  FROM pb LEFT JOIN sketch s USING (d, bucket) GROUP BY 1),
+exact AS (
+  SELECT p.item, count(t.t)::BIGINT AS exact_cnt
+  FROM probes p LEFT JOIN toks t ON t.t = p.item GROUP BY 1)
+SELECT e.item, e.est_cnt, x.exact_cnt,
+       (e.est_cnt >= x.exact_cnt) AS never_under,
+       (e.est_cnt <= x.exact_cnt + 2e0 * n.n_toks / 1024e0) AS bound_ok
+FROM est e JOIN exact x USING (item) CROSS JOIN n
+"""
+
+
+@register("cms_token_freq", oracle=_cms_oracle(), extra=True)
+def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequencies answered from a Count-Min sketch (depth 4, width
+    1024 — 4 KiB of counters for any corpus size), probed for known-hot
+    tokens plus a planted absent one. Deterministic md5 hashing makes the
+    whole estimate value-hash-oracleable; `never_under` pins the one-sided
+    CM guarantee and `bound_ok` the 2N/width overestimate bound. Build is
+    one keyed count with map-side partials (post-combine shuffle ≤
+    depth×width rows per task); probing broadcasts probes×depth rows."""
+    from vector_db_spark.functions.text import tokens
+    from vector_db_spark.operators.sketches import cms_estimate, cms_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("t"))
+    sketch = cms_sketch(toks, "t", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "item string")
+    est = cms_estimate(
+        sketch, probes, "item", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    n_toks = toks.count()
+    exact = (
+        F.broadcast(probes)
+        .join(toks, probes.item == toks.t, "left")
+        .groupBy("item")
+        .agg(F.count("t").alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "item")
+        .select(
+            "item",
+            "est_cnt",
+            "exact_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_under"),
+            (
+                F.col("est_cnt")
+                <= F.col("exact_cnt") + F.lit(2.0 * n_toks / _CMS_WIDTH)
+            ).alias("bound_ok"),
+        )
+    )
