@@ -114,3 +114,57 @@ def test_standardize_zero_variance_dim(spark):
     got = standardize_embeddings(df).collect()
     assert all(r["z"] == 0.0 for r in got if r["dim_idx"] == 0)
     assert any(r["z"] != 0.0 for r in got if r["dim_idx"] == 1)
+
+
+# --- JL random projection ----------------------------------------------------
+
+
+def test_random_projection_deterministic_across_layouts(spark):
+    from vector_db_spark.operators.pca import random_projection
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(24)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    a = {r.vec_id: r.reduced for r in random_projection(df.coalesce(1), out_dim=8).collect()}
+    b = {r.vec_id: r.reduced for r in random_projection(df.repartition(16), out_dim=8).collect()}
+    assert a == b  # R is a pure function of (seed, dims): layout-invariant
+    c = {r.vec_id: r.reduced for r in random_projection(df, out_dim=8, seed=7).collect()}
+    assert a[0] != c[0]  # seed actually matters
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from vector_db_spark.operators.pca import random_projection
+
+    vecs = [[float((i * 3 + j) % 11) for j in range(12)] for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: np.array(r.reduced) for r in random_projection(df, out_dim=4, seed=42).collect()}
+    rng = np.random.default_rng(42)
+    R = rng.standard_normal((12, 4)) / np.sqrt(4)
+    want = np.array(vecs) @ R
+    for i in range(50):
+        assert np.allclose(got[i], want[i], atol=1e-5)
+
+
+def test_random_projection_distance_preservation(spark):
+    import numpy as np
+
+    from vector_db_spark.operators.pca import random_projection
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((100, 64))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    Y = np.array(
+        [r.reduced for r in random_projection(df, out_dim=32).orderBy("vec_id").collect()]
+    )
+    d_orig = np.sum((X[:50] - X[50:]) ** 2, axis=1)
+    d_proj = np.sum((Y[:50].astype(np.float64) - Y[50:].astype(np.float64)) ** 2, axis=1)
+    distortion = np.abs(d_proj / d_orig - 1.0)
+    assert distortion.mean() <= 0.3  # std per pair ~ sqrt(2/32)=0.25

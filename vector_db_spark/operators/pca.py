@@ -201,3 +201,54 @@ def standardize_embeddings(
         .withColumn("__sds", sds)
         .select(F.col(id_col), F.posexplode(z).alias("dim_idx", "z"))
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    *,
+    seed: int = 42,
+    in_dim: int | None = None,
+    out_col: str = "reduced",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: y = x @ R with R a seeded
+    Gaussian (d × out_dim)/√out_dim matrix — the data-independent
+    dim-reduction companion to :func:`fit_pca`.
+
+    Where PCA needs a moments pass over the corpus first, JL needs ZERO
+    passes: R depends only on (seed, d, out_dim), so two jobs — or two
+    clusters — project identically without exchanging any state, and new
+    data is projected without refitting. The JL lemma (public result:
+    Johnson & Lindenstrauss '84; Gaussian form per Dasgupta & Gupta '03)
+    bounds pairwise-distance distortion by ε with out_dim ≳ 8·ln(n)/ε² —
+    independent of the input dimension.
+
+    Plan: R is driver-generated (d×out_dim doubles — configuration-sized),
+    closure-broadcast into one Arrow BLAS matmul; map-only, zero shuffle,
+    same physical shape as ``PCAModel.transform``. ``in_dim`` defaults to
+    probing one row (driver-side, O(1))."""
+    if in_dim is None:
+        probe = df.select(F.size(vec_col).alias("d")).first()
+        if probe is None:
+            raise ValueError("empty input and no in_dim given")
+        in_dim = int(probe["d"])
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{out_fields}, {out_col} array<float>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                Y = X @ R
+                pdf = pdf.assign(**{out_col: list(Y.astype(np.float32))})
+            else:
+                pdf = pdf.assign(**{out_col: pd.Series([], dtype=object)})
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)

