@@ -184,3 +184,61 @@ def test_versioned_ingest_stream_exactly_once(spark, tmp_path):
 
     # snapshot-per-batch lineage: version 0 is exactly the first file
     assert vt.read(0).count() == 50
+
+
+# --- merge (upsert) ----------------------------------------------------------
+
+
+def test_merge_updates_and_inserts(spark, vt):
+    vt.append(_df(spark, 0, 10))
+    src = spark.createDataFrame(
+        [(5, "UPDATED"), (6, "ALSO"), (100, "NEW")], "id long, s string"
+    )
+    vt.merge(src, "id")
+    got = {r.id: r.s for r in vt.read().collect()}
+    assert len(got) == 11
+    assert got[5] == "UPDATED" and got[6] == "ALSO" and got[100] == "NEW"
+    assert got[0] == "r0"  # untouched row intact
+    # pre-merge snapshot still time-travels
+    assert {r.s for r in vt.read(0).collect()} == {f"r{i}" for i in range(10)}
+
+
+def test_merge_prunes_untouched_files(spark, vt):
+    vt.append(_df(spark, 0, 100).coalesce(1))
+    vt.append(_df(spark, 100, 200).coalesce(1))
+    before = vt._read_manifest(vt.current_version())["files"]
+    src = spark.createDataFrame([(150, "X")], "id long, s string")
+    v = vt.merge(src, "id")
+    after = vt._read_manifest(v)["files"]
+    # file holding ids 0..99 carries over by reference
+    assert sum(1 for f in before if f in after) == 1
+    assert vt.read().count() == 200
+    assert {r.s for r in vt.read().filter(F.col("id") == 150).collect()} == {"X"}
+
+
+def test_merge_insert_only_and_update_only(spark, vt):
+    vt.append(_df(spark, 0, 10))
+    src = spark.createDataFrame([(5, "U"), (50, "N")], "id long, s string")
+    vt.merge(src, "id", update=False)  # insert-only: 5 keeps r5
+    got = {r.id: r.s for r in vt.read().collect()}
+    assert got[5] == "r5" and got[50] == "N" and len(got) == 11
+    vt.merge(
+        spark.createDataFrame([(5, "U2"), (99, "NOPE")], "id long, s string"),
+        "id",
+        insert=False,
+    )  # update-only: 99 not inserted
+    got = {r.id: r.s for r in vt.read().collect()}
+    assert got[5] == "U2" and 99 not in got and len(got) == 11
+
+
+def test_merge_rejects_duplicate_source_keys(spark, vt):
+    vt.append(_df(spark, 0, 5))
+    src = spark.createDataFrame([(1, "a"), (1, "b")], "id long, s string")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        vt.merge(src, "id")
+
+
+def test_merge_into_empty_table_inserts(spark, vt):
+    src = _df(spark, 0, 7)
+    vt.merge(src, "id")
+    assert vt.read().count() == 7

@@ -148,6 +148,8 @@ class VersionedTable:
             for f in os.listdir(out)
             if f.endswith(".parquet")
         )
+        if not files:  # empty frame can commit zero part files
+            return [], 0
         n_rows = self.spark.read.parquet(out).count()
         return files, n_rows
 
@@ -224,6 +226,76 @@ class VersionedTable:
             else 0
         )
         return self._try_commit(keep + new_files, "delete", kept_rows + n_new)
+
+    def merge(
+        self,
+        source: DataFrame,
+        key: str,
+        *,
+        update: bool = True,
+        insert: bool = True,
+    ) -> int:
+        """MERGE (upsert) with copy-on-write file pruning: rows of
+        ``source`` whose ``key`` exists in the table replace the stored
+        row (``update``); unmatched source rows append (``insert``).
+
+        Only files that contain a matched key are rewritten — the same
+        ``input_file_name`` pruning as :meth:`delete_where`, so a merge
+        touching one hot shard's worth of keys rewrites one shard, not
+        the table. The matched-key probe broadcasts the source keys
+        (a merge batch is small relative to the table by definition;
+        corpus-sized source = overwrite). Duplicate keys WITHIN source
+        are rejected — ambiguous-merge semantics differ per engine, so
+        this surface refuses rather than guesses."""
+        prev = self.current_version()
+        if prev is None:
+            if not insert:
+                raise ValueError("empty table")
+            return self.append(source)
+        dup = source.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(f"source has duplicate merge keys, e.g. {key}={dup[0][0]!r}")
+        m = self._read_manifest(prev)
+        current = [os.path.join(self.path, f) for f in m["files"]]
+        df = self.spark.read.parquet(*current).withColumn("__file", F.input_file_name())
+        keys = source.select(key)
+        matched = df.join(F.broadcast(keys), key, "left_semi")
+        hit_files = {
+            os.path.relpath(r["__file"].removeprefix("file://"), self.path)
+            for r in matched.select("__file").distinct().collect()
+        }
+        keep = [f for f in m["files"] if f not in hit_files]
+        new_parts: list[DataFrame] = []
+        if hit_files:
+            hit_df = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in sorted(hit_files)]
+            )
+            survivors = hit_df.join(F.broadcast(keys), key, "left_anti")
+            updated = (
+                source.join(F.broadcast(hit_df.select(key).distinct()), key, "left_semi")
+                if update
+                else hit_df.join(F.broadcast(keys), key, "left_semi")
+            )
+            new_parts += [survivors, updated]
+        if insert:
+            # matched keys ⊆ source keys — bounded by the merge batch, so the
+            # anti-probe broadcasts; the table's key column never shuffles
+            matched_keys = matched.select(key).distinct()
+            new_parts.append(source.join(F.broadcast(matched_keys), key, "left_anti"))
+        cols = [f.name for f in self.spark.read.parquet(*current).schema.fields]
+        combined = None
+        for part in new_parts:
+            part = part.select(*cols)
+            combined = part if combined is None else combined.unionByName(part)
+        if combined is None:
+            return self._try_commit(m["files"], "merge", m["n_rows"])
+        new_files, n_new = self._write_files(combined)
+        kept_rows = (
+            self.spark.read.parquet(*[os.path.join(self.path, f) for f in keep]).count()
+            if keep
+            else 0
+        )
+        return self._try_commit(keep + new_files, "merge", kept_rows + n_new)
 
     def rollback(self, version: int) -> int:
         """Restore an old snapshot as a NEW commit (history is never
