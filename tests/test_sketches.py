@@ -337,3 +337,42 @@ def test_cms_grouped_segments(spark):
         for day in ("d1", "d2")
     }
     assert per_day == {"d1": 5, "d2": 9}
+
+
+def test_cms_maintenance_stream_exactly_once(spark, tmp_path, sf_smoke):
+    """Replay corrupts ADDING counters unless the sink is idempotent: the
+    lost-checkpoint worst case must leave the merged CMS identical to the
+    batch sketch of the whole stream."""
+    import time
+
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.sketches import cms_merge, cms_sketch
+    from vector_db_spark.operators.versioned import VersionedTable
+    from vector_db_spark.streaming.ingest import cms_maintenance_stream
+
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ck):
+        q = cms_maintenance_stream(
+            spark, src, str(tmp_path / "tab"),
+            checkpoint_dir=str(tmp_path / ck), depth=4, width=128,
+        )
+        q.awaitTermination()
+
+    run("c1")
+    run("c1")       # same checkpoint: no new epochs
+    run("c-lost")   # lost checkpoint: full replay, must be absorbed
+
+    vt = VersionedTable(spark, str(tmp_path / "tab"))
+    merged = cms_merge(vt.read().drop("day"))
+    direct = cms_sketch(
+        ev.withColumn("day", F.to_date("ts")), "event_type", depth=4, width=128
+    )
+    direct_merged = cms_merge(direct.drop("day"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct_merged.collect())
+    )

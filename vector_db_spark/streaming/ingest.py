@@ -498,3 +498,48 @@ def digest_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_maintenance_stream(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    *,
+    checkpoint_dir: str,
+    item_col: str = "event_type",
+    depth: int = 4,
+    width: int = 1024,
+    max_files_per_trigger: int = 1,
+):
+    """Incremental Count-Min maintenance with an exactly-once sink.
+
+    Where HLL registers are replay-IDEMPOTENT (union = register max, so
+    ``sketch_maintenance_stream`` can blind-append), Count-Min counters
+    ADD — a replayed micro-batch double-counts. So the segment rows land
+    in a :class:`VersionedTable` with the epoch id as the transaction id:
+    replays are absorbed by the manifest log, and the merged frequency
+    answer is a pure function of the source stream under any crash.
+    Per-day segment rows (≤ depth×width per day) merge via
+    ``cms_merge`` at question time — history is never rescanned."""
+    from vector_db_spark.operators.sketches import cms_sketch
+    from vector_db_spark.operators.versioned import VersionedTable
+
+    table = VersionedTable(spark, table_path)
+    events = read_events_stream(spark, source_dir, max_files_per_trigger)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        seg = cms_sketch(
+            batch_df.withColumn("day", F.to_date("ts")),
+            item_col,
+            ["day"],
+            depth=depth,
+            width=width,
+        )
+        table.append(seg, txn_id=f"cms:{epoch_id}")
+
+    return (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
