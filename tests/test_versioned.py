@@ -242,3 +242,58 @@ def test_merge_into_empty_table_inserts(spark, vt):
     src = _df(spark, 0, 7)
     vt.merge(src, "id")
     assert vt.read().count() == 7
+
+
+# --- zone maps (manifest-level data skipping) & compaction -------------------
+
+
+def test_zone_map_pruning_skips_disjoint_files(spark, vt):
+    vt.set_stats_cols(["id"])
+    vt.append(_df(spark, 0, 100).coalesce(1))
+    vt.append(_df(spark, 1000, 1100).coalesce(1))
+    m = vt._read_manifest(vt.current_version())
+    assert len(m["files"]) == 2 and set(m["stats"]) == set(m["files"])
+    # a range query inside the first file's zone plans ONE file
+    assert len(vt.pruned_files("id", 10, 20)) == 1
+    assert len(vt.pruned_files("id", 500, 600)) == 0
+    assert len(vt.pruned_files("id", 50, 1050)) == 2
+    got = vt.read_pruned("id", 10, 20).filter((F.col("id") >= 10) & (F.col("id") <= 20))
+    assert got.count() == 11
+    # disjoint range: pruned read is empty without touching data
+    assert vt.read_pruned("id", 500, 600).count() == 0
+
+
+def test_zone_maps_survive_merge_and_carry_over(spark, vt):
+    vt.set_stats_cols(["id"])
+    vt.append(_df(spark, 0, 100).coalesce(1))
+    vt.append(_df(spark, 1000, 1100).coalesce(1))
+    vt.merge(spark.createDataFrame([(1050, "X")], "id long, s string"), "id")
+    m = vt._read_manifest(vt.current_version())
+    # every listed file still has stats: carried for untouched, fresh for rewritten
+    assert set(m["stats"]) == set(m["files"])
+    assert len(vt.pruned_files("id", 0, 50)) == 1
+
+
+def test_files_without_stats_are_conservatively_read(spark, vt):
+    vt.append(_df(spark, 0, 100).coalesce(1))  # before set_stats_cols
+    vt.set_stats_cols(["id"])
+    vt.append(_df(spark, 1000, 1100).coalesce(1))
+    # stat-less file must always be kept
+    assert len(vt.pruned_files("id", 5000, 6000)) == 1
+    assert vt.read_pruned("id", 0, 10).count() >= 100
+
+
+def test_compact_preserves_rows_and_history(spark, vt):
+    vt.set_stats_cols(["id"])
+    for lo in range(0, 500, 100):
+        vt.append(_df(spark, lo, lo + 100).coalesce(2))
+    v_pre = vt.current_version()
+    n_files_pre = vt._read_manifest(v_pre)["n_files"]
+    v = vt.compact(target_files=1)
+    m = vt._read_manifest(v)
+    assert m["n_files"] == 1 < n_files_pre
+    assert vt.read().count() == 500
+    assert sorted(r.id for r in vt.read().collect()) == list(range(500))
+    assert vt.read(v_pre).count() == 500  # pre-compaction snapshot intact
+    # zone maps recomputed for the compacted file
+    assert set(m["stats"]) == set(m["files"])

@@ -47,6 +47,8 @@ import json
 import os
 import uuid
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -94,6 +96,62 @@ class VersionedTable:
             for m in (self._read_manifest(v) for v in self._versions())
         ]
 
+    # -- file statistics (manifest-level zone maps) ---------------------------
+
+    def set_stats_cols(self, cols: Sequence[str]) -> None:
+        """Declare the columns whose per-file min/max get recorded in every
+        future manifest (zone maps). Kilobytes of manifest buy planning-
+        time file skipping on these columns — choose the natural ingest/
+        cluster keys (time, id range, partition-ish dims)."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        with open(os.path.join(self.manifest_dir, "stats_cols.json"), "w") as fh:
+            json.dump(sorted(cols), fh)
+
+    def stats_cols(self) -> list[str]:
+        p = os.path.join(self.manifest_dir, "stats_cols.json")
+        if not os.path.exists(p):
+            return []
+        with open(p) as fh:
+            return json.load(fh)
+
+    def pruned_files(
+        self, col: str, lo=None, hi=None, *, version: int | None = None
+    ) -> list[str]:
+        """Files of ``version`` whose [min, max] zone for ``col`` overlaps
+        [lo, hi] — decided entirely from the manifest (no footer reads).
+        Files without recorded stats (written before ``set_stats_cols``,
+        or all-NULL zones) are conservatively kept."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError("empty table")
+        m = self._read_manifest(v)
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            zone = stats.get(f, {}).get(col)
+            if zone is None or zone[0] is None or zone[1] is None:
+                keep.append(f)
+                continue
+            mn, mx = zone
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                continue
+            keep.append(f)
+        return keep
+
+    def read_pruned(
+        self, col: str, lo=None, hi=None, *, version: int | None = None
+    ) -> DataFrame:
+        """Zone-map-pruned read: only overlapping files reach the scan.
+        The predicate itself must still be applied by the caller (zones
+        bound, they don't filter rows) — same contract as Parquet
+        row-group pruning one level up."""
+        files = self.pruned_files(col, lo, hi, version=version)
+        if not files:
+            return self.read(version).limit(0)
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
     def txn_version(self, txn_id: str) -> int | None:
         """Version that committed ``txn_id``, or None. The sink-side
         exactly-once primitive (the Delta `txn` appId/version idea): a
@@ -114,7 +172,8 @@ class VersionedTable:
         re-derives its base; overwrite/rollback retry verbatim; a
         conflicting delete must re-scan)."""
         os.makedirs(self.manifest_dir, exist_ok=True)
-        version = (self.current_version() + 1) if self._versions() else 0
+        head = self.current_version()
+        version = (head + 1) if head is not None else 0
         manifest = {
             "version": version,
             "op": op,
@@ -124,6 +183,15 @@ class VersionedTable:
         }
         if txn_id is not None:
             manifest["txn_id"] = txn_id
+        # zone maps: a file's stats are immutable, so carry them from the
+        # head manifest and the just-written txn's pending stats
+        known: dict = {}
+        if head is not None:
+            known.update(self._read_manifest(head).get("stats", {}))
+        known.update(getattr(self, "_pending_stats", {}) or {})
+        stats = {f: known[f] for f in files if f in known}
+        if stats:
+            manifest["stats"] = stats
         try:
             fd = os.open(
                 self._manifest_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
@@ -131,7 +199,7 @@ class VersionedTable:
         except FileExistsError as exc:
             raise CommitConflict(f"version {version} was claimed concurrently") from exc
         with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(manifest, fh, default=str)  # date/timestamp zones as ISO strings
         return version
 
     # -- writes ---------------------------------------------------------------
@@ -139,7 +207,15 @@ class VersionedTable:
     def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
         """Land ``df`` as immutable files in a fresh txn subdir of data/.
         The directory is invisible to every reader until a manifest that
-        references it commits."""
+        references it commits.
+
+        If the table declares ``stats_cols`` (see :meth:`set_stats_cols`),
+        per-file min/max for those columns are computed in the same
+        read-back job that counts rows (one ``input_file_name`` grouping)
+        and stored beside the file list — manifest-level zone maps, the
+        Iceberg/Delta data-skipping idea: a filtered read prunes files at
+        PLANNING time from kilobytes of manifest, before any footer is
+        opened."""
         txn = os.path.join(_DATA_DIR, f"txn-{uuid.uuid4().hex[:12]}")
         out = os.path.join(self.path, txn)
         df.write.mode("overwrite").parquet(out)
@@ -150,7 +226,28 @@ class VersionedTable:
         )
         if not files:  # empty frame can commit zero part files
             return [], 0
-        n_rows = self.spark.read.parquet(out).count()
+        back = self.spark.read.parquet(out)
+        stats_cols = [c for c in self.stats_cols() if c in back.columns]
+        if stats_cols:
+            aggs = [F.count("*").alias("__n")]
+            for c in stats_cols:
+                aggs += [F.min(c).alias(f"min::{c}"), F.max(c).alias(f"max::{c}")]
+            per_file = (
+                back.withColumn("__f", F.input_file_name())
+                .groupBy("__f")
+                .agg(*aggs)
+                .collect()
+            )  # O(files) rows
+            n_rows = sum(r["__n"] for r in per_file)
+            self._pending_stats = {
+                os.path.relpath(r["__f"].removeprefix("file://"), self.path): {
+                    c: [r[f"min::{c}"], r[f"max::{c}"]] for c in stats_cols
+                }
+                for r in per_file
+            }
+        else:
+            n_rows = back.count()
+            self._pending_stats = {}
         return files, n_rows
 
     def append(self, df: DataFrame, *, txn_id: str | None = None, retries: int = 5) -> int:
@@ -301,7 +398,20 @@ class VersionedTable:
         """Restore an old snapshot as a NEW commit (history is never
         erased; the bad versions stay inspectable)."""
         m = self._read_manifest(version)  # raises if unknown
+        # the restored files' zones may be absent from the current head —
+        # re-seed them from the target manifest
+        self._pending_stats = m.get("stats", {})
         return self._try_commit(m["files"], f"rollback:{version}", m["n_rows"])
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the current snapshot into ``target_files`` files as a
+        NEW version (op="compact") — the small-file answer for a table fed
+        by per-epoch streaming appends. Old versions still time-travel to
+        the un-compacted files until :meth:`vacuum` reclaims them; zone
+        maps are recomputed for the new files in the same write."""
+        df = self.read()
+        files, n = self._write_files(df.coalesce(target_files))
+        return self._try_commit(files, "compact", n)
 
     # -- reads ----------------------------------------------------------------
 
