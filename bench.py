@@ -105,6 +105,8 @@ HEADLINE = [
     "kmv_orderkey_overlap",
     "cms_token_freq",
     "jl_projection_audit",
+    "twa_purchase_values",
+    "counter_rate_purchases",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

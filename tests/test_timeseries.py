@@ -162,3 +162,80 @@ def test_mad_zero_flags_nothing(spark):
     df = _events(spark, rows).withColumn("event_type", F.lit("t"))
     out = mad_outliers(df, group="event_type", value="value")
     assert out.filter("is_outlier").count() == 0
+
+
+# --- time_weighted_avg -------------------------------------------------------
+
+
+def test_twa_hand_computed(spark):
+    from vector_db_spark.operators.timeseries import time_weighted_avg
+
+    # value 10 holds 1h, value 30 holds 3h, final 99 holds nothing
+    df = _events(
+        spark,
+        [(1, _ts(1, 0), 7, 10.0), (2, _ts(1, 1), 7, 30.0), (3, _ts(1, 4), 7, 99.0)],
+    )
+    (r,) = time_weighted_avg(df, key="user_id").collect()
+    assert float(r.twa_value) == pytest.approx((10 * 1 + 30 * 3) / 4)
+    assert r.n_obs == 3 and float(r.span_seconds) == pytest.approx(4 * 3600)
+
+
+def test_twa_single_observation_falls_back_to_value(spark):
+    from vector_db_spark.operators.timeseries import time_weighted_avg
+
+    df = _events(spark, [(1, _ts(1), 7, 42.0)])
+    (r,) = time_weighted_avg(df, key="user_id").collect()
+    assert float(r.twa_value) == 42.0 and float(r.span_seconds) == 0.0
+
+
+def test_twa_burst_does_not_skew(spark):
+    from vector_db_spark.operators.timeseries import time_weighted_avg
+
+    # 100 rapid samples of value 1000 in one minute, then value 1.0 held a day:
+    # plain mean ~990, TWA ~1.7
+    rows = [(i, datetime(2024, 1, 1, 0, 0, i % 60, i), 7, 1000.0) for i in range(100)]
+    rows.append((100, datetime(2024, 1, 1, 0, 2), 7, 1.0))
+    rows.append((101, datetime(2024, 1, 2, 0, 2), 7, 1.0))
+    df = _events(spark, rows)
+    (r,) = time_weighted_avg(df, key="user_id").collect()
+    assert float(r.twa_value) < 5.0
+
+
+# --- counter_rate ------------------------------------------------------------
+
+
+def test_counter_rate_monotonic(spark):
+    from vector_db_spark.operators.timeseries import counter_rate
+
+    df = _events(
+        spark,
+        [(1, _ts(1, 0), 7, 100.0), (2, _ts(1, 1), 7, 150.0), (3, _ts(1, 2), 7, 175.0)],
+    )
+    (r,) = counter_rate(df, key="user_id").collect()
+    assert float(r.total_increase) == 75.0 and r.n_resets == 0
+    assert float(r.rate_per_sec) == pytest.approx(75.0 / 7200)
+
+
+def test_counter_rate_reset_counts_post_reset_level(spark):
+    from vector_db_spark.operators.timeseries import counter_rate
+
+    # 100 -> 150 (+50), restart to 20 (+20), -> 50 (+30): total 100, 1 reset
+    df = _events(
+        spark,
+        [
+            (1, _ts(1, 0), 7, 100.0),
+            (2, _ts(1, 1), 7, 150.0),
+            (3, _ts(1, 2), 7, 20.0),
+            (4, _ts(1, 3), 7, 50.0),
+        ],
+    )
+    (r,) = counter_rate(df, key="user_id").collect()
+    assert float(r.total_increase) == 100.0 and r.n_resets == 1
+
+
+def test_counter_rate_single_row_is_zero(spark):
+    from vector_db_spark.operators.timeseries import counter_rate
+
+    df = _events(spark, [(1, _ts(1), 7, 5.0)])
+    (r,) = counter_rate(df, key="user_id").collect()
+    assert float(r.total_increase) == 0.0 and float(r.rate_per_sec) == 0.0

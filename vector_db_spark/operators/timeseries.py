@@ -214,3 +214,95 @@ def mad_outliers(
             .otherwise(F.lit(False)),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-key time-weighted average: each observation holds until the
+    next one, so its weight is the seconds until its successor (the last
+    observation of a key carries no interval and gets weight 0) — the
+    hypertable `time_weight('LOCF')` aggregate for irregular series,
+    where a plain AVG over-weights bursts of rapid samples.
+
+    One window over one key shuffle computes the lead timestamp; the
+    weighted aggregation is map-side partial on top. Output:
+    ``(key, twa_value, n_obs, span_seconds)``; keys with a single
+    observation (zero span) fall back to the plain value."""
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak))
+    dt = (
+        F.unix_micros(F.lead(ts).over(w)) - F.unix_micros(F.col(ts))
+    ).cast("double") / 1e6
+    # decimal-summed terms (the repo's order-independent aggregation
+    # discipline): double addition is not associative, so raw double sums
+    # vary with partial-agg order — per-row decimal casts then an exact
+    # decimal sum give the same scalar on any engine/partitioning
+    seg = df.select(
+        F.col(key),
+        (F.col(value).cast("double") * F.coalesce(dt, F.lit(0.0)))
+        .cast("decimal(28,8)")
+        .alias("__wv"),
+        F.coalesce(dt, F.lit(0.0)).cast("decimal(20,6)").alias("__dt"),
+        F.col(value).cast("double").alias("__v"),
+        F.col(ts).alias("__ts"),
+        F.col(tiebreak).alias("__tb"),
+    )
+    sum_wv = F.sum("__wv").cast("double")
+    sum_dt = F.sum("__dt").cast("double")
+    return seg.groupBy(key).agg(
+        F.when(sum_dt > 0, sum_wv / sum_dt)
+        .otherwise(F.min_by("__v", F.struct("__ts", "__tb")))
+        .alias("twa_value"),
+        F.count("*").alias("n_obs"),
+        sum_dt.alias("span_seconds"),
+    )
+
+
+def counter_rate(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Monotonic-counter rate with reset detection (the PromQL
+    ``rate()``/``increase()`` semantics): per consecutive pair, the
+    increase is ``v - prev_v`` unless the counter went backwards (a
+    process restart zeroed it), in which case the post-reset level ``v``
+    is the increase. Total increase / observed span = per-second rate.
+
+    One lag window over one key shuffle; aggregation map-side partial.
+    Output: ``(key, total_increase, span_seconds, rate_per_sec,
+    n_resets)``; keys with fewer than two observations report rate 0."""
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak))
+    prev_v = F.lag(F.col(value).cast("double")).over(w)
+    prev_t = F.lag(ts).over(w)
+    inc = F.when(prev_v.isNull(), F.lit(None)).otherwise(
+        F.when(F.col(value) >= prev_v, F.col(value) - prev_v).otherwise(
+            F.col(value).cast("double")
+        )
+    )
+    seg = df.select(
+        F.col(key),
+        inc.cast("decimal(28,8)").alias("__inc"),  # order-independent sums
+        F.when(
+            prev_v.isNotNull() & (F.col(value) < prev_v), F.lit(1)
+        ).otherwise(F.lit(0)).alias("__reset"),
+        (
+            (F.unix_micros(F.col(ts)) - F.unix_micros(prev_t)).cast("double") / 1e6
+        ).cast("decimal(20,6)").alias("__dt"),
+    )
+    sum_inc = F.sum("__inc").cast("double")
+    sum_dt = F.sum("__dt").cast("double")
+    return seg.groupBy(key).agg(
+        F.coalesce(sum_inc, F.lit(0.0)).alias("total_increase"),
+        F.coalesce(sum_dt, F.lit(0.0)).alias("span_seconds"),
+        F.when(sum_dt > 0, sum_inc / sum_dt).otherwise(F.lit(0.0)).alias("rate_per_sec"),
+        F.sum("__reset").alias("n_resets"),
+    )

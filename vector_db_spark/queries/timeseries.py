@@ -165,3 +165,83 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("mad"), 6).alias("mad"),
         F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
     )
+
+
+@register(
+    "twa_purchase_values",
+    oracle="""
+WITH seg AS (
+  SELECT user_id, value, ts, event_id,
+         CAST(value * coalesce((epoch_us(lead(ts) OVER w) - epoch_us(ts)) / 1e6, 0e0)
+              AS DECIMAL(28,8)) AS wv,
+         CAST(coalesce((epoch_us(lead(ts) OVER w) - epoch_us(ts)) / 1e6, 0e0)
+              AS DECIMAL(20,6)) AS dt
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       round(CASE WHEN CAST(sum(dt) AS DOUBLE) > 0
+                  THEN CAST(sum(wv) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
+                  ELSE arg_min(value, event_id) END, 6) AS twa_value,
+       count(*)::BIGINT AS n_obs,
+       round(CAST(sum(dt) AS DOUBLE), 4) AS span_seconds
+FROM seg GROUP BY 1
+""",
+    extra=True,
+)
+def twa_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average purchase value per user — each observation
+    holds until its successor (LOCF weighting), so burst sampling doesn't
+    skew the mean. One lead window on one key shuffle; decimal-summed
+    terms make the aggregate order-independent and oracle-exact."""
+    from vector_db_spark.operators.timeseries import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = time_weighted_avg(ev, key="user_id")
+    return out.select(
+        "user_id",
+        F.round("twa_value", 6).alias("twa_value"),
+        "n_obs",
+        F.round("span_seconds", 4).alias("span_seconds"),
+    )
+
+
+@register(
+    "counter_rate_purchases",
+    oracle="""
+WITH seg AS (
+  SELECT user_id,
+         CAST(CASE WHEN lag(value) OVER w IS NULL THEN NULL
+                   WHEN value >= lag(value) OVER w THEN value - lag(value) OVER w
+                   ELSE value END AS DECIMAL(28,8)) AS inc,
+         CASE WHEN lag(value) OVER w IS NOT NULL AND value < lag(value) OVER w
+              THEN 1 ELSE 0 END AS is_reset,
+         CAST((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 AS DECIMAL(20,6)) AS dt
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       round(coalesce(CAST(sum(inc) AS DOUBLE), 0e0), 4) AS total_increase,
+       round(coalesce(CAST(sum(dt) AS DOUBLE), 0e0), 4) AS span_seconds,
+       round(CASE WHEN CAST(sum(dt) AS DOUBLE) > 0
+                  THEN CAST(sum(inc) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
+                  ELSE 0e0 END, 9) AS rate_per_sec,
+       sum(is_reset)::BIGINT AS n_resets
+FROM seg GROUP BY 1
+""",
+    extra=True,
+)
+def counter_rate_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style counter rate over each user's purchase-value series,
+    treating the value as a monotonic counter with reset detection (a
+    drop = restart; the post-reset level counts as the increase). One lag
+    window on one key shuffle, decimal-summed increases."""
+    from vector_db_spark.operators.timeseries import counter_rate
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = counter_rate(ev, key="user_id")
+    return out.select(
+        "user_id",
+        F.round("total_increase", 4).alias("total_increase"),
+        F.round("span_seconds", 4).alias("span_seconds"),
+        F.round("rate_per_sec", 9).alias("rate_per_sec"),
+        "n_resets",
+    )
