@@ -107,6 +107,7 @@ HEADLINE = [
     "jl_projection_audit",
     "twa_purchase_values",
     "counter_rate_purchases",
+    "stream_ohlc_daily",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

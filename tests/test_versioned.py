@@ -297,3 +297,36 @@ def test_compact_preserves_rows_and_history(spark, vt):
     assert vt.read(v_pre).count() == 500  # pre-compaction snapshot intact
     # zone maps recomputed for the compacted file
     assert set(m["stats"]) == set(m["files"])
+
+
+# --- schema evolution & version diff -----------------------------------------
+
+
+def test_schema_evolution_appends_new_column(spark, vt):
+    vt.append(_df(spark, 0, 10))
+    evolved = spark.createDataFrame(
+        [(100, "r100", 0.5)], "id long, s string, score double"
+    )
+    vt.append(evolved)
+    out = vt.read()
+    assert "score" in out.columns
+    got = {r.id: r.score for r in out.collect()}
+    assert got[100] == 0.5 and got[0] is None  # old rows read NULL
+
+
+def test_diff_between_versions(spark, vt):
+    vt.append(_df(spark, 0, 5))
+    vt.merge(
+        spark.createDataFrame([(2, "CHANGED"), (50, "NEW")], "id long, s string"), "id"
+    )
+    vt.delete_where(F.col("id") == 4)
+    d = {(r.op, r.id) for r in vt.diff(0, vt.current_version(), ["id"]).collect()}
+    assert d == {("U", 2), ("I", 50), ("D", 4)}
+
+
+def test_diff_across_schema_evolution(spark, vt):
+    vt.append(_df(spark, 0, 3))
+    vt.append(spark.createDataFrame([(50, "n", 0.9)], "id long, s string, score double"))
+    d = {(r.op, r.id) for r in vt.diff(0, vt.current_version(), ["id"]).collect()}
+    # old rows now carry a NULL score column -> unchanged (null==null safe), new row is I
+    assert d == {("I", 50)}

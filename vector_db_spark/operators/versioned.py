@@ -148,7 +148,7 @@ class VersionedTable:
         files = self.pruned_files(col, lo, hi, version=version)
         if not files:
             return self.read(version).limit(0)
-        return self.spark.read.parquet(
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f) for f in files]
         )
 
@@ -422,9 +422,30 @@ class VersionedTable:
         m = self._read_manifest(v)
         if not m["files"]:
             raise ValueError(f"version {v} is empty")
-        return self.spark.read.parquet(
+        # mergeSchema: a snapshot may span txn dirs written under evolved
+        # schemas (append with added nullable columns); older files read
+        # the missing columns as NULL
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f) for f in m["files"]]
         )
+
+    def diff(self, old_version: int, new_version: int, keys: list[str]) -> DataFrame:
+        """CDC changeset between two snapshots — time travel composed with
+        ``operators.scd.snapshot_diff``: (op I/U/D, *keys, new-side values)
+        answering "what changed between version A and B" from the log.
+        Versions may span schema evolution: a column absent from one side
+        is aligned in as NULL, so adding a populated column surfaces as U
+        rows rather than an analysis error."""
+        from vector_db_spark.operators.scd import snapshot_diff
+
+        old_df, new_df = self.read(old_version), self.read(new_version)
+        for c, t in new_df.dtypes:
+            if c not in old_df.columns:
+                old_df = old_df.withColumn(c, F.lit(None).cast(t))
+        for c, t in old_df.dtypes:
+            if c not in new_df.columns:
+                new_df = new_df.withColumn(c, F.lit(None).cast(t))
+        return snapshot_diff(old_df, new_df, keys)
 
     # -- maintenance ----------------------------------------------------------
 

@@ -448,3 +448,45 @@ def stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("est_ok"),
     )
+
+
+@register(
+    "stream_ohlc_daily",
+    extra=True,
+    oracle="""
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts, value, ts, event_id,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT bucket_ts, event_type,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+       count(*)::BIGINT AS n_obs,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM b GROUP BY 1, 2
+""",
+)
+def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars computed BY THE STREAM (watermarked windowed agg
+    with struct-ordered min_by/max_by open/close): the continuous-
+    aggregate form of `ohlc_daily_bars`, hash-equal to the batch rollup
+    over the bounded source."""
+    from vector_db_spark.streaming.ingest import ohlc_stream
+
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    bars = run_to_memory(ohlc_stream(events, step="1 day"), output_mode="complete")
+    return bars.select(
+        "bucket_ts",
+        "event_type",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "n_obs",
+        "total",
+    )

@@ -543,3 +543,36 @@ def cms_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ohlc_stream(events: DataFrame, *, step: str = "1 day", watermark: str = "2 days") -> DataFrame:
+    """Streaming OHLC bars — the hypertable *continuous aggregate* as a
+    watermarked windowed aggregation (the batch twin is
+    ``operators.timeseries.ohlc_bars``). ``min_by``/``max_by`` over the
+    (ts, event_id) struct order carry open/close through partial-state
+    merges deterministically, so over a bounded source the stream result
+    is identical to the batch rollup (the registered oracle proves it).
+    State per (type, window) is five scalars + two structs — bounded by
+    the watermark horizon, not the stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", step).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+            F.count("*").alias("n_obs"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,4))")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_ts"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_obs",
+            "total",
+        )
+    )
