@@ -108,6 +108,7 @@ HEADLINE = [
     "twa_purchase_values",
     "counter_rate_purchases",
     "stream_ohlc_daily",
+    "simhash_near_dup",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

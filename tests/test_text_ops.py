@@ -461,3 +461,57 @@ def test_length_buckets_cut_padding_waste(spark, sf_smoke):
     # buckets are length-ordered: maxes non-decreasing by bucket id
     maxes = [r["max_tokens"] for r in sorted(man, key=lambda r: r["bucket"])]
     assert maxes == sorted(maxes)
+
+
+# --- SimHash Hamming near-dup (pigeonhole banding) ---------------------------
+
+
+def test_simhash_near_dup_finds_planted_pair_and_matches_brute_force(spark):
+    import itertools
+
+    from vector_db_spark.operators.dedup import simhash60, simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    docs = [(0, base), (1, base.replace("river", "ocean")),  # near-identical
+            (2, "completely different content about spark shuffles and joins " * 4)]
+    docs += [(10 + i, f"unrelated filler document number {i} with words {i * 17} " * 5)
+             for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dup_pairs(df, hamming_max=3, n_bands=4).collect()
+    }
+    sh = {r.doc_id: r.simhash for r in simhash60(df).collect()}
+    want = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert got == want  # pigeonhole blocking is COMPLETE, not approximate
+    assert any(p[:2] == (0, 1) for p in got)  # the planted near-pair survives
+
+
+def test_simhash_locality(spark):
+    from vector_db_spark.operators.dedup import simhash60
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    df = spark.createDataFrame(
+        [(0, text), (1, text.replace("kappa", "lambda")),
+         (2, "entirely other topic with distinct vocabulary everywhere " * 10)],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in simhash60(df).collect()}
+    near = bin(sh[0] ^ sh[1]).count("1")
+    far = bin(sh[0] ^ sh[2]).count("1")
+    assert near < far and near <= 10 and far > 10
+
+
+def test_simhash_pigeonhole_guard(spark):
+    import pytest as _pytest
+
+    from vector_db_spark.operators.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(df, hamming_max=4, n_bands=4)

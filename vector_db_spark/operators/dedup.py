@@ -645,3 +645,113 @@ def semantic_dedup(
             (F.coalesce("max_sim_lower", F.lit(-1.0)) >= threshold).alias("pruned"),
         )
     )
+
+
+# --- SimHash Hamming near-dup (Charikar '02 / Manku et al. WWW'07) -----------
+
+
+def simhash60(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc 60-bit SimHash: bit j is the majority vote of bit j across
+    the doc's token hashes (60 bits = the repo's 15-md5-nibble idiom —
+    sign-safe in an int64 on every engine). Near-identical token multisets
+    land within small Hamming distance, which band blocking exploits.
+
+    Arrow kernel with a per-batch vocabulary cache: token hashes are
+    md5-derived, and Zipf means the cache hits almost always, so the
+    per-token cost is one dict lookup plus a 60-lane numpy bit-count —
+    map-only, zero shuffle. The DuckDB oracle reproduces the value
+    bit-for-bit from the same md5 construction (ties: 2·Σbit ≥ n ⇒ 1)."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, np.ndarray] = {}
+
+        def tok_bits(tok: str) -> np.ndarray:
+            got = cache.get(tok)
+            if got is None:
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                got = cache[tok] = np.array(
+                    [(h >> j) & 1 for j in range(60)], dtype=np.int64
+                )
+            return got
+
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                toks = ws.split(text.strip().lower()) if text and text.strip() else []
+                if not toks:
+                    out.append(0)
+                    continue
+                votes = np.zeros(60, dtype=np.int64)
+                for t in toks:
+                    votes += tok_bits(t)
+                bits = (2 * votes >= len(toks)).astype(np.uint64)
+                out.append(int((bits << np.arange(60, dtype=np.uint64)).sum()))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, f"{id_col} long, simhash long")
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hamming_max: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Exact Hamming-≤k near-dup pairs via pigeonhole band blocking (the
+    Manku/Google web-dedup design): split the 60-bit SimHash into
+    ``n_bands`` bands; two hashes within Hamming ``hamming_max`` ≤
+    ``n_bands``−1 differ in at most n_bands−1 bands, so at least one band
+    matches EXACTLY — candidates are an equi-join on (band_idx,
+    band_value), never an all-pairs scan. A codegen'd ``bit_count(xor)``
+    verify keeps only true pairs, so the output is exact (the pigeonhole
+    guarantee makes blocking complete, not approximate).
+
+    Shuffle budget: Σ bucket² over band-value buckets — at corpus scale a
+    df-cut on pathological band values (boilerplate-heavy shards) is the
+    knob, same as the winnowing path. Requires ``hamming_max < n_bands``.
+    """
+    if hamming_max >= n_bands:
+        raise ValueError("pigeonhole completeness needs hamming_max < n_bands")
+    width = 60 // n_bands
+    sh = simhash60(docs, id_col=id_col, text_col=text_col)
+    bands = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    % F.lit(2**width)
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_value"),
+    )
+    a = bands.select(
+        "band_idx", "band_value",
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = bands.select(
+        "band_idx", "band_value",
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"),
+    )
+    return (
+        a.join(b, ["band_idx", "band_value"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .distinct()
+    )

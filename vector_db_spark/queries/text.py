@@ -1073,3 +1073,43 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kw_rank") <= _KW_TOP)
         .select("doc_id", "term", "tf", "tfidf", F.col("kw_rank").cast("int").alias("kw_rank"))
     )
+
+
+@register(
+    "simhash_near_dup",
+    extra=True,
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id, b AS bit, sum(((h >> b) & 1)::BIGINT) AS s, count(*) AS c
+  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bb GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN 2 * s >= c THEN (1::UBIGINT << bit) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM bits GROUP BY 1),
+bands AS (
+  SELECT doc_id, simhash, i AS band_idx,
+         (simhash >> (i * 15)::INTEGER) & 32767 AS band_value
+  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS i) ii)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM bands a JOIN bands b USING (band_idx, band_value)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Hamming-≤3 SimHash near-dup pairs via pigeonhole band
+    blocking (operators/dedup.py simhash_near_dup_pairs — the
+    Manku-et-al web-dedup design): candidates from a (band, value)
+    equi-join, completeness guaranteed by the pigeonhole principle, a
+    codegen'd bit_count(xor) verify. Never an all-pairs scan; the oracle
+    reproduces hashes, bands, and pairs bit-for-bit."""
+    from vector_db_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, hamming_max=3, n_bands=4)
