@@ -121,7 +121,7 @@ def test_vacuum_keeps_retained_versions_readable(spark, vt):
     vt.append(_df(spark, 0, 100))
     vt.overwrite(_df(spark, 0, 10))
     vt.append(_df(spark, 10, 30))
-    out = vt.vacuum(keep_last=2)
+    out = vt.vacuum(keep_last=2, min_age_seconds=0)
     assert out["removed_versions"] == 1 and out["removed_files"] >= 1
     assert vt.read(1).count() == 10 and vt.read(2).count() == 30
     with pytest.raises(FileNotFoundError):
@@ -330,3 +330,18 @@ def test_diff_across_schema_evolution(spark, vt):
     d = {(r.op, r.id) for r in vt.diff(0, vt.current_version(), ["id"]).collect()}
     # old rows now carry a NULL score column -> unchanged (null==null safe), new row is I
     assert d == {("I", 50)}
+
+
+def test_vacuum_min_age_protects_inflight_writers(spark, vt):
+    vt.append(_df(spark, 0, 10))
+    vt.overwrite(_df(spark, 0, 5))
+    # a writer mid-flight: data landed, manifest not yet committed
+    _df(spark, 900, 950).write.parquet(os.path.join(vt.data_dir, "txn-inflight"))
+    out = vt.vacuum(keep_last=1, min_age_seconds=3600)
+    # nothing young enough to be an active write may be touched
+    assert out["removed_files"] == 0
+    assert os.path.isdir(os.path.join(vt.data_dir, "txn-inflight"))
+    # once aged (simulated), reclamation proceeds
+    out2 = vt.vacuum(keep_last=1, min_age_seconds=0)
+    assert out2["removed_files"] >= 1
+    assert vt.read().count() == 5

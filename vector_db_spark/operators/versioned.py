@@ -449,21 +449,37 @@ class VersionedTable:
 
     # -- maintenance ----------------------------------------------------------
 
-    def vacuum(self, keep_last: int = 2) -> dict:
+    def vacuum(self, keep_last: int = 2, *, min_age_seconds: float = 3600.0) -> dict:
         """Drop manifests older than the last ``keep_last`` versions and
         delete data files no retained manifest references. Time travel to
-        retained versions is untouched by construction."""
+        retained versions is untouched by construction.
+
+        ``min_age_seconds`` guards the write/vacuum race: a writer that
+        has landed its txn dir but not yet committed its manifest owns
+        files that are "unreferenced" right now — deleting them would let
+        a manifest commit against vanished data. Files younger than the
+        guard are skipped (the Delta retention-threshold idea); any
+        legitimately orphaned dir (crashed writer) is reclaimed by the
+        next vacuum after it ages past the guard. Tests pass 0 to force
+        immediate reclamation."""
+        import time as _time
+
         vs = self._versions()
         retained, expired = vs[-keep_last:], vs[:-keep_last]
         live: set[str] = set()
         for v in retained:
             live.update(self._read_manifest(v)["files"])
+        cutoff = _time.time() - min_age_seconds
         removed_files = 0
         for root, _, names in os.walk(self.data_dir):
             for name in names:
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, self.path)
-                if name.endswith(".parquet") and rel not in live:
+                if (
+                    name.endswith(".parquet")
+                    and rel not in live
+                    and os.path.getmtime(full) <= cutoff
+                ):
                     os.remove(full)
                     removed_files += 1
         for v in expired:

@@ -91,6 +91,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_video_frames",
+    extra=True,
     oracle="""
 WITH frames AS (
   SELECT doc_id AS media_id,

@@ -257,6 +257,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semi_anti_audit",
+    extra=True,
     oracle="""
 SELECT 'urgent_customer' AS kind, c_custkey AS key_id, c_name AS name
 FROM customer c

@@ -144,7 +144,6 @@ SELECT e.l_returnflag, e.n_hashes, round(e.distinct_est, 4) AS distinct_est,
 FROM est e JOIN exact x USING (l_returnflag)
 CROSS JOIN common c CROSS JOIN theta t CROSS JOIN exact_i i
 """,
-    extra=True,
 )
 def kmv_orderkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-orderkey KMV (theta) sketches per return flag, plus the
@@ -247,7 +246,7 @@ FROM est e JOIN exact x USING (item) CROSS JOIN n
 """
 
 
-@register("cms_token_freq", oracle=_cms_oracle(), extra=True)
+@register("cms_token_freq", oracle=_cms_oracle())
 def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token frequencies answered from a Count-Min sketch (depth 4, width
     1024 — 4 KiB of counters for any corpus size), probed for known-hot

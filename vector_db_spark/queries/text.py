@@ -50,6 +50,7 @@ _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 
 @register(
     "text_stats",
+    extra=True,
     oracle=f"""
 SELECT doc_id, lang,
        len({_TOKS})::BIGINT AS n_tokens,
@@ -218,6 +219,7 @@ def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_fingerprints",
+    extra=True,
     oracle=f"""
 WITH nib AS (
   SELECT doc_id, p,
@@ -1077,7 +1079,6 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_dup",
-    extra=True,
     oracle="""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok

@@ -42,7 +42,6 @@ SELECT event_type, bucket_ts,
        round(sum(value), 4) AS total
 FROM b GROUP BY 1, 2
 """,
-    extra=True,
 )
 def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily open/high/low/close/volume bars per event type — the
