@@ -239,3 +239,30 @@ def test_counter_rate_single_row_is_zero(spark):
     df = _events(spark, [(1, _ts(1), 7, 5.0)])
     (r,) = counter_rate(df, key="user_id").collect()
     assert float(r.total_increase) == 0.0 and float(r.rate_per_sec) == 0.0
+
+
+# --- rolling_time_stats ------------------------------------------------------
+
+
+def test_rolling_range_frame_boundaries(spark):
+    from vector_db_spark.operators.timeseries import rolling_time_stats
+
+    # 3-day window: day 5 sees days 2..5 (boundary-inclusive), not day 1
+    df = _events(
+        spark,
+        [(i, _ts(d), 7, float(d)) for i, d in enumerate([1, 2, 5])],
+    )
+    out = {r.value: (r.n_window, r.sum_window) for r in
+           rolling_time_stats(df, key="user_id", window_seconds=3 * 86400).collect()}
+    assert out[1.0] == (1, 1.0)
+    assert out[2.0] == (2, 3.0)       # day 1 within [day-1 - 3d]? 2-3=−1 ≤ 1 ✓
+    assert out[5.0] == (2, 7.0)       # days 2 and 5; day 1 is outside 3d
+
+
+def test_rolling_same_timestamp_shares_frame(spark):
+    from vector_db_spark.operators.timeseries import rolling_time_stats
+
+    df = _events(spark, [(1, _ts(1), 7, 10.0), (2, _ts(1), 7, 20.0)])
+    rows = rolling_time_stats(df, key="user_id", window_seconds=60).collect()
+    # RANGE semantics: peers at the same order value share the frame
+    assert all(r.n_window == 2 and r.sum_window == 30.0 for r in rows)

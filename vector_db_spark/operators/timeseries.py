@@ -306,3 +306,44 @@ def counter_rate(
         F.when(sum_dt > 0, sum_inc / sum_dt).otherwise(F.lit(0.0)).alias("rate_per_sec"),
         F.sum("__reset").alias("n_resets"),
     )
+
+
+def rolling_time_stats(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    window_seconds: int = 7 * 86400,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-row trailing aggregates over an EVENT-TIME range frame: for each
+    observation, count / sum / mean of the key's values in
+    ``[t − window, t]`` (boundary-inclusive). This is the range-frame
+    window (`RANGE BETWEEN`) — unlike a rows-frame, bursty keys see the
+    same trailing horizon as sparse ones.
+
+    One shuffle on the key; the frame is evaluated over micro-second
+    integer order keys, and the summed values are per-row decimal casts so
+    the trailing sum is order-independent and engine-exact. Rows at the
+    same timestamp share a frame by RANGE semantics (both engines agree).
+
+    Output: input key/ts/tiebreak/value plus ``(n_window, sum_window,
+    avg_window)``."""
+    us = F.unix_micros(F.col(ts))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    dec = F.col(value).cast("double").cast("decimal(24,6)")
+    sum_dec = F.sum(dec).over(w)
+    return df.select(
+        key,
+        ts,
+        tiebreak,
+        value,
+        F.count("*").over(w).alias("n_window"),
+        sum_dec.cast("double").alias("sum_window"),
+        (sum_dec.cast("double") / F.count("*").over(w)).alias("avg_window"),
+    )

@@ -244,3 +244,83 @@ def counter_rate_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rate_per_sec", 9).alias("rate_per_sec"),
         "n_resets",
     )
+
+
+@register(
+    "rolling_7d_purchase_stats",
+    extra=True,
+    oracle="""
+SELECT user_id, ts, event_id, value,
+       count(*) OVER w AS n_window,
+       CAST(sum(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE) AS sum_window,
+       round(CAST(sum(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS avg_window
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_7d_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day purchase count/sum/mean per user at every purchase —
+    the event-time RANGE frame (bursts and sparse keys see the same
+    horizon). One key shuffle; decimal-cast terms keep the running sum
+    engine-exact."""
+    from vector_db_spark.operators.timeseries import rolling_time_stats
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = rolling_time_stats(ev, key="user_id", window_seconds=7 * 86400)
+    return out.select(
+        "user_id", "ts", "event_id", "value", "n_window", "sum_window",
+        F.round("avg_window", 6).alias("avg_window"),
+    )
+
+
+@register(
+    "seasonal_hourly_outliers",
+    extra=True,
+    oracle="""
+WITH base AS (
+  SELECT event_type, extract(hour FROM ts)::INTEGER AS hod, value FROM events),
+stats AS (
+  SELECT event_type, hod,
+         count(*)::BIGINT AS n,
+         CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS mu,
+         CAST(sum(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS m2
+  FROM base GROUP BY 1, 2)
+SELECT b.event_type, b.hod, any_value(s.n) AS n,
+       round(any_value(s.mu), 6) AS mean_value,
+       sum(CASE WHEN sqrt(greatest(s.m2 - s.mu * s.mu, 0)) > 0
+                 AND abs(b.value - s.mu) > 3e0 * sqrt(greatest(s.m2 - s.mu * s.mu, 0))
+            THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM base b JOIN stats s USING (event_type, hod)
+GROUP BY 1, 2
+""",
+)
+def seasonal_hourly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly census: each event scored against its
+    (type, hour-of-day) population — the diurnal profile a flat global
+    threshold misses. Two aggregations over the same grouping (decimal-
+    summed moments, broadcast back); flags map-side; 3σ population cut."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.hour("ts").alias("hod"), F.col("value").cast("double").alias("value")
+    )
+    mu = F.sum(F.col("value").cast("decimal(24,6)")).cast("double") / F.count("*")
+    m2 = F.sum((F.col("value") * F.col("value")).cast("decimal(30,8)")).cast("double") / F.count("*")
+    stats = base.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"), mu.alias("mu"), m2.alias("m2")
+    )
+    sd = F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0)))
+    return (
+        base.join(F.broadcast(stats), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first("mu"), 6).alias("mean_value"),
+            F.sum(
+                (
+                    (sd > 0) & (F.abs(F.col("value") - F.col("mu")) > 3.0 * sd)
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
