@@ -147,3 +147,46 @@ def test_bucketed_join_has_no_exchange(spark, sf_smoke):
     assert "Exchange" not in plan
     assert "Bucketed: true" in plan
     assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+# --- round-3 surfaces: time-series, sketches, SimHash banding ----------------
+
+
+def test_ohlc_is_single_aggregation_no_window_no_join(spark, sf_smoke):
+    """The continuous-aggregate rollup must be ONE partial-aggregated
+    groupBy: no window (the oracle's row_number form is the heavyweight
+    twin), no join, exactly one Exchange."""
+    plan = plan_of(QUERIES["ohlc_daily_bars"](spark, sf_smoke))
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_ewma_stays_in_one_key_shuffle(spark, sf_smoke):
+    """Truncated EWMA = lag() columns over ONE key shuffle; no join, no
+    Python (the kernel is pure JVM expressions)."""
+    plan = plan_of(QUERIES["ewma_purchase_values"](spark, sf_smoke))
+    assert plan.count("Exchange") == 1 and "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_rolling_range_frame_single_shuffle(spark, sf_smoke):
+    plan = plan_of(QUERIES["rolling_7d_purchase_stats"](spark, sf_smoke))
+    assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
+def test_cms_probe_side_broadcasts(spark, sf_smoke):
+    """Count-Min estimates join broadcast probes against sketch rows —
+    the corpus-derived side must never be the build side of a shuffle
+    join, and the sketch build must keep its map-side partial phase."""
+    plan = plan_of(QUERIES["cms_token_freq"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_simhash_banding_is_equi_join_not_cartesian(spark, sf_smoke):
+    """Pigeonhole banding must plan as a hash equi-join on (band_idx,
+    band_value) — never a CartesianProduct / NestedLoop all-pairs scan."""
+    plan = plan_of(QUERIES["simhash_near_dup"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
