@@ -490,3 +490,47 @@ def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         "total",
     )
+
+
+@register(
+    "stream_segment_enrichment",
+    extra=True,
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT e.user_id)::BIGINT AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def stream_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension join: the purchase stream enriched against
+    the customer table (broadcast per micro-batch — the dimension is
+    re-resolvable every batch, so a slowly-changing dim picks up updates
+    without restarting the stream) and aggregated per market segment.
+    Completes the streaming-join matrix beside the stream-stream
+    attribution join; over a bounded source the result hash-matches the
+    batch join."""
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    # streaming aggregation cannot do exact countDistinct; the stream
+    # maintains (segment, user) partials and a batch step finishes exactly
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("segment", "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,4))")).alias("v"),
+        )
+    )
+    partials = run_to_memory(per_user, output_mode="complete")
+    return partials.groupBy("segment").agg(
+        F.sum("n_events").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
