@@ -112,6 +112,7 @@ HEADLINE = [
     "rolling_7d_purchase_stats",
     "seasonal_hourly_outliers",
     "stream_segment_enrichment",
+    "quality_calibration_audit",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from vector_db_spark.functions.text import LANG_STOPWORDS
@@ -65,3 +67,40 @@ def test_features_exclude_raw_length(spark):
     docs = _bilingual_docs(spark, n=10)
     cols = doc_feature_frame(docs, F.lit(True)).columns
     assert "n_chars" not in cols and "f_n_chars" not in cols
+
+
+# --- isotonic calibration ----------------------------------------------------
+
+
+def test_calibrate_matches_hand_pav(spark):
+    """PAV on a known violation: scores [.1,.2,.3,.4] with labels
+    [0,1,0,1] — the .2/.3 pair violates monotonicity and pools to 0.5."""
+    from vector_db_spark.operators.mlquality import calibrate_scores
+
+    df = spark.createDataFrame(
+        [(0.1, 0.0), (0.2, 1.0), (0.3, 0.0), (0.4, 1.0)],
+        "raw double, label double",
+    )
+    out, audit = calibrate_scores(df, score_col="raw")
+    got = {r.raw: r.calibrated_prob for r in out.collect()}
+    assert got[0.1] == pytest.approx(0.0)
+    assert got[0.2] == pytest.approx(0.5)
+    assert got[0.3] == pytest.approx(0.5)
+    assert got[0.4] == pytest.approx(1.0)
+    assert audit.is_monotone and audit.calibrated_brier <= audit.raw_brier + 1e-9
+
+
+def test_calibrate_improves_miscalibrated_scores(spark):
+    """Systematically over-confident scores: raw = 0.9 for a class that is
+    only 50% positive. Calibration must pull probabilities toward the
+    empirical rate and beat the raw Brier score clearly."""
+    from vector_db_spark.operators.mlquality import calibrate_scores
+
+    rows = [(0.9 + (i % 10) * 1e-3, float(i % 2)) for i in range(200)]
+    rows += [(0.05 + (i % 10) * 1e-3, 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "raw double, label double")
+    out, audit = calibrate_scores(df, score_col="raw")
+    assert audit.is_monotone
+    assert audit.calibrated_brier < audit.raw_brier * 0.8
+    hi = out.filter(F.col("raw") >= 0.9).agg(F.avg("calibrated_prob")).collect()[0][0]
+    assert abs(hi - 0.5) < 0.05  # pulled to the empirical positive rate

@@ -118,3 +118,58 @@ def train_doc_classifier(
     train.unpersist()
     test.unpersist()
     return audit
+
+
+@dataclass
+class CalibrationAudit:
+    n: int
+    is_monotone: bool
+    calibrated_brier: float
+    raw_brier: float
+    n_knots: int
+
+
+def calibrate_scores(
+    scored: DataFrame,
+    *,
+    score_col: str,
+    label_col: str = "label",
+) -> tuple[DataFrame, CalibrationAudit]:
+    """Isotonic (monotone) probability calibration of classifier scores —
+    distributed pool-adjacent-violators via ``pyspark.ml.regression.
+    IsotonicRegression`` (the standard post-hoc calibration: LR scores
+    rank well but their probabilities drift; isotonic maps score →
+    empirical P(label=1) under only a monotonicity constraint).
+
+    Returns ``(scored + calibrated_prob, audit)``. The audit pins the
+    contract: the mapping is non-decreasing in the score, and Brier score
+    (mean squared probability error) does not get worse — PAV is the
+    least-squares monotone fit, so on the FIT data calibrated Brier ≤ raw
+    Brier holds mathematically.
+
+    Scale: pyspark.ml isotonic fits per-partition PAV then merges the
+    bounded knot lists; applying the mapping is a broadcast binary search
+    per row — map-only."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    feat = VectorAssembler(inputCols=[score_col], outputCol="__iso_f").transform(scored)
+    iso = IsotonicRegression(
+        featuresCol="__iso_f", labelCol=label_col, predictionCol="calibrated_prob"
+    )
+    model = iso.fit(feat)
+    out = model.transform(feat).drop("__iso_f")
+    preds = [float(x) for x in model.predictions]
+    brier = out.agg(
+        F.avg(F.pow(F.col("calibrated_prob") - F.col(label_col), 2)).alias("cal"),
+        F.avg(F.pow(F.col(score_col) - F.col(label_col), 2)).alias("raw"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    audit = CalibrationAudit(
+        n=int(brier["n"]),
+        is_monotone=all(a <= b + 1e-12 for a, b in zip(preds, preds[1:])),
+        calibrated_brier=float(brier["cal"]),
+        raw_brier=float(brier["raw"]),
+        n_knots=len(preds),
+    )
+    return out, audit

@@ -799,3 +799,44 @@ def corpus_governance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'exact_dup_docs', exact_dup_docs, 'langs_distinct', langs_distinct) "
         "AS (check_name, value)"
     )
+
+
+@register(
+    "quality_calibration_audit",
+    extra=True,
+    oracle="""
+SELECT count(*)::BIGINT AS n,
+       TRUE AS is_monotone, TRUE AS brier_improved, TRUE AS knots_ok
+FROM documents
+""",
+)
+def quality_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of a heuristic quality score against the
+    learnable long-document label (operators/mlquality.calibrate_scores —
+    distributed pool-adjacent-violators via pyspark.ml). Invariant
+    projection: the calibrated mapping must be monotone, the Brier score
+    must not degrade (a PAV least-squares guarantee on fit data), and the
+    fit must produce a non-trivial knot set; the oracle reproduces the
+    exact row count. tests/test_mlquality.py pins hand-computed PAV
+    behavior on planted data."""
+    from vector_db_spark.functions.text import tokens
+    from vector_db_spark.operators.mlquality import calibrate_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.least(F.size(tokens("text")) / F.lit(80.0), F.lit(1.0)).alias("raw_score"),
+        (F.col("n_chars") >= 300).cast("double").alias("label"),
+    )
+    _, audit = calibrate_scores(scored, score_col="raw_score")
+    return spark.createDataFrame(
+        [
+            (
+                audit.n,
+                audit.is_monotone,
+                audit.calibrated_brier <= audit.raw_brier + 1e-9,
+                audit.n_knots >= 2,
+            )
+        ],
+        "n long, is_monotone boolean, brier_improved boolean, knots_ok boolean",
+    )
