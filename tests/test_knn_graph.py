@@ -315,3 +315,48 @@ def test_core_numbers_match_reference(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["id"]: r["core"] for r in core_numbers(df).collect()}
     assert got == ref_coreness(edges)
+
+
+# --- deterministic random walks ----------------------------------------------
+
+
+def test_random_walks_follow_edges_and_are_deterministic(spark):
+    from vector_db_spark.operators.knn_graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 2)], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(1,), (2,)], "start long")
+    adj = {1: {2, 3}, 2: {1, 3}, 3: {1, 2}}
+    a = sorted(map(tuple, random_walks(edges, starts, length=5).collect()))
+    b = sorted(map(tuple, random_walks(edges.repartition(7), starts, length=5).collect()))
+    assert a == b  # layout-invariant
+    assert len(a) == 2 * 6  # 2 starts x (step 0..5)
+    walk = {s: {} for s in (1, 2)}
+    for start, step, node in a:
+        walk[start][step] = node
+    for s in (1, 2):
+        assert walk[s][0] == s
+        for i in range(5):
+            assert walk[s][i + 1] in adj[walk[s][i]]  # every hop is a real edge
+
+
+def test_random_walks_stop_at_dead_ends(spark):
+    from vector_db_spark.operators.knn_graph import random_walks
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")  # 2 is a sink
+    starts = spark.createDataFrame([(1,)], "start long")
+    rows = sorted(map(tuple, random_walks(edges, starts, length=4).collect()))
+    assert rows == [(1, 0, 1), (1, 1, 2)]  # walk ends when node 2 has no out-edges
+
+
+def test_random_walks_salt_changes_paths(spark):
+    from vector_db_spark.operators.knn_graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(10) for j in range(10) if i != j], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(i,) for i in range(10)], "start long")
+    a = sorted(map(tuple, random_walks(edges, starts, length=3, salt="s1").collect()))
+    b = sorted(map(tuple, random_walks(edges, starts, length=3, salt="s2").collect()))
+    assert a != b  # independent walk draws per salt

@@ -564,3 +564,63 @@ def core_numbers(
             .localCheckpoint(eager=True)
         )
     return result
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    *,
+    length: int = 4,
+    salt: str = "walk",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    start_col: str = "start",
+    max_degree: int = 64,
+) -> DataFrame:
+    """Deterministic random walks over an edge list — the walk-corpus
+    generator for DeepWalk/node2vec-style graph embedding training
+    (Perozzi et al. KDD'14), md5-derandomized in the repo's idiom so the
+    SAME walks come out of any engine, any partitioning, any rerun (a
+    walk corpus you can regenerate and oracle-check, unlike rand()-driven
+    sampling).
+
+    Step rule: at node u on step i the walk moves to
+    ``nbrs(u)[ H(u, i, salt) mod deg(u) ]`` where nbrs is the id-sorted
+    (capped) neighbor list and H is the 60-bit md5 integer — uniform over
+    neighbors, independent across steps, reproducible.
+
+    Plan: ONE adjacency aggregation (sorted, capped collect per src —
+    per-task memory O(max_degree)), then ``length`` broadcast-free
+    equi-joins current-node → adjacency: per step one shuffle of the
+    walk frontier (|starts| rows) against the adjacency table. Walks
+    from dead-end nodes (no out-edges) stop early. Output:
+    ``(start, step, node)`` with step 0 = the start itself."""
+    adj = (
+        edges.groupBy(F.col(src_col).alias("__n"))
+        .agg(F.slice(F.array_sort(F.collect_set(F.col(dst_col))), 1, max_degree).alias("__nbrs"))
+    )
+    frontier = starts.select(
+        F.col(start_col).alias("start"), F.col(start_col).alias("node")
+    )
+    out = frontier.select("start", F.lit(0).alias("step"), "node")
+    for i in range(1, length + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("node").cast("string"), F.lit(f":{salt}:{i}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        frontier = (
+            frontier.join(adj, frontier.node == adj.__n)
+            .select(
+                "start",
+                F.element_at(
+                    F.col("__nbrs"), (F.pmod(h, F.size("__nbrs")) + 1).cast("int")
+                ).alias("node"),
+            )
+        )
+        out = out.unionByName(frontier.select("start", F.lit(i).alias("step"), "node"))
+    return out

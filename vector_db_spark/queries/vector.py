@@ -773,3 +773,57 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("distortion") <= 0.35).alias("mean_distortion_ok"),
         (F.max("distortion") <= 1.2).alias("max_distortion_ok"),
     )
+
+
+def _walk_oracle() -> str:
+    h = (
+        "(('0x' || substr(md5(node::VARCHAR || ':walk:{i}'), 1, 15))::UBIGINT"
+        "::BIGINT)"
+    )
+    steps = []
+    prev = "w0"
+    for i in range(1, 5):
+        steps.append(
+            f"w{i} AS (SELECT w.start, a.nbrs[(mod({h.format(i=i)}, len(a.nbrs)) + 1)::INTEGER] AS node "
+            f"FROM {prev} w JOIN adj a ON a.n = w.node)"
+        )
+        prev = f"w{i}"
+    selects = " UNION ALL ".join(
+        f"SELECT start, {i} AS step, node FROM w{i}" for i in range(0, 5)
+    )
+    return f"""
+WITH d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_distance(a.embedding, b.embedding), 6), b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 500 AND b.vec_id < 500),
+edges AS (SELECT src, dst FROM d WHERE rn <= 6 AND src <> dst),
+adj AS (SELECT src AS n, list_sort(list(dst)) AS nbrs FROM edges GROUP BY 1),
+w0 AS (SELECT vec_id AS start, vec_id AS node FROM embeddings WHERE vec_id < 100),
+{", ".join(steps)}
+SELECT start, step, node FROM ({selects})
+"""
+
+
+@register("graph_random_walks", oracle=_walk_oracle(), extra=True)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus over the exact 5-NN graph
+    of a 500-vector subgraph (operators/knn_graph.random_walks): md5-
+    derandomized neighbor choice makes every walk a pure function of the
+    graph — regenerable, engine-independent, and value-hash oracled step
+    by step. One adjacency aggregation + `length` frontier joins; the walk
+    frontier (|starts| rows) is what shuffles per step, never the graph."""
+    from vector_db_spark.operators.knn_graph import random_walks
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    sub_q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn = knn_join(sub_q, emb, 6, impl="batch")
+    edges = knn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    starts = emb.filter(F.col("vec_id") < 100).select(F.col("vec_id").alias("start"))
+    return random_walks(edges, starts, length=4, salt="walk")
