@@ -114,6 +114,7 @@ HEADLINE = [
     "stream_segment_enrichment",
     "quality_calibration_audit",
     "graph_random_walks",
+    "graph_skipgram_pairs",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

@@ -360,3 +360,35 @@ def test_random_walks_salt_changes_paths(spark):
     a = sorted(map(tuple, random_walks(edges, starts, length=3, salt="s1").collect()))
     b = sorted(map(tuple, random_walks(edges, starts, length=3, salt="s2").collect()))
     assert a != b  # independent walk draws per salt
+
+
+def test_sample_non_edges_are_real_non_edges_and_deterministic(spark):
+    from vector_db_spark.operators.knn_graph import sample_non_edges
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)] + [(i, (i + 3) % 20) for i in range(20)],
+        "src long, dst long",
+    )
+    adj = {(r.src, r.dst) for r in edges.collect()}
+    a = sorted(map(tuple, sample_non_edges(edges, n_per_node=4).collect()))
+    b = sorted(map(tuple, sample_non_edges(edges.repartition(9), n_per_node=4).collect()))
+    assert a == b  # layout-invariant draw
+    per_src = {}
+    for src, neg in a:
+        assert (src, neg) not in adj and src != neg  # genuinely negative
+        per_src[src] = per_src.get(src, 0) + 1
+    assert set(per_src.values()) == {4}  # full quota everywhere
+
+
+def test_skipgram_pairs_window(spark):
+    from vector_db_spark.operators.knn_graph import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 11), (1, 2, 12), (1, 3, 13)],
+        "start long, step long, node long",
+    )
+    got = {(r.center, r.context, r.offset) for r in skipgram_pairs(walks, window=2).collect()}
+    assert (10, 11, 1) in got and (10, 12, 2) in got and (10, 13, 3) not in got
+    assert (12, 10, -2) in got and (13, 11, -2) in got
+    # every center has contexts only within the window
+    assert all(abs(off) <= 2 for _, _, off in got)

@@ -624,3 +624,118 @@ def random_walks(
         )
         out = out.unionByName(frontier.select("start", F.lit(i).alias("step"), "node"))
     return out
+
+
+def sample_non_edges(
+    edges: DataFrame,
+    *,
+    n_per_node: int = 5,
+    salt: str = "neg",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Reproducible negative sampling for link-prediction / embedding
+    training: for each source node, up to ``n_per_node`` node ids that are
+    NOT its neighbors, drawn by md5 probes into the graph's node set —
+    the negative pairs every contrastive objective needs, regenerable on
+    any engine.
+
+    Plan (never nodes²): the node set is indexed once (row_number over a
+    global sort of V rows — V is the small axis of a graph workload);
+    each source emits ``deg + 2·n_per_node + 4`` hash probes map-side
+    (explode of a bounded sequence), each probe resolves to a node via an
+    equi-join on the index, and an anti-join against the real edges plus
+    a self-filter removes collisions. Probe volume is O(E + V·n), and the
+    slack makes starvation (all probes landing on neighbors/duplicates)
+    vanishingly unlikely — re-salt if a node comes up short. Final rank
+    trims to ``n_per_node``.
+
+    Output: ``(src, neg_dst)``."""
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    # single-task global sort of V rows: V (distinct nodes) is the small
+    # axis of a graph workload; for corpus-scale V swap in
+    # packing.global_row_number (range-repartitioned, no single task)
+    widx = Window.orderBy("node")
+    indexed = nodes.withColumn("__idx", F.row_number().over(widx) - 1)
+    deg = edges.groupBy(F.col(src_col).alias("src")).agg(F.count("*").alias("__deg"))
+    probes = deg.select(
+        "src",
+        F.explode(
+            F.sequence(F.lit(1), F.col("__deg") + F.lit(2 * n_per_node + 4))
+        ).alias("__p"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("src").cast("string"),
+                    F.lit(":"),
+                    F.col("__p").cast("string"),
+                    F.lit(f":{salt}"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        probes.withColumn("__idx", F.pmod(h, F.lit(n_nodes)))
+        .join(indexed, "__idx")
+        .filter(F.col("node") != F.col("src"))
+        # duplicate probes of one candidate keep the EARLIEST probe number,
+        # so the final rank is a pure function of (src, node) — not of
+        # which duplicate row dropDuplicates happened to keep
+        .groupBy("src", "node")
+        .agg(F.min("__p").alias("__p"))
+    )
+    neg = cand.join(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("node")),
+        ["src", "node"],
+        "left_anti",
+    )
+    w2 = Window.partitionBy("src").orderBy(F.col("__p"), F.col("node"))
+    return (
+        neg.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= n_per_node)
+        .select("src", F.col("node").alias("neg_dst"))
+    )
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    *,
+    window: int = 2,
+    start_col: str = "start",
+    step_col: str = "step",
+    node_col: str = "node",
+) -> DataFrame:
+    """(center, context) co-occurrence pairs from a walk corpus — the
+    skip-gram training examples of DeepWalk: within each walk, every
+    ordered pair of nodes at step distance 1..window. One self-join of
+    the walk table on the walk id with a bounded step-offset predicate —
+    volume = walks × length × 2·window, never graph-sized."""
+    a = walks.select(
+        F.col(start_col).alias("__w"),
+        F.col(step_col).alias("__i"),
+        F.col(node_col).alias("center"),
+    )
+    b = walks.select(
+        F.col(start_col).alias("__w"),
+        F.col(step_col).alias("__j"),
+        F.col(node_col).alias("context"),
+    )
+    return (
+        a.join(b, "__w")
+        .filter(
+            (F.col("__i") != F.col("__j"))
+            & (F.abs(F.col("__i") - F.col("__j")) <= window)
+        )
+        .select("center", "context", (F.col("__j") - F.col("__i")).alias("offset"))
+    )

@@ -827,3 +827,46 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     starts = emb.filter(F.col("vec_id") < 100).select(F.col("vec_id").alias("start"))
     return random_walks(edges, starts, length=4, salt="walk")
+
+
+def _skipgram_oracle() -> str:
+    """Walk CTEs + the window-2 pair self-join: the final per-step SELECT
+    of the walk oracle becomes a named CTE the pair join consumes."""
+    base = _walk_oracle()
+    marker = "SELECT start, step, node FROM ("
+    ctes, final = base.rsplit(marker, 1)
+    inner = final.rsplit(")", 1)[0]
+    return (
+        ctes
+        + f", walks_all AS (SELECT start, step, node FROM ({inner}))\n"
+        + "SELECT a.node AS center, b.node AS context, "
+        + "(b.step - a.step)::INTEGER AS offset\n"
+        + "FROM walks_all a JOIN walks_all b\n"
+        + "  ON a.start = b.start AND a.step <> b.step "
+        + "AND abs(a.step - b.step) <= 2\n"
+    )
+
+
+@register(
+    "graph_skipgram_pairs",
+    oracle=_skipgram_oracle(),
+    extra=True,
+)
+def graph_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training pairs extracted from the
+    deterministic walk corpus (window 2) — the examples DeepWalk feeds a
+    word2vec objective, value-oracled pair by pair. One bounded self-join
+    on the walk id; pair volume = walks × length × 2·window."""
+    from vector_db_spark.operators.knn_graph import random_walks, skipgram_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    sub_q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn = knn_join(sub_q, emb, 6, impl="batch")
+    edges = knn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    starts = emb.filter(F.col("vec_id") < 100).select(F.col("vec_id").alias("start"))
+    walks = random_walks(edges, starts, length=4, salt="walk")
+    return skipgram_pairs(walks, window=2)
