@@ -115,6 +115,7 @@ HEADLINE = [
     "quality_calibration_audit",
     "graph_random_walks",
     "graph_skipgram_pairs",
+    "value_quantile_bins",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

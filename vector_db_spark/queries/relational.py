@@ -1757,3 +1757,54 @@ def asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="nearest",
         tiebreak_cols=["o_totalprice"],
     ).select("event_id", "user_id", "ts", "asof_time", "asof_o_totalprice")
+
+
+@register(
+    "value_quantile_bins",
+    extra=True,
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.50) AS q2,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1)
+SELECT e.event_type,
+       CASE WHEN e.value <= q.q1 THEN 0
+            WHEN e.value <= q.q2 THEN 1
+            WHEN e.value <= q.q3 THEN 2
+            ELSE 3 END AS bin,
+       count(*)::BIGINT AS n,
+       round(any_value(q.q1), 6) AS q1,
+       round(any_value(q.q2), 6) AS q2,
+       round(any_value(q.q3), 6) AS q3
+FROM events e JOIN q USING (event_type)
+GROUP BY 1, 2
+""",
+)
+def value_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile feature binning per event type (the QuantileDiscretizer
+    feature-engineering step, done with EXACT interpolated boundaries so
+    the binning is engine-reproducible — seeded approxQuantile is not).
+    One O(groups)-row percentile aggregation broadcast back; bin
+    assignment is a map-side CASE; bin counts are one partial-aggregated
+    groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.50)").alias("q2"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    binned = ev.join(F.broadcast(q), "event_type").withColumn(
+        "bin",
+        F.when(F.col("value") <= F.col("q1"), 0)
+        .when(F.col("value") <= F.col("q2"), 1)
+        .when(F.col("value") <= F.col("q3"), 2)
+        .otherwise(3),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.first("q1"), 6).alias("q1"),
+        F.round(F.first("q2"), 6).alias("q2"),
+        F.round(F.first("q3"), 6).alias("q3"),
+    )
