@@ -534,3 +534,39 @@ def stream_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum("v").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "stream_hourly_top_types",
+    extra=True,
+    oracle="""
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT window_start, event_type, n_events,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rnk
+  FROM counts)
+SELECT window_start, event_type, n_events, rnk::INTEGER AS rnk
+FROM ranked WHERE rnk <= 2
+""",
+)
+def stream_hourly_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the busiest 2 event types per hour. Ranking over a
+    streaming aggregate is not expressible inside one streaming query
+    (windows-over-aggregates need the final state), so the stream
+    maintains the hourly counts and a deterministic batch rank finishes —
+    the same two-phase shape a foreachBatch leaderboard sink uses. Count
+    ties break by type name, so the top-k is engine-exact."""
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    counts = run_to_memory(hourly_counts_stream(events), output_mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )
