@@ -117,6 +117,7 @@ HEADLINE = [
     "graph_skipgram_pairs",
     "value_quantile_bins",
     "stream_hourly_top_types",
+    "graph_negative_samples",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

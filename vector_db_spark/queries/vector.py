@@ -870,3 +870,59 @@ def graph_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = emb.filter(F.col("vec_id") < 100).select(F.col("vec_id").alias("start"))
     walks = random_walks(edges, starts, length=4, salt="walk")
     return skipgram_pairs(walks, window=2)
+
+
+@register(
+    "graph_negative_samples",
+    oracle="""
+WITH d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_distance(a.embedding, b.embedding), 6), b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 500 AND b.vec_id < 500),
+edges AS (SELECT src, dst FROM d WHERE rn <= 6 AND src <> dst)
+SELECT count(DISTINCT src)::BIGINT AS n_srcs,
+       (count(DISTINCT src) * 5)::BIGINT AS n_pairs,
+       TRUE AS all_negative, TRUE AS quota_ok, TRUE AS layout_invariant
+FROM edges
+""",
+    extra=True,
+)
+def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-edge draw audited end-to-end (operators/knn_graph.
+    sample_non_edges): 5 reproducible non-neighbors per source over the
+    exact 5-NN subgraph. Invariant projection the oracle reproduces
+    exactly: every source gets its full quota, every drawn pair is
+    verified non-adjacent by an anti-join recount, and a repartitioned
+    re-draw is identical (md5 probes — no RNG state)."""
+    from vector_db_spark.operators.knn_graph import sample_non_edges
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    sub_q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn = knn_join(sub_q, emb, 6, impl="batch")
+    edges = knn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).cache()
+    neg = sample_non_edges(edges, n_per_node=5).cache()
+    n_pairs = neg.count()
+    n_srcs = edges.select("src").distinct().count()
+    quota_ok = (
+        neg.groupBy("src").count().filter(F.col("count") != 5).count() == 0
+        and neg.select("src").distinct().count() == n_srcs
+    )
+    overlap = neg.join(
+        edges.select("src", F.col("dst").alias("neg_dst")), ["src", "neg_dst"]
+    ).count()
+    redraw = sample_non_edges(edges.repartition(13), n_per_node=5)
+    same = (
+        redraw.exceptAll(neg).count() == 0 and neg.exceptAll(redraw).count() == 0
+    )
+    return spark.createDataFrame(
+        [(n_srcs, n_pairs, overlap == 0, quota_ok, same)],
+        "n_srcs long, n_pairs long, all_negative boolean, quota_ok boolean, "
+        "layout_invariant boolean",
+    )
