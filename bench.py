@@ -118,6 +118,7 @@ HEADLINE = [
     "value_quantile_bins",
     "stream_hourly_top_types",
     "graph_negative_samples",
+    "value_percentile_ranks",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

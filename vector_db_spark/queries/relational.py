@@ -1808,3 +1808,33 @@ def value_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("q2"), 6).alias("q2"),
         F.round(F.first("q3"), 6).alias("q3"),
     )
+
+
+@register(
+    "value_percentile_ranks",
+    extra=True,
+    oracle="""
+SELECT event_id, event_type, value,
+       round(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id), 6) AS pct
+FROM events WHERE event_type IN ('purchase', 'error')
+""",
+)
+def value_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECDF / percentile-rank feature transform: each event's value scored
+    as its exact within-type percentile (the rank-normalization step
+    before mixing heterogeneous score scales). SQL-standard percent_rank
+    over a unique (value, id) order — engine-identical; one key shuffle.
+    At corpus scale the sort-free twin is the digest-threshold form
+    (operators/sketches.quantile_digest), same trade as
+    per_group_quantile_cut."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pct"),
+    )
