@@ -119,6 +119,7 @@ HEADLINE = [
     "stream_hourly_top_types",
     "graph_negative_samples",
     "value_percentile_ranks",
+    "cms_join_size",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

@@ -376,3 +376,28 @@ def test_cms_maintenance_stream_exactly_once(spark, tmp_path, sf_smoke):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct_merged.collect())
     )
+
+
+def test_cms_join_size_exact_when_sparse(spark):
+    from vector_db_spark.operators.sketches import cms_join_size_estimate, cms_sketch
+
+    # A: {x:3, y:2, z:1}; B: {y:4, z:5, w:7} -> true join size 2*4 + 1*5 = 13
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2 + [("z",)], "t string")
+    b = spark.createDataFrame([("y",)] * 4 + [("z",)] * 5 + [("w",)] * 7, "t string")
+    sa = cms_sketch(a, "t", depth=4, width=512)
+    sb = cms_sketch(b, "t", depth=4, width=512)
+    (r,) = cms_join_size_estimate(sa, sb).collect()
+    assert r.join_size_est == 13  # no collisions at this width: exact
+
+
+def test_cms_join_size_never_underestimates_under_collisions(spark):
+    from vector_db_spark.operators.sketches import cms_join_size_estimate, cms_sketch
+
+    a = spark.createDataFrame([(f"k{i % 300}",) for i in range(600)], "t string")
+    b = spark.createDataFrame([(f"k{i % 500}",) for i in range(1000)], "t string")
+    # true: keys 0..299 shared, f_A=2, f_B=2 each -> 300*4 = 1200
+    sa = cms_sketch(a, "t", depth=4, width=32)  # heavy collisions
+    sb = cms_sketch(b, "t", depth=4, width=32)
+    (r,) = cms_join_size_estimate(sa, sb).collect()
+    assert r.join_size_est >= 1200
+    assert r.join_size_est <= 1200 + 2.8 / 32 * 600 * 1000  # CM bound w/ slack

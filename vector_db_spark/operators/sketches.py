@@ -440,3 +440,29 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+def cms_join_size_estimate(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches — the
+    CM inner-product estimator (Cormode & Muthukrishnan '05):
+    |A ⋈ B| = Σ_v f_A(v)·f_B(v), estimated as min_i Σ_bucket
+    a_i[b]·b_i[b]. Never below the true size; exceeds it by more than
+    ε·N_A·N_B (ε = e/width) with probability ≤ (1/2)^depth.
+
+    This is `profiling.join_size_estimate` answered WITHOUT touching the
+    tables: both sides are kilobyte counter rows (persisted per segment,
+    merged per span), so sizing a prospective join across corpus versions
+    or date ranges costs a sketch-row join — depth×width rows per side,
+    zero data access. md5 hashing keeps the estimate deterministic and
+    oracle-checkable.
+
+    Returns one row ``(join_size_est,)`` (exact-integer long: products
+    and sums of exact counters)."""
+    a = sk_a.select("d", "bucket", F.col("cnt").alias("cnt_a"))
+    b = sk_b.select("d", "bucket", F.col("cnt").alias("cnt_b"))
+    per_depth = (
+        a.join(b, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    return per_depth.agg(F.min("ip").alias("join_size_est"))

@@ -285,3 +285,64 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bound_ok"),
         )
     )
+
+
+@register(
+    "cms_join_size",
+    extra=True,
+    oracle="""
+WITH oa AS (SELECT o_custkey AS k FROM orders),
+ea AS (SELECT user_id AS k FROM events WHERE event_type = 'purchase'),
+sk_a AS (
+  SELECT d, bucket, count(*)::BIGINT AS cnt FROM (
+    SELECT mod(('0x' || substr(md5(k::VARCHAR || ':cms:' || i.i), 1, 15))::UBIGINT::BIGINT, 1024) AS bucket,
+           i.i AS d
+    FROM oa CROSS JOIN (SELECT unnest(range(4)) AS i) i) GROUP BY 1, 2),
+sk_b AS (
+  SELECT d, bucket, count(*)::BIGINT AS cnt FROM (
+    SELECT mod(('0x' || substr(md5(k::VARCHAR || ':cms:' || i.i), 1, 15))::UBIGINT::BIGINT, 1024) AS bucket,
+           i.i AS d
+    FROM ea CROSS JOIN (SELECT unnest(range(4)) AS i) i) GROUP BY 1, 2),
+est AS (
+  SELECT min(ip) AS join_size_est FROM (
+    SELECT a.d, sum(a.cnt * b.cnt) AS ip
+    FROM sk_a a JOIN sk_b b USING (d, bucket) GROUP BY 1)),
+exact AS (
+  SELECT count(*)::BIGINT AS exact_join FROM oa JOIN ea ON oa.k = ea.k),
+n AS (SELECT (SELECT count(*) FROM oa)::DOUBLE AS na, (SELECT count(*) FROM ea)::DOUBLE AS nb)
+SELECT e.join_size_est, x.exact_join,
+       (e.join_size_est >= x.exact_join) AS never_under,
+       (e.join_size_est <= x.exact_join + 2.8e0 / 1024e0 * n.na * n.nb) AS bound_ok
+FROM est e CROSS JOIN exact x CROSS JOIN n
+""",
+)
+def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size pre-flight answered from SKETCHES: the CM inner-product
+    estimate of |orders ⋈ purchase-events on custkey| from two 4×1024
+    counter tables — `join_size_preflight`'s exact count tables replaced
+    by kilobyte summaries that merge across segments/versions without
+    rescanning either side. Deterministic md5 buckets ⇒ the estimate is
+    value-hash-oracled exactly, alongside the one-sided guarantee and the
+    ε·N_A·N_B (ε = e/width) bound."""
+    from vector_db_spark.operators.sketches import cms_join_size_estimate, cms_sketch
+
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("k"))
+    )
+    sk_a = cms_sketch(orders, "k", depth=4, width=1024)
+    sk_b = cms_sketch(events, "k", depth=4, width=1024)
+    est = cms_join_size_estimate(sk_a, sk_b)
+    exact = orders.join(events, "k").count()
+    na, nb = orders.count(), events.count()
+    return est.select(
+        "join_size_est",
+        F.lit(exact).alias("exact_join"),
+        (F.col("join_size_est") >= exact).alias("never_under"),
+        (
+            F.col("join_size_est")
+            <= exact + 2.8 / 1024.0 * float(na) * float(nb)
+        ).alias("bound_ok"),
+    )
