@@ -120,6 +120,7 @@ HEADLINE = [
     "graph_negative_samples",
     "value_percentile_ranks",
     "cms_join_size",
+    "node2vec_biased_walks",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

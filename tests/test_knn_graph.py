@@ -392,3 +392,49 @@ def test_skipgram_pairs_window(spark):
     assert (12, 10, -2) in got and (13, 11, -2) in got
     # every center has contexts only within the window
     assert all(abs(off) <= 2 for _, _, off in got)
+
+
+def test_node2vec_return_bias_oscillates(spark):
+    from vector_db_spark.operators.knn_graph import node2vec_walks
+
+    # path graph 0-1-2-3...: with overwhelming return weight (p tiny) every
+    # step after the first must backtrack
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(i + 1, i) for i in range(6)],
+        "src long, dst long",
+    )
+    starts = spark.createDataFrame([(3,)], "start long")
+    walk = {
+        r.step: r.node
+        for r in node2vec_walks(edges, starts, length=4, p=2**-20, q=1.0).collect()
+    }
+    assert walk[2] == walk[0] and walk[3] == walk[1]  # constant backtracking
+
+
+def test_node2vec_locality_bias_stays_in_triangle(spark):
+    from vector_db_spark.operators.knn_graph import node2vec_walks
+
+    # triangle {0,1,2} plus a pendant path 2-9-10: with q huge (explore
+    # weight ~0) and p=1, from any triangle node the walk prefers
+    # candidates adjacent to the previous node -> stays in the triangle
+    tri = [(a, b) for a in (0, 1, 2) for b in (0, 1, 2) if a != b]
+    path = [(2, 9), (9, 2), (9, 10), (10, 9)]
+    edges = spark.createDataFrame(tri + path, "src long, dst long")
+    starts = spark.createDataFrame([(0,)], "start long")
+    nodes = {
+        r.node
+        for r in node2vec_walks(edges, starts, length=6, p=1.0, q=2**20).collect()
+    }
+    assert nodes <= {0, 1, 2}
+
+
+def test_node2vec_layout_invariant(spark):
+    from vector_db_spark.operators.knn_graph import node2vec_walks
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(12) for j in range(12) if i != j], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(i,) for i in range(6)], "start long")
+    a = sorted(map(tuple, node2vec_walks(edges, starts, length=4).collect()))
+    b = sorted(map(tuple, node2vec_walks(edges.repartition(11), starts, length=4).collect()))
+    assert a == b

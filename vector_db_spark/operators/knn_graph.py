@@ -739,3 +739,96 @@ def skipgram_pairs(
         )
         .select("center", "context", (F.col("__j") - F.col("__i")).alias("offset"))
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    *,
+    length: int = 4,
+    p: float = 0.5,
+    q: float = 2.0,
+    salt: str = "n2v",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    start_col: str = "start",
+    max_degree: int = 64,
+) -> DataFrame:
+    """Second-order (node2vec, Grover & Leskovec KDD'16) biased walks,
+    md5-derandomized: at node v reached from t, candidate x draws weight
+    1/p if x = t (return), 1 if x is adjacent to t (stay near), 1/q
+    otherwise (explore) — p < 1 favors backtracking, q > 1 keeps walks
+    local (BFS-like); the knobs that make DeepWalk corpora tunable.
+
+    The draw is inverse-CDF over the candidate list sorted by id:
+    r = u·Σw with u the 60-bit md5 uniform of (start, step), picked as
+    the first candidate whose cumulative weight exceeds r — exact,
+    engine-reproducible arithmetic when 1/p and 1/q are binary fractions
+    (the defaults are; other values work but cross-engine bit-equality of
+    the oracle then rides on float rounding).
+
+    Plan per step: frontier ⋈ adjacency (explode to candidates —
+    frontier×degree rows), a broadcast-free edge join marks t-adjacency,
+    and one cumulative-sum window keyed on the walk picks the successor.
+    Volume per step is O(starts × max_degree); the graph itself never
+    reshuffles. First hop has no t: prev=start makes every candidate
+    weight 1 (uniform). Output: ``(start, step, node)``."""
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    adj = edges.groupBy(F.col(src_col).alias("__n")).agg(
+        F.slice(F.array_sort(F.collect_set(F.col(dst_col))), 1, max_degree).alias("__nbrs")
+    )
+    adj_mark = edges.select(
+        F.col(src_col).alias("prev"), F.col(dst_col).alias("cand"),
+        F.lit(True).alias("__adj"),
+    ).distinct()
+    frontier = starts.select(
+        F.col(start_col).alias("start"),
+        F.col(start_col).alias("prev"),
+        F.col(start_col).alias("node"),
+    )
+    out = frontier.select("start", F.lit(0).alias("step"), "node")
+    for i in range(1, length + 1):
+        cands = (
+            frontier.join(adj, frontier.node == adj.__n)
+            .select("start", "prev", "node", F.explode("__nbrs").alias("cand"))
+            .join(adj_mark, ["prev", "cand"], "left")
+        )
+        w = (
+            F.when(F.col("cand") == F.col("prev"), F.lit(inv_p))
+            .when(F.col("__adj"), F.lit(1.0))
+            .otherwise(F.lit(inv_q))
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("start").cast("string"), F.lit(f":{salt}:{i}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        win_cum = Window.partitionBy("start").orderBy("cand")
+        win_all = Window.partitionBy("start")
+        scored = cands.select(
+            "start",
+            "node",
+            "cand",
+            F.sum(w).over(win_cum).alias("__cum"),
+            ((h.cast("double") / F.lit(float(2**60))) * F.sum(w).over(win_all)).alias("__r"),
+        )
+        # first candidate whose cumulative weight exceeds r; u<1 keeps r
+        # below the total in exact math — the max-cand fallback covers the
+        # one-in-2^60 float-rounding equality at the top boundary
+        frontier = (
+            scored.groupBy("start")
+            .agg(
+                F.coalesce(
+                    F.min(F.when(F.col("__cum") > F.col("__r"), F.col("cand"))),
+                    F.max("cand"),
+                ).alias("__next"),
+                F.first("node").alias("node"),
+            )
+            .select("start", F.col("node").alias("prev"), F.col("__next").alias("node"))
+        )
+        out = out.unionByName(frontier.select("start", F.lit(i).alias("step"), "node"))
+    return out

@@ -926,3 +926,69 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_srcs long, n_pairs long, all_negative boolean, quota_ok boolean, "
         "layout_invariant boolean",
     )
+
+
+def _n2v_oracle() -> str:
+    h = "(('0x' || substr(md5(f.start::VARCHAR || ':n2v:{i}'), 1, 15))::UBIGINT::BIGINT)"
+    steps = []
+    prev = "f0"
+    for i in range(1, 5):
+        steps.append(f"""
+s{i} AS (
+  SELECT f.start, f.node AS prev_out, c.cand,
+         CASE WHEN c.cand = f.prev THEN 2e0
+              WHEN am.adj THEN 1e0 ELSE 0.5e0 END AS w,
+         {h.format(i=i)}::DOUBLE / 1152921504606846976e0 AS u
+  FROM {prev} f
+  JOIN adj a ON a.n = f.node
+  CROSS JOIN unnest(a.nbrs) AS c(cand)
+  LEFT JOIN am ON am.prev = f.prev AND am.cand = c.cand),
+p{i} AS (
+  SELECT start, prev_out, cand, u,
+         sum(w) OVER (PARTITION BY start ORDER BY cand) AS cum,
+         sum(w) OVER (PARTITION BY start) AS tot
+  FROM s{i}),
+f{i} AS (
+  SELECT start, any_value(prev_out) AS prev,
+         coalesce(min(cand) FILTER (WHERE cum > u * tot), max(cand)) AS node
+  FROM p{i} GROUP BY start)""")
+        prev = f"f{i}"
+    selects = " UNION ALL ".join(
+        f"SELECT start, {i} AS step, node FROM f{i}" for i in range(0, 5)
+    )
+    return f"""
+WITH d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_distance(a.embedding, b.embedding), 6), b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 500 AND b.vec_id < 500),
+edges AS (SELECT src, dst FROM d WHERE rn <= 6 AND src <> dst),
+adj AS (SELECT src AS n, list_sort(list(dst)) AS nbrs FROM edges GROUP BY 1),
+am AS (SELECT DISTINCT src AS prev, dst AS cand, TRUE AS adj FROM edges),
+f0 AS (SELECT vec_id AS start, vec_id AS prev, vec_id AS node
+       FROM embeddings WHERE vec_id < 100),
+{", ".join(steps)}
+SELECT start, step, node FROM ({selects})
+"""
+
+
+@register("node2vec_biased_walks", oracle=_n2v_oracle(), extra=True)
+def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order walks (p=0.5 return-biased, q=2 locality-
+    biased) over the exact 5-NN subgraph — the tunable walk corpus,
+    md5-derandomized so every biased hop is value-hash-oracled exactly
+    (operators/knn_graph.node2vec_walks)."""
+    from vector_db_spark.operators.knn_graph import node2vec_walks
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    sub_q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn = knn_join(sub_q, emb, 6, impl="batch")
+    edges = knn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    starts = emb.filter(F.col("vec_id") < 100).select(F.col("vec_id").alias("start"))
+    return node2vec_walks(edges, starts, length=4, p=0.5, q=2.0, salt="n2v")
