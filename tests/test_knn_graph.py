@@ -438,3 +438,59 @@ def test_node2vec_layout_invariant(spark):
     a = sorted(map(tuple, node2vec_walks(edges, starts, length=4).collect()))
     b = sorted(map(tuple, node2vec_walks(edges.repartition(11), starts, length=4).collect()))
     assert a == b
+
+
+def test_personalized_pagerank_matches_numpy_reference(spark):
+    import numpy as np
+
+    from vector_db_spark.operators.knn_graph import personalized_pagerank
+
+    rng_edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (1, 4), (4, 0)]
+    edges = spark.createDataFrame(rng_edges, "src long, dst long")
+    sources = spark.createDataFrame([(0,)], "s long")
+    got = {
+        r.id: r.rank
+        for r in personalized_pagerank(edges, sources, n_iter=25).collect()
+    }
+    n = 5
+    A = np.zeros((n, n))
+    for s, d in rng_edges:
+        A[s, d] = 1
+    P = A / A.sum(axis=1, keepdims=True)
+    e_s = np.zeros(n); e_s[0] = 1.0
+    r = e_s.copy()
+    for _ in range(25):
+        dang = 0.0  # every node has out-edges here
+        r = 0.15 * e_s + 0.85 * (r @ P + dang * e_s)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_concentrates_near_sources(spark):
+    from vector_db_spark.operators.knn_graph import (
+        pagerank_from_edges,
+        personalized_pagerank,
+    )
+
+    # two loosely-connected cliques; personalize on clique A
+    a = [(i, j) for i in range(5) for j in range(5) if i != j]
+    b = [(i, j) for i in range(10, 15) for j in range(10, 15) if i != j]
+    bridge = [(4, 10), (10, 4)]
+    edges = spark.createDataFrame(a + b + bridge, "src long, dst long")
+    sources = spark.createDataFrame([(0,), (1,)], "s long")
+    ppr = {r.id: r.rank for r in personalized_pagerank(edges, sources, n_iter=20).collect()}
+    gpr = {r.id: r.rank for r in pagerank_from_edges(edges, n_iter=20).collect()}
+    mass_a_ppr = sum(v for k, v in ppr.items() if k < 10)
+    mass_a_gpr = sum(v for k, v in gpr.items() if k < 10)
+    assert mass_a_ppr > 0.85 and mass_a_ppr > mass_a_gpr + 0.3  # concentrated vs ~0.5 global
+
+
+def test_personalized_pagerank_dangling_mass_returns_to_sources(spark):
+    from vector_db_spark.operators.knn_graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")  # 2 dangles
+    sources = spark.createDataFrame([(0,)], "s long")
+    got = {r.id: r.rank for r in personalized_pagerank(edges, sources, n_iter=30).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] > got[2] > 0  # restart keeps source hot; chain decays

@@ -832,3 +832,76 @@ def node2vec_walks(
         )
         out = out.unionByName(frontier.select("start", F.lit(i).alias("step"), "node"))
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    nodes: DataFrame | None = None,
+    damping: float = 0.85,
+    n_iter: int = 15,
+) -> DataFrame:
+    """(id, rank): personalized PageRank — teleport (and dangling) mass
+    returns to the ``sources`` set instead of everywhere, so rank
+    concentrates in the sources' neighborhood: the "related items for
+    THESE items" primitive behind recommendation and seed-expansion
+    (local community detection), where global PageRank answers a
+    different question entirely.
+
+    Same per-iteration budget as :func:`pagerank_from_edges` (one
+    degree-annotated edge join + one partial-aggregated groupBy, O(1)
+    lineage via localCheckpoint); the restart vector is a broadcast flag
+    column. Ranks sum to 1 every iteration."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    if nodes is None:
+        node_df = e.select("src").union(e.select(F.col("dst").alias("src"))).distinct()
+    else:
+        c = nodes.columns[0]
+        node_df = nodes.select(F.col(c).alias("src")).distinct()
+    s_col = sources.columns[0]
+    src_set = sources.select(F.col(s_col).alias("src")).distinct()
+    node_df = (
+        node_df.join(src_set.withColumn("__is_s", F.lit(True)), "src", "left")
+        .select("src", F.coalesce("__is_s", F.lit(False)).alias("__is_s"))
+        .localCheckpoint(eager=True)
+    )
+    n_s = node_df.filter("__is_s").count()
+    if n_s == 0:
+        raise ValueError("sources must intersect the node set")
+    teleport = F.when(F.col("__is_s"), F.lit(1.0 / n_s)).otherwise(F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ranks = node_df.select("src", "__is_s", teleport.alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks.select("src", "rank"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
+            .withColumnRenamed("dst", "src")
+        )
+        dang = (
+            ranks.select("src", "rank")
+            .join(deg, "src", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            node_df.join(contrib, "src", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "src",
+                "__is_s",
+                (
+                    F.lit(1.0 - damping) * teleport
+                    + F.lit(damping)
+                    * (F.coalesce("c", F.lit(0.0)) + F.col("dang") * teleport)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("src").alias("id"), "rank")

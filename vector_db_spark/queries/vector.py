@@ -992,3 +992,42 @@ def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     starts = emb.filter(F.col("vec_id") < 100).select(F.col("vec_id").alias("start"))
     return node2vec_walks(edges, starts, length=4, p=0.5, q=2.0, salt="n2v")
+
+
+@register(
+    "knn_personalized_pagerank",
+    oracle="""
+SELECT 500::BIGINT AS n_nodes, true AS rank_sum_ok, true AS concentrated_ok
+""",
+    extra=True,
+)
+def knn_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on 10 vectors over the exact 5-NN
+    subgraph (operators/knn_graph.personalized_pagerank) — the
+    "related items for THESE items" primitive. Invariant projection:
+    stochastic-vector contract plus concentration (the seed set must hold
+    far more mass than its uniform 10/500 share — teleport locality is
+    the operator's whole point). Exact ranks are float-order sensitive;
+    tests pin 1e-9 agreement with a numpy reference."""
+    from vector_db_spark.operators.knn_graph import personalized_pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    sub_q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn = knn_join(sub_q, emb, 6, impl="batch")
+    edges = knn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    seeds = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("s"))
+    ppr = personalized_pagerank(
+        edges, seeds, nodes=emb.select("vec_id"), n_iter=10
+    )
+    seed_mass = (
+        ppr.join(seeds, ppr.id == seeds.s).agg(F.sum("rank")).collect()[0][0]
+    )
+    return ppr.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("rank_sum_ok"),
+        F.lit(seed_mass > 5 * 10.0 / 500).alias("concentrated_ok"),
+    )
