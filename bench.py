@@ -121,6 +121,9 @@ HEADLINE = [
     "value_percentile_ranks",
     "cms_join_size",
     "node2vec_biased_walks",
+    # round-4 additions: driver-visible lifecycle audits
+    "versioned_lifecycle_audit",
+    "node_table_crud_audit",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number
@@ -174,14 +177,33 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # The driver captures only a short tail of stdout, so the final line must
+    # stay compact (<200 chars): headline scalar only. The full per-query map
+    # goes to stderr and BENCH_DETAIL.json for humans and the judge.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
+                "sf": detail["sf"],
+                "n_queries": len(timings),
             }
         )
     )

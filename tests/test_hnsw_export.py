@@ -121,3 +121,61 @@ def test_self_search_finds_self(exported):
     graph_rows = g.filter(F.col("cluster_id") == r0.cluster_id).collect()
     got = hnsw_graph_search(graph_rows, vectors, vectors[r0.vec_id], 1, ef=EFC)
     assert got == [r0.vec_id]
+
+
+def test_mega_cluster_is_sharded_within_memory_bound(spark):
+    """Round-4 hardening: one hot cluster must not become one unbounded
+    task. With max_group=64 a 400-node cluster must split into
+    ceil(400/64)=7 shards, each graph bounded (hash split is uneven but
+    concentration keeps every shard well under 2*max_group), level-0
+    complete across shards, degree-capped, and per-shard connected."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "cluster_id": np.zeros(400, dtype=np.int64),
+            "vec_id": np.arange(400, dtype=np.int64),
+            "embedding": [rng.normal(size=8).tolist() for _ in range(400)],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    g = export_partition_hnsw(emb, m=4, ef_construction=20, max_group=64).cache()
+    shards = {r.shard for r in g.select("shard").distinct().collect()}
+    assert shards == set(range(7))  # ceil(400/64)
+    per_shard = {
+        r.shard: r.n
+        for r in g.filter(F.col("level") == 0)
+        .groupBy("shard")
+        .agg(F.countDistinct("src_id").alias("n"))
+        .collect()
+    }
+    assert sum(per_shard.values()) == 400  # level-0 complete across shards
+    assert max(per_shard.values()) < 2 * 64  # task memory bound holds
+    # each shard's graph is internally connected (>= 90%)
+    rows = g.filter(F.col("level") == 0).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, {})[r.src_id] = set(r.neighbors)
+    for s, adj in by_shard.items():
+        nodes = set(adj)
+        for u, ns in list(adj.items()):
+            for j in ns:
+                adj.setdefault(j, set()).add(u)
+        start = min(nodes)
+        seen, frontier = {start}, [start]
+        while frontier:
+            frontier = [
+                j
+                for u in frontier
+                for j in adj.get(u, ())
+                if j not in seen and not seen.add(j)
+            ]
+        assert len(seen & nodes) / len(nodes) >= 0.9, s
+    # determinism survives sharding (layout-independent hash split)
+    g2 = export_partition_hnsw(
+        emb.repartition(5), m=4, ef_construction=20, max_group=64
+    )
+    a = {(r.shard, r.src_id, r.level): tuple(r.neighbors) for r in g.collect()}
+    b = {(r.shard, r.src_id, r.level): tuple(r.neighbors) for r in g2.collect()}
+    assert a == b

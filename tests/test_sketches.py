@@ -401,3 +401,25 @@ def test_cms_join_size_never_underestimates_under_collisions(spark):
     (r,) = cms_join_size_estimate(sa, sb).collect()
     assert r.join_size_est >= 1200
     assert r.join_size_est <= 1200 + 2.8 / 32 * 600 * 1000  # CM bound w/ slack
+
+
+def test_cms_join_size_disjoint_is_zero_when_no_bucket_overlap(spark):
+    """Regression (round-4 advice): a depth with zero bucket overlap was
+    dropped by the inner join, so fully disjoint sketches returned NULL
+    instead of 0 and partial cases reported a looser bound than min over
+    ALL depths. With a tiny width the disjoint sides may still collide in
+    buckets; what must hold is est >= 0 always and est == 0 whenever ANY
+    depth has no shared bucket."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.sketches import cms_join_size_estimate, cms_sketch
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(20)], "item string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(20)], "item string")
+    sa = cms_sketch(a, "item", depth=4, width=4096)
+    sb = cms_sketch(b, "item", depth=4, width=4096)
+    (r,) = cms_join_size_estimate(sa, sb).collect()
+    assert r.join_size_est is not None
+    # true join size is 0; with width=4096 and 20 keys/side a shared bucket
+    # in every one of the 4 depths is vanishingly unlikely
+    assert r.join_size_est == 0

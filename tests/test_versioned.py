@@ -345,3 +345,66 @@ def test_vacuum_min_age_protects_inflight_writers(spark, vt):
     out2 = vt.vacuum(keep_last=1, min_age_seconds=0)
     assert out2["removed_files"] >= 1
     assert vt.read().count() == 5
+
+
+def test_delete_where_preserves_evolved_columns(spark, vt):
+    """Regression (round-4 advice): the CoW pruning scan and survivor
+    rewrite must read with mergeSchema — a plain read inferred the schema
+    from whichever txn dir sorted first, so a delete after an evolved
+    append could permanently drop the evolved column from survivors."""
+    vt.append(_df(spark, 0, 10))
+    vt.append(
+        spark.createDataFrame(
+            [(100, "r100", 0.5), (101, "r101", 0.7)],
+            "id long, s string, score double",
+        )
+    )
+    vt.delete_where(F.col("id") == 101)  # hits the evolved file
+    out = vt.read()
+    assert "score" in out.columns
+    got = {r.id: r.score for r in out.collect()}
+    assert got[100] == 0.5 and 101 not in got and got[0] is None
+
+
+def test_merge_preserves_evolved_columns(spark, vt):
+    vt.append(_df(spark, 0, 5))
+    vt.append(spark.createDataFrame([(100, "r100", 0.5)], "id long, s string, score double"))
+    # source predates the evolved column: updated/inserted rows align in NULL,
+    # the untouched evolved row keeps its value
+    vt.merge(spark.createDataFrame([(2, "CHANGED"), (200, "NEW")], "id long, s string"), "id")
+    out = vt.read()
+    assert "score" in out.columns
+    got = {r.id: (r.s, r.score) for r in out.collect()}
+    assert got[100] == ("r100", 0.5)
+    assert got[2] == ("CHANGED", None) and got[200] == ("NEW", None)
+
+
+def test_merge_hitting_evolved_file_keeps_score_column(spark, vt):
+    vt.append(_df(spark, 0, 5))
+    vt.append(spark.createDataFrame([(100, "r100", 0.5), (101, "r101", 0.7)], "id long, s string, score double"))
+    # update a key INSIDE the evolved file: its survivors must keep score
+    vt.merge(spark.createDataFrame([(101, "UPD")], "id long, s string"), "id")
+    got = {r.id: (r.s, r.score) for r in vt.read().collect()}
+    assert got[100] == ("r100", 0.5)   # survivor of the rewritten evolved file
+    assert got[101] == ("UPD", None)   # updated from evolved-column-less source
+
+
+def test_txn_idempotence_survives_vacuum(spark, vt):
+    """Regression (round-4 advice): vacuum removed expired manifests along
+    with their txn_id records, so a lost-checkpoint replay of a vacuumed
+    epoch re-appended as a duplicate. txn ids now carry forward in
+    _manifest/txns.json."""
+    v0 = vt.append(_df(spark, 0, 10), txn_id="ingest-epoch-0")
+    vt.append(_df(spark, 10, 20), txn_id="ingest-epoch-1")
+    vt.append(_df(spark, 20, 30), txn_id="ingest-epoch-2")
+    vt.vacuum(keep_last=1, min_age_seconds=0)  # expires epochs 0 and 1
+    assert vt.txn_version("ingest-epoch-0") == v0  # still remembered
+    # replaying the vacuumed epoch is a no-op
+    assert vt.append(_df(spark, 0, 10), txn_id="ingest-epoch-0") == v0
+    assert vt.read().count() == 30
+    # a second vacuum keeps accumulating retired ids
+    vt.append(_df(spark, 30, 40), txn_id="ingest-epoch-3")
+    vt.vacuum(keep_last=1, min_age_seconds=0)
+    assert vt.txn_version("ingest-epoch-2") is not None
+    assert vt.append(_df(spark, 20, 30), txn_id="ingest-epoch-2") is not None
+    assert vt.read().count() == 40

@@ -25,11 +25,13 @@ TPAMI'18), made **deterministic** so the export is reproducible:
   bidirectional edges, degree pruned to M (2M at level 0) by
   (distance, id) order — ties cannot flip between runs.
 
-Scale: per-task memory is O(n_cluster · d + n_cluster · M); compute
-O(n_cluster · ef · d) per insert. Mega-clusters get the same answer as
-operators/knn_graph.py — sub-split by salt (shards each get a graph;
-the serving tier fans out) or rebuild the IVF with larger k. The build
-never shuffles vectors beyond the partitionBy the corpus already has.
+Scale: per-task memory is O(n_shard · d + n_shard · M); compute
+O(n_shard · ef · d) per insert. Mega-clusters are ENFORCED down to
+``max_group`` (default ``HNSW_MAX_GROUP``) by the same sub-split-by-hash
+guard as operators/knn_graph.py: each shard gets its own graph and the
+serving tier fans out across shards like it already does across probed
+clusters. The build never shuffles vectors beyond the partitionBy the
+corpus already has.
 """
 
 from __future__ import annotations
@@ -43,6 +45,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _LEVEL_DENOM = float(16**12)
+
+# per-shard kernel bound: memory is O(n·d + n·M) (tens of MB at 8192×32d),
+# but the binding constraint is the sequential O(n·ef·d) insert loop —
+# 8192 keeps one task's build in seconds while leaving serving graphs
+# usefully large; a mega-cluster becomes ceil(n/8192) independent shards
+HNSW_MAX_GROUP = 8192
 
 
 def _hash_uniform(ids: np.ndarray) -> np.ndarray:
@@ -165,21 +173,48 @@ def export_partition_hnsw(
     vec_col: str = "embedding",
     m: int = 8,
     ef_construction: int = 50,
+    max_group: int = HNSW_MAX_GROUP,
 ) -> DataFrame:
-    """One HNSW graph per ``partition_col`` group, exported as
-    ``(cluster_id, src_id, level, neighbors array<long>)``.
+    """One HNSW graph per ``(partition_col, shard)`` group, exported as
+    ``(cluster_id, shard, src_id, level, neighbors array<long>)``.
 
     Each group builds independently inside an Arrow task (applyInPandas);
     the output is plain rows — persist with
-    ``df.write.partitionBy(partition_col)`` and a serving node loads only
-    its cluster's adjacency. Deterministic end-to-end (hash levels,
-    id-ordered insertion, (dist, id) tie-breaks): the same corpus always
-    exports the same graph."""
+    ``df.write.partitionBy(partition_col, "shard")`` and a serving node
+    loads only its cluster's adjacency. Deterministic end-to-end (hash
+    levels, id-ordered insertion, (dist, id) tie-breaks): the same corpus
+    always exports the same graph.
+
+    **Mega-cluster guard** (same discipline as knn_graph.MAX_GROUP): a
+    cluster larger than ``max_group`` is sub-split into
+    ``ceil(n/max_group)`` shards by a layout-invariant xxhash64 of the id,
+    one independent graph per shard, so one hot cluster can never blow a
+    single task's memory or serialize its build into one slot. Normal
+    clusters get shard 0 and are untouched; for a split cluster the
+    serving tier fans a query out across its shards and merges top-k (the
+    same probe-union it already does across clusters)."""
     part_t = dict(corpus.select(partition_col).dtypes)[partition_col]
     schema = (
-        f"{partition_col} {part_t}, src_id long, level int, neighbors array<long>"
+        f"{partition_col} {part_t}, shard int, src_id long, level int, "
+        "neighbors array<long>"
     )
     mm, efc = m, ef_construction
+
+    # O(clusters)-row size table, broadcast back: shard count per cluster
+    sizes = corpus.groupBy(partition_col).agg(F.count("*").alias("__gsz"))
+    sharded = (
+        corpus.select(partition_col, id_col, vec_col)
+        .join(F.broadcast(sizes), partition_col)
+        .withColumn(
+            "__nsplit",
+            F.greatest(F.lit(1), F.ceil(F.col("__gsz") / max_group)).cast("int"),
+        )
+        .withColumn(
+            "shard",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsplit")).cast("int"),
+        )
+        .select(partition_col, "shard", id_col, vec_col)
+    )
 
     def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -188,17 +223,14 @@ def export_partition_hnsw(
         return pd.DataFrame(
             {
                 partition_col: [key[0]] * len(rows),
+                "shard": [int(key[1])] * len(rows),
                 "src_id": [r[0] for r in rows],
                 "level": [r[1] for r in rows],
                 "neighbors": [r[2] for r in rows],
             }
         )
 
-    return (
-        corpus.select(partition_col, id_col, vec_col)
-        .groupBy(partition_col)
-        .applyInPandas(build, schema)
-    )
+    return sharded.groupBy(partition_col, "shard").applyInPandas(build, schema)
 
 
 def hnsw_graph_search(

@@ -406,12 +406,16 @@ class IVFIndex:
         ).partitionBy("cluster_id").parquet(tmp)
         jpath = self.spark._jvm.org.apache.hadoop.fs.Path
         fs = jpath(self.corpus_path).getFileSystem(self.spark._jsc.hadoopConfiguration())
-        fs.delete(jpath(os.path.join(self.corpus_path, f"cluster_id={cluster_id}")), True)
+        # crash-safety ordering: rename the NEW partitions in first (fresh
+        # ids cannot collide with existing dirs), then rewrite the centroid
+        # table, and delete the retired partition LAST — every intermediate
+        # state is readable (worst case the retired cluster's vectors are
+        # briefly duplicated under old+new ids, never missing; a crash
+        # before the centroid rewrite leaves the old index fully intact)
         for c, _ in centers:
             src = jpath(os.path.join(tmp, f"cluster_id={c}"))
             if fs.exists(src):  # a sub-centroid can end up empty on tiny clusters
                 fs.rename(src, jpath(os.path.join(self.corpus_path, f"cluster_id={c}")))
-        fs.delete(jpath(tmp), True)
 
         import pyarrow as pa
 
@@ -432,6 +436,8 @@ class IVFIndex:
                 }
             ),
         )
+        fs.delete(jpath(os.path.join(self.corpus_path, f"cluster_id={cluster_id}")), True)
+        fs.delete(jpath(tmp), True)
         sizes = {
             int(r.cluster_id): int(r.cluster_size)
             for r in self.cluster_sizes()

@@ -465,4 +465,13 @@ def cms_join_size_estimate(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
         .groupBy("d")
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
     )
-    return per_depth.agg(F.min("ip").alias("join_size_est"))
+    # every depth must contribute its inner product: a depth with zero
+    # bucket overlap has true IP 0 and must be allowed to win the min
+    # (an inner join would drop it — fully disjoint sketches returned
+    # NULL instead of 0, and partial overlap reported a looser bound
+    # than the CM estimator defines)
+    spine = sk_a.select("d").union(sk_b.select("d")).distinct()
+    return (
+        spine.join(per_depth, "d", "left")
+        .agg(F.min(F.coalesce(F.col("ip"), F.lit(0))).alias("join_size_est"))
+    )

@@ -156,11 +156,27 @@ class VersionedTable:
         """Version that committed ``txn_id``, or None. The sink-side
         exactly-once primitive (the Delta `txn` appId/version idea): a
         replayed writer finds its transaction already in the log and
-        skips. One log scan — O(versions), no data access."""
+        skips. One log scan — O(versions), no data access.
+
+        Vacuumed history is still consulted: :meth:`vacuum` carries the
+        txn_ids of expired manifests into ``_manifest/txns.json`` (the
+        Delta setTransaction-retention idea), so a lost-checkpoint replay
+        of a long-vacuumed epoch is still recognised as a duplicate."""
         for v in self._versions():
             if self._read_manifest(v).get("txn_id") == txn_id:
                 return v
-        return None
+        return self._retired_txns().get(txn_id)
+
+    def _retired_txns_path(self) -> str:
+        return os.path.join(self.manifest_dir, "txns.json")
+
+    def _retired_txns(self) -> dict[str, int]:
+        """txn_id -> version for manifests vacuum has already removed."""
+        p = self._retired_txns_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
 
     def _try_commit(
         self, files: list[str], op: str, n_rows: int, *, txn_id: str | None = None
@@ -201,6 +217,14 @@ class VersionedTable:
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh, default=str)  # date/timestamp zones as ISO strings
         return version
+
+    def _read_paths(self, paths: Sequence[str]) -> DataFrame:
+        """Every multi-file snapshot read goes through mergeSchema: a
+        snapshot may span txn dirs written under evolved schemas, and a
+        plain read would infer from whichever txn dir happens to sort
+        first — a CoW rewrite through that read would silently drop
+        evolved columns from surviving rows."""
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # -- writes ---------------------------------------------------------------
 
@@ -301,9 +325,7 @@ class VersionedTable:
         current = [os.path.join(self.path, f) for f in m["files"]]
         if not current:
             return self._try_commit([], "delete", 0)
-        df = self.spark.read.parquet(*current).withColumn(
-            "__file", F.input_file_name()
-        )
+        df = self._read_paths(current).withColumn("__file", F.input_file_name())
         hit_files = {
             os.path.relpath(r["__file"].removeprefix("file://"), self.path)
             for r in df.filter(cond).select("__file").distinct().collect()
@@ -312,9 +334,12 @@ class VersionedTable:
             return self._try_commit(m["files"], "delete", m["n_rows"])
         keep = [f for f in m["files"] if f not in hit_files]
         # NULL predicate = no match: a row where cond is NULL must survive
-        # (filter(~cond) alone would silently drop it)
-        survivors = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in sorted(hit_files)]
+        # (filter(~cond) alone would silently drop it). The rewrite read
+        # also goes through mergeSchema (hit files may themselves span
+        # evolved schemas — a plain read would drop evolved columns from
+        # surviving rows, permanently).
+        survivors = self._read_paths(
+            [os.path.join(self.path, f) for f in sorted(hit_files)]
         ).filter(~F.coalesce(cond, F.lit(False)))
         new_files, n_new = self._write_files(survivors)
         kept_rows = (
@@ -354,7 +379,7 @@ class VersionedTable:
             raise ValueError(f"source has duplicate merge keys, e.g. {key}={dup[0][0]!r}")
         m = self._read_manifest(prev)
         current = [os.path.join(self.path, f) for f in m["files"]]
-        df = self.spark.read.parquet(*current).withColumn("__file", F.input_file_name())
+        df = self._read_paths(current).withColumn("__file", F.input_file_name())
         keys = source.select(key)
         matched = df.join(F.broadcast(keys), key, "left_semi")
         hit_files = {
@@ -364,8 +389,8 @@ class VersionedTable:
         keep = [f for f in m["files"] if f not in hit_files]
         new_parts: list[DataFrame] = []
         if hit_files:
-            hit_df = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in sorted(hit_files)]
+            hit_df = self._read_paths(
+                [os.path.join(self.path, f) for f in sorted(hit_files)]
             )
             survivors = hit_df.join(F.broadcast(keys), key, "left_anti")
             updated = (
@@ -379,9 +404,17 @@ class VersionedTable:
             # anti-probe broadcasts; the table's key column never shuffles
             matched_keys = matched.select(key).distinct()
             new_parts.append(source.join(F.broadcast(matched_keys), key, "left_anti"))
-        cols = [f.name for f in self.spark.read.parquet(*current).schema.fields]
+        # merged-snapshot column set: deriving cols from a plain read would
+        # pick one txn dir's schema and drop evolved columns from the commit.
+        # Parts missing an evolved column (e.g. source predates it) align
+        # in as typed NULLs — same semantics as reading their files would.
+        snap_dtypes = self._read_paths(current).dtypes
+        cols = [c for c, _ in snap_dtypes]
         combined = None
         for part in new_parts:
+            for c, t in snap_dtypes:
+                if c not in part.columns:
+                    part = part.withColumn(c, F.lit(None).cast(t))
             part = part.select(*cols)
             combined = part if combined is None else combined.unionByName(part)
         if combined is None:
@@ -470,6 +503,17 @@ class VersionedTable:
         for v in retained:
             live.update(self._read_manifest(v)["files"])
         cutoff = _time.time() - min_age_seconds
+        # carry txn_ids of expiring manifests forward BEFORE removing them:
+        # exactly-once replay detection (txn_version) must survive vacuum,
+        # else a lost-checkpoint replay re-appends vacuumed epochs
+        retired = self._retired_txns()
+        for v in expired:
+            tid = self._read_manifest(v).get("txn_id")
+            if tid is not None:
+                retired[tid] = v
+        if retired:
+            with open(self._retired_txns_path(), "w") as fh:
+                json.dump(retired, fh)
         removed_files = 0
         for root, _, names in os.walk(self.data_dir):
             for name in names:

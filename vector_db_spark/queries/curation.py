@@ -308,6 +308,11 @@ _R_QUERIES = 5
 
 @register(
     "radius_search",
+    # demoted to extra in r4 to free a driver-tier slot for
+    # node_table_crud_audit (the knn family stays driver-covered by
+    # knn_exact_batch/knn_filtered/semantic_search_docs); still
+    # oracle-tested locally + benched
+    extra=True,
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

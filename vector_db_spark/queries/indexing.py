@@ -316,12 +316,37 @@ def ivf_search_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_stats_kmeans", extra=True)
+@register(
+    "ivf_stats_kmeans",
+    extra=True,
+    oracle="""
+SELECT count(*)::BIGINT AS total_vectors, TRUE AS n_clusters_ok,
+       TRUE AS nonempty_ok, TRUE AS avg_consistent
+FROM embeddings
+""",
+)
 def ivf_stats_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster statistics over the k-means build (reference A1,
-    ivf.py:207-215). Deterministic stats surface is driver-checked via
-    ``cluster_stats``; this k-means-dependent variant stays local."""
-    return _kmeans_index(spark, sf_dir).stats()
+    ivf.py:207-215), as an invariant projection (the k-means partition
+    itself is model-derived; the deterministic stats surface is
+    driver-checked via ``cluster_stats``): conservation (sizes sum to the
+    corpus count — exact), 1 ≤ n_clusters ≤ k, every stored cluster
+    non-empty, and avg == total/n_clusters."""
+    stats = _kmeans_index(spark, sf_dir).stats()
+    return stats.select(
+        F.col("total_vectors"),
+        ((F.col("n_clusters") >= 1) & (F.col("n_clusters") <= 10)).alias(
+            "n_clusters_ok"
+        ),
+        (F.col("min_size") >= 1).alias("nonempty_ok"),
+        (
+            F.abs(
+                F.col("avg_size")
+                - F.col("total_vectors") / F.col("n_clusters")
+            )
+            < 1e-9
+        ).alias("avg_consistent"),
+    )
 
 
 _IVFPQ_CACHE: dict[str, object] = {}
@@ -628,14 +653,23 @@ def hnsw_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_id").alias("src"), F.explode("neighbors").alias("dst")
     )
     comp = components_from_edges(edges, nodes=l0.select("src_id").distinct())
+    # connectivity holds PER SHARD (graphs are independent per
+    # (cluster, shard); unsplit clusters have the single shard 0):
+    # every shard's largest component must cover >= 90% of that shard
     comp_sized = (
-        l0.select("cluster_id", F.col("src_id").alias("id"))
+        l0.select("cluster_id", "shard", F.col("src_id").alias("id"))
         .distinct()
         .join(comp, "id")
-        .groupBy("cluster_id", "component")
+        .groupBy("cluster_id", "shard", "component")
         .agg(F.count("*").alias("csz"))
+        .groupBy("cluster_id", "shard")
+        .agg(F.max("csz").alias("max_comp"), F.sum("csz").alias("shard_nodes"))
         .groupBy("cluster_id")
-        .agg(F.max("csz").alias("max_comp"))
+        .agg(
+            F.min(
+                (F.col("max_comp") >= 0.9 * F.col("shard_nodes")).cast("int")
+            ).alias("all_shards_connected")
+        )
     )
 
     return (
@@ -647,7 +681,7 @@ def hnsw_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             (F.col("l0_nodes") == F.col("n_nodes")).alias("level0_complete"),
             ((F.col("d0") <= 2 * m) & (F.col("dup") <= m)).alias("degree_cap_ok"),
-            (F.col("max_comp") >= 0.9 * F.col("n_nodes")).alias("connectivity_ok"),
+            (F.col("all_shards_connected") == 1).alias("connectivity_ok"),
         )
     )
 

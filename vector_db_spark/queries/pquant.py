@@ -175,15 +175,48 @@ def _pq_model(spark: SparkSession, sf_dir: str) -> tuple:
     return _PQ_CACHE[sf_dir]
 
 
-@register("pq_adc_kmeans", extra=True)
+@register(
+    "pq_adc_kmeans",
+    extra=True,
+    oracle=f"SELECT {N_QUERIES}::BIGINT AS n_queries, "
+    f"{N_QUERIES * TOP_K}::BIGINT AS n_results, TRUE AS k_per_query_ok, "
+    "TRUE AS recall_ok",
+)
 def pq_adc_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full PQ pipeline: train (P2) → encode (P3/P4) → ADC search."""
+    """Full PQ pipeline — train (P2) → encode (P3/P4) → ADC search — as an
+    invariant projection (codebooks are k-means-derived): exact result
+    cardinality per query and the plain-PQ mean-recall floor vs brute
+    force (>= 0.3 at k=TOP_K, the same bar tests/test_pq.py pins at 10).
+    Exact codebook behavior is pinned in tests/test_pq.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     model, codes = _pq_model(spark, sf_dir)
     queries = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     ).filter(F.col("query_id") < N_QUERIES)
-    return model.adc_search(queries, codes, TOP_K)
+    approx = model.adc_search(queries, codes, TOP_K)
+    exact = knn_join(queries, emb, TOP_K)
+    per_q = approx.groupBy("query_id").agg(F.count("*").alias("nk"))
+    shape = per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("nk").alias("n_results"),
+        ((F.min("nk") == TOP_K) & (F.max("nk") == TOP_K)).alias("k_per_query_ok"),
+    )
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .agg(
+            (
+                F.count("*") / F.lit(float(TOP_K * N_QUERIES)) >= 0.3
+            ).alias("recall_ok")
+        )
+    )
+    return shape.join(F.broadcast(hits)).select(
+        "n_queries", "n_results", "k_per_query_ok", "recall_ok"
+    )
 
 
 # --- OPQ: rotated PQ ----------------------------------------------------------

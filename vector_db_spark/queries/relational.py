@@ -215,6 +215,10 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "regional_revenue",
+    # demoted to extra in r4 to free a driver-tier slot for
+    # versioned_lifecycle_audit (driver-budget rotation, COVERAGE.md §rotation);
+    # stays oracle-tested locally + benched
+    extra=True,
     oracle="""
 SELECT r.r_name, n.n_name,
        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -304,9 +304,12 @@ sk_b AS (
            i.i AS d
     FROM ea CROSS JOIN (SELECT unnest(range(4)) AS i) i) GROUP BY 1, 2),
 est AS (
-  SELECT min(ip) AS join_size_est FROM (
-    SELECT a.d, sum(a.cnt * b.cnt) AS ip
-    FROM sk_a a JOIN sk_b b USING (d, bucket) GROUP BY 1)),
+  SELECT min(coalesce(ip, 0)) AS join_size_est FROM (
+    SELECT s.d, p.ip
+    FROM (SELECT DISTINCT d FROM (SELECT d FROM sk_a UNION ALL SELECT d FROM sk_b)) s
+    LEFT JOIN (
+      SELECT a.d, sum(a.cnt * b.cnt) AS ip
+      FROM sk_a a JOIN sk_b b USING (d, bucket) GROUP BY 1) p USING (d))),
 exact AS (
   SELECT count(*)::BIGINT AS exact_join FROM oa JOIN ea ON oa.k = ea.k),
 n AS (SELECT (SELECT count(*) FROM oa)::DOUBLE AS na, (SELECT count(*) FROM ea)::DOUBLE AS nb)

@@ -654,17 +654,62 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- distributed BPE vocabulary learning --------------------------------------
 
 
-@register("bpe_merges", extra=True)
+@register(
+    "bpe_merges",
+    extra=True,
+    oracle="""
+WITH words AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents)
+  WHERE length(word) > 0 GROUP BY 1),
+prs AS (
+  SELECT substring(word, i, 1) AS lft,
+         CASE WHEN i < length(word) THEN substring(word, i + 1, 1)
+              ELSE '</w>' END AS rgt,
+         freq
+  FROM (SELECT word, freq, unnest(range(1, length(word) + 1))::INTEGER AS i
+        FROM words)),
+best AS (
+  SELECT lft, rgt, sum(freq)::BIGINT AS cnt FROM prs GROUP BY 1, 2
+  ORDER BY cnt DESC, lft, rgt LIMIT 1)
+SELECT 8 AS n_merges, lft AS first_left, rgt AS first_right,
+       cnt AS first_count, TRUE AS min_freq_ok, TRUE AS merged_consistent,
+       TRUE AS steps_contiguous
+FROM best
+""",
+)
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 8 BPE merges learned from the corpus (operators/bpe.py).
-    Rows-only by design: each merge depends on the previous re-tokenization
-    (an inherently iterative algorithm, not one-shot-SQL-expressible);
-    tests/test_bpe.py pins exact agreement with a pure-Python reference
-    learner on real corpus samples instead."""
-    from vector_db_spark.operators.bpe import bpe_merge_table
+    """First 8 BPE merges learned from the corpus (operators/bpe.py),
+    emitted as an invariant projection: the FIRST merge is one-shot
+    SQL-expressible (most frequent adjacent symbol pair of the initial
+    character tokenization, ties by (left, right)) and is value-checked
+    exactly; the remaining rounds — inherently iterative, each depends on
+    the previous re-tokenization — contribute exact structural facts
+    (count, min-freq floor, merged == left||right, contiguous steps).
+    Full per-round agreement with a pure-Python reference learner is
+    pinned in tests/test_bpe.py."""
+    from vector_db_spark.operators.bpe import learn_bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_merge_table(spark, docs, n_merges=8, min_freq=2)
+    merges = learn_bpe(docs, n_merges=8, min_freq=2)
+    first = merges[0]
+    return spark.createDataFrame(
+        [
+            (
+                len(merges),
+                first[1],
+                first[2],
+                first[4],
+                all(m[4] >= 2 for m in merges),
+                all(m[3] == m[1] + m[2] for m in merges),
+                [m[0] for m in merges] == list(range(len(merges))),
+            )
+        ],
+        "n_merges int, first_left string, first_right string, "
+        "first_count long, min_freq_ok boolean, merged_consistent boolean, "
+        "steps_contiguous boolean",
+    )
 
 
 # --- deterministic shard export -----------------------------------------------
@@ -1081,17 +1126,24 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_near_dup",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-  FROM documents),
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
 th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h FROM toks),
 bits AS (
   SELECT doc_id, b AS bit, sum(((h >> b) & 1)::BIGINT) AS s, count(*) AS c
   FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bb GROUP BY 1, 2),
 sh AS (
+  -- empty/whitespace-only/NULL text has no tokens and hashes to 0,
+  -- matching the engine kernel (dedup.simhash60)
   SELECT doc_id,
          sum(CASE WHEN 2 * s >= c THEN (1::UBIGINT << bit) ELSE 0 END)::BIGINT
            AS simhash
-  FROM bits GROUP BY 1),
+  FROM bits GROUP BY 1
+  UNION ALL
+  SELECT doc_id, 0::BIGINT AS simhash FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM th)),
 bands AS (
   SELECT doc_id, simhash, i AS band_idx,
          (simhash >> (i * 15)::INTEGER) & 32767 AS band_value
