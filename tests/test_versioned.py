@@ -43,9 +43,9 @@ def test_delete_where_rewrites_only_hit_files(spark, vt):
     # two separate appends -> two txn dirs; delete rows living only in one
     vt.append(_df(spark, 0, 100).coalesce(1))
     vt.append(_df(spark, 100, 200).coalesce(1))
-    m_before = vt._read_manifest(vt.current_version())
+    m_before = vt._snapshot(vt.current_version())
     v2 = vt.delete_where(F.col("id") >= 150)
-    m_after = vt._read_manifest(v2)
+    m_after = vt._snapshot(v2)
     assert vt.read().count() == 150
     # the first txn's file must carry over by reference (same path)
     first_files = [f for f in m_before["files"] if f in m_after["files"]]
@@ -63,9 +63,9 @@ def test_delete_where_null_predicate_rows_survive(spark, vt):
 
 def test_delete_where_no_match_is_metadata_only(spark, vt):
     vt.append(_df(spark, 0, 10))
-    files_before = vt._read_manifest(vt.current_version())["files"]
+    files_before = vt._snapshot(vt.current_version())["files"]
     v = vt.delete_where(F.col("id") > 999)
-    assert vt._read_manifest(v)["files"] == files_before
+    assert vt._snapshot(v)["files"] == files_before
 
 
 def test_rollback_restores_without_erasing(spark, vt):
@@ -206,10 +206,10 @@ def test_merge_updates_and_inserts(spark, vt):
 def test_merge_prunes_untouched_files(spark, vt):
     vt.append(_df(spark, 0, 100).coalesce(1))
     vt.append(_df(spark, 100, 200).coalesce(1))
-    before = vt._read_manifest(vt.current_version())["files"]
+    before = vt._snapshot(vt.current_version())["files"]
     src = spark.createDataFrame([(150, "X")], "id long, s string")
     v = vt.merge(src, "id")
-    after = vt._read_manifest(v)["files"]
+    after = vt._snapshot(v)["files"]
     # file holding ids 0..99 carries over by reference
     assert sum(1 for f in before if f in after) == 1
     assert vt.read().count() == 200
@@ -251,7 +251,7 @@ def test_zone_map_pruning_skips_disjoint_files(spark, vt):
     vt.set_stats_cols(["id"])
     vt.append(_df(spark, 0, 100).coalesce(1))
     vt.append(_df(spark, 1000, 1100).coalesce(1))
-    m = vt._read_manifest(vt.current_version())
+    m = vt._snapshot(vt.current_version())
     assert len(m["files"]) == 2 and set(m["stats"]) == set(m["files"])
     # a range query inside the first file's zone plans ONE file
     assert len(vt.pruned_files("id", 10, 20)) == 1
@@ -268,7 +268,7 @@ def test_zone_maps_survive_merge_and_carry_over(spark, vt):
     vt.append(_df(spark, 0, 100).coalesce(1))
     vt.append(_df(spark, 1000, 1100).coalesce(1))
     vt.merge(spark.createDataFrame([(1050, "X")], "id long, s string"), "id")
-    m = vt._read_manifest(vt.current_version())
+    m = vt._snapshot(vt.current_version())
     # every listed file still has stats: carried for untouched, fresh for rewritten
     assert set(m["stats"]) == set(m["files"])
     assert len(vt.pruned_files("id", 0, 50)) == 1
@@ -291,12 +291,13 @@ def test_compact_preserves_rows_and_history(spark, vt):
     n_files_pre = vt._read_manifest(v_pre)["n_files"]
     v = vt.compact(target_files=1)
     m = vt._read_manifest(v)
+    snap = vt._snapshot(v)
     assert m["n_files"] == 1 < n_files_pre
     assert vt.read().count() == 500
     assert sorted(r.id for r in vt.read().collect()) == list(range(500))
     assert vt.read(v_pre).count() == 500  # pre-compaction snapshot intact
     # zone maps recomputed for the compacted file
-    assert set(m["stats"]) == set(m["files"])
+    assert set(snap["stats"]) == set(snap["files"]) and len(snap["files"]) == 1
 
 
 # --- schema evolution & version diff -----------------------------------------
@@ -408,3 +409,78 @@ def test_txn_idempotence_survives_vacuum(spark, vt):
     assert vt.txn_version("ingest-epoch-2") is not None
     assert vt.append(_df(spark, 20, 30), txn_id="ingest-epoch-2") is not None
     assert vt.read().count() == 40
+
+
+def test_checkpointed_manifests_bound_snapshot_reads(spark, tmp_path):
+    """The million-file answer (round-4): delta manifests + periodic
+    checkpoints. Opening any version must read ONE checkpoint plus at
+    most checkpoint_interval delta manifests, regardless of how long the
+    log is."""
+    vt = VersionedTable(spark, str(tmp_path / "ck"), checkpoint_interval=10)
+    one = spark.createDataFrame([(0, "x")], "id long, s string").coalesce(1)
+    for i in range(25):
+        vt.append(one)
+    assert vt._ckpt_versions() == [10, 20]
+    assert vt.read().count() == 25
+
+    # a fresh handle (cold cache) reconstructs the head from ckpt-20 + 4 deltas
+    cold = VersionedTable(spark, str(tmp_path / "ck"), checkpoint_interval=10)
+    reads = []
+    real = cold._read_manifest
+    cold._read_manifest = lambda v: (reads.append(v), real(v))[1]
+    snap = cold._snapshot(24)
+    assert len(snap["files"]) == 25
+    assert reads and min(reads) >= 21 and len(reads) <= 10 + 1
+    # and an old version still reconstructs exactly (ckpt-10 + tail)
+    reads.clear()
+    assert len(cold._snapshot(13)["files"]) == 14
+    assert min(reads) >= 11
+
+
+def test_checkpoint_loss_is_recoverable(spark, tmp_path):
+    """Checkpoints are derived data: deleting one only forces a longer
+    delta replay, never a wrong answer."""
+    vt = VersionedTable(spark, str(tmp_path / "ck"), checkpoint_interval=5)
+    one = spark.createDataFrame([(0, "x")], "id long, s string").coalesce(1)
+    for _ in range(12):
+        vt.append(one)
+    for c in vt._ckpt_versions():
+        os.remove(vt._ckpt_path(c))
+    cold = VersionedTable(spark, str(tmp_path / "ck"), checkpoint_interval=5)
+    assert len(cold._snapshot(11)["files"]) == 12
+    assert cold.read().count() == 12
+
+
+def test_txn_lookup_reads_through_checkpoint(spark, tmp_path):
+    """txn_version must find an epoch recorded BELOW the latest checkpoint
+    without scanning the whole log (the cumulative txns map rides the
+    checkpoint)."""
+    vt = VersionedTable(spark, str(tmp_path / "ck"), checkpoint_interval=5)
+    one = spark.createDataFrame([(0, "x")], "id long, s string").coalesce(1)
+    for i in range(8):
+        vt.append(one, txn_id=f"e{i}")
+    cold = VersionedTable(spark, str(tmp_path / "ck"), checkpoint_interval=5)
+    reads = []
+    real = cold._read_manifest
+    cold._read_manifest = lambda v: (reads.append(v), real(v))[1]
+    assert cold.txn_version("e2") == 2  # below ckpt-5: served by the ckpt map
+    assert min(reads, default=6) >= 6  # only the tail deltas were opened
+    assert cold.txn_version("e7") == 7
+    assert cold.append(one, txn_id="e2") == 2  # replay still a no-op
+
+
+def test_vacuum_anchors_checkpoint_at_oldest_retained(spark, tmp_path):
+    """After vacuum removes old deltas, every retained version must stay
+    reconstructable — vacuum writes the anchor checkpoint first."""
+    vt = VersionedTable(spark, str(tmp_path / "ck"), checkpoint_interval=100)
+    one = spark.createDataFrame([(0, "x")], "id long, s string").coalesce(1)
+    for _ in range(7):
+        vt.append(one)
+    vt.vacuum(keep_last=3, min_age_seconds=0)
+    assert vt._versions() == [4, 5, 6]
+    assert vt._ckpt_versions() == [4]  # anchored at oldest retained
+    cold = VersionedTable(spark, str(tmp_path / "ck"))
+    assert cold.read(4).count() == 5
+    assert cold.read(6).count() == 7
+    with pytest.raises(FileNotFoundError):
+        cold.read(2)

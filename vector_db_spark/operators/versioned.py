@@ -14,11 +14,23 @@ Design (all public knowledge):
 
 - ``<path>/data/`` holds immutable Parquet files, written once by Spark
   jobs, never modified.
-- ``<path>/_manifest/v{N:012d}.json`` lists exactly the data files visible
-  at version N (absolute of table root, relative stored). A reader of
-  version N loads that file list — nothing else — so readers NEVER race
-  writers: files referenced by any manifest are immutable, and a
-  half-written data directory is invisible until its manifest commits.
+- ``<path>/_manifest/v{N:012d}.json`` is a **delta manifest**: the files
+  ADDED and REMOVED by commit N relative to N−1 (paths relative to the
+  table root). A commit therefore writes O(changed files) JSON, not
+  O(table files) — the property that survives a million-file table.
+  Readers NEVER race writers: files referenced by any manifest are
+  immutable, and a half-written data directory is invisible until its
+  manifest commits.
+- ``<path>/_manifest/ckpt-v{N:012d}.json`` is a **checkpoint**: the full
+  file list (+ zone-map stats + cumulative txn map) at version N, written
+  every ``checkpoint_interval`` commits (and by vacuum at the oldest
+  retained version). Opening any version reads ONE checkpoint plus at
+  most ``checkpoint_interval`` small deltas — the Delta/Iceberg
+  checkpointed-log design, which removes the O(versions) replay and the
+  O(files)-per-commit manifest rewrite in one move. Checkpoints are
+  derived data: losing one only means replaying more deltas, and two
+  racing writers produce byte-identical checkpoints (deterministic from
+  the log), so checkpoint writes need no coordination.
 - Commit = exclusive creation (O_EXCL) of the next manifest file: exactly
   one writer wins each version number; a loser gets
   :class:`CommitConflict` and re-validates against the new head —
@@ -34,11 +46,11 @@ Design (all public knowledge):
   the only operation that ever deletes data, and it respects time travel
   by construction (it keeps everything the retained versions can see).
 
-Scale: manifests are O(files) JSON — the known Delta/Iceberg scaling
-limit at millions of files is checkpointed/Avro-paged manifests, noted
-here as the production follow-on; the read path (explicit file list →
-``spark.read.parquet(*files)``) and the commit protocol are unchanged by
-that upgrade.
+Scale: delta manifests are O(changed files); checkpoints amortize the
+full file list to one write per ``checkpoint_interval`` commits; reads
+are one checkpoint + a bounded delta tail. The read path (explicit file
+list → ``spark.read.parquet(*files)``) and the O_EXCL commit protocol
+are exactly as before.
 """
 
 from __future__ import annotations
@@ -61,11 +73,16 @@ class CommitConflict(RuntimeError):
 
 
 class VersionedTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, *, checkpoint_interval: int = 100
+    ):
         self.spark = spark
         self.path = path
         self.manifest_dir = os.path.join(path, _MANIFEST_DIR)
         self.data_dir = os.path.join(path, _DATA_DIR)
+        self.checkpoint_interval = checkpoint_interval
+        # committed snapshots are immutable -> cache is never invalidated
+        self._snap_cache: dict[int, dict] = {}
 
     # -- manifest log ---------------------------------------------------------
 
@@ -84,6 +101,89 @@ class VersionedTable:
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
+
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"ckpt-v{version:012d}.json")
+
+    def _ckpt_versions(self) -> list[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        return sorted(
+            int(f[6:-5])
+            for f in os.listdir(self.manifest_dir)
+            if f.startswith("ckpt-v") and f.endswith(".json")
+        )
+
+    def _snapshot(self, version: int) -> dict:
+        """Reconstruct the full state at ``version``:
+        ``{files, stats, n_rows, op, txn_id}`` — from the nearest
+        checkpoint at or below it plus the delta tail. Bounded work:
+        one checkpoint read + at most ``checkpoint_interval`` deltas
+        (vacuum guarantees a checkpoint at the oldest retained version)."""
+        cached = self._snap_cache.get(version)
+        if cached is not None:
+            return cached
+        below = [c for c in self._ckpt_versions() if c <= version]
+        files: set[str] = set()
+        stats: dict[str, dict] = {}
+        start = -1
+        if below:
+            start = max(below)
+            with open(self._ckpt_path(start)) as fh:
+                ck = json.load(fh)
+            files = set(ck["files"])
+            stats = dict(ck.get("stats", {}))
+        m = None
+        for u in range(start + 1, version + 1):
+            m = self._read_manifest(u)
+            files.difference_update(m.get("remove", ()))
+            files.update(m.get("add", ()))
+            stats.update(m.get("stats", {}))
+        if m is None or m["version"] != version:  # version == checkpoint version
+            m = self._read_manifest(version)
+        snap = {
+            "files": sorted(files),
+            "stats": {f: stats[f] for f in files if f in stats},
+            "n_rows": m["n_rows"],
+            "op": m["op"],
+            "txn_id": m.get("txn_id"),
+        }
+        self._snap_cache[version] = snap
+        return snap
+
+    def _write_checkpoint(self, version: int, snap: dict) -> None:
+        """Best-effort checkpoint at ``version``. Derived data: any writer
+        reaching this version writes identical bytes (the log determines
+        the content), so a race is harmless; a crash before the write only
+        means readers replay more deltas."""
+        ck = {
+            "version": version,
+            "files": snap["files"],
+            "stats": snap["stats"],
+            "txns": self._txns_through(version),
+        }
+        tmp = self._ckpt_path(version) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(ck, fh, default=str)
+        os.replace(tmp, self._ckpt_path(version))
+
+    def _txns_through(self, version: int) -> dict[str, int]:
+        """Cumulative ``txn_id -> version`` for every commit <= version
+        still derivable from the log (nearest checkpoint's map + delta
+        tail + the vacuum-retired sidecar)."""
+        txns = dict(self._retired_txns())
+        below = [c for c in self._ckpt_versions() if c <= version]
+        start = -1
+        if below:
+            start = max(below)
+            with open(self._ckpt_path(start)) as fh:
+                txns.update(json.load(fh).get("txns", {}))
+        for u in range(start + 1, version + 1):
+            if os.path.exists(self._manifest_path(u)):
+                tid = self._read_manifest(u).get("txn_id")
+                if tid is not None:
+                    txns[tid] = u
+        return txns
 
     def current_version(self) -> int | None:
         vs = self._versions()
@@ -124,7 +224,7 @@ class VersionedTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError("empty table")
-        m = self._read_manifest(v)
+        m = self._snapshot(v)
         stats = m.get("stats", {})
         keep = []
         for f in m["files"]:
@@ -161,11 +261,13 @@ class VersionedTable:
         Vacuumed history is still consulted: :meth:`vacuum` carries the
         txn_ids of expired manifests into ``_manifest/txns.json`` (the
         Delta setTransaction-retention idea), so a lost-checkpoint replay
-        of a long-vacuumed epoch is still recognised as a duplicate."""
-        for v in self._versions():
-            if self._read_manifest(v).get("txn_id") == txn_id:
-                return v
-        return self._retired_txns().get(txn_id)
+        of a long-vacuumed epoch is still recognised as a duplicate.
+        Bounded work: checkpoints hold the cumulative txn map, so the
+        lookup reads the delta tail + one checkpoint, not the whole log."""
+        head = self.current_version()
+        if head is None:
+            return self._retired_txns().get(txn_id)
+        return self._txns_through(head).get(txn_id)
 
     def _retired_txns_path(self) -> str:
         return os.path.join(self.manifest_dir, "txns.json")
@@ -190,24 +292,34 @@ class VersionedTable:
         os.makedirs(self.manifest_dir, exist_ok=True)
         head = self.current_version()
         version = (head + 1) if head is not None else 0
+        base = (
+            self._snapshot(head)
+            if head is not None
+            else {"files": [], "stats": {}}
+        )
+        base_files = set(base["files"])
+        new_files = set(files)
+        add = sorted(new_files - base_files)
+        remove = sorted(base_files - new_files)
         manifest = {
             "version": version,
             "op": op,
-            "files": sorted(files),
+            "add": add,
+            "remove": remove,
             "n_files": len(files),
             "n_rows": n_rows,
         }
         if txn_id is not None:
             manifest["txn_id"] = txn_id
-        # zone maps: a file's stats are immutable, so carry them from the
-        # head manifest and the just-written txn's pending stats
-        known: dict = {}
-        if head is not None:
-            known.update(self._read_manifest(head).get("stats", {}))
+        # zone maps: a file's stats are immutable — the delta records stats
+        # for its ADDED files only (from the just-written txn's pending
+        # stats, or the base snapshot when re-adding e.g. on rollback);
+        # snapshot reconstruction accumulates them
+        known: dict = dict(base["stats"])
         known.update(getattr(self, "_pending_stats", {}) or {})
-        stats = {f: known[f] for f in files if f in known}
-        if stats:
-            manifest["stats"] = stats
+        add_stats = {f: known[f] for f in add if f in known}
+        if add_stats:
+            manifest["stats"] = add_stats
         try:
             fd = os.open(
                 self._manifest_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
@@ -216,6 +328,20 @@ class VersionedTable:
             raise CommitConflict(f"version {version} was claimed concurrently") from exc
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh, default=str)  # date/timestamp zones as ISO strings
+        snap = {
+            "files": sorted(new_files),
+            "stats": {f: known[f] for f in sorted(new_files) if f in known},
+            "n_rows": n_rows,
+            "op": op,
+            "txn_id": txn_id,
+        }
+        self._snap_cache[version] = snap
+        if (
+            self.checkpoint_interval
+            and version > 0
+            and version % self.checkpoint_interval == 0
+        ):
+            self._write_checkpoint(version, snap)
         return version
 
     def _read_paths(self, paths: Sequence[str]) -> DataFrame:
@@ -294,7 +420,7 @@ class VersionedTable:
         files, n = self._write_files(df)
         for _ in range(retries):
             prev = self.current_version()
-            m = self._read_manifest(prev) if prev is not None else {"files": [], "n_rows": 0}
+            m = self._snapshot(prev) if prev is not None else {"files": [], "n_rows": 0}
             try:
                 return self._try_commit(
                     m["files"] + files, "append", m["n_rows"] + n, txn_id=txn_id
@@ -321,7 +447,7 @@ class VersionedTable:
         prev = self.current_version()
         if prev is None:
             raise ValueError("empty table")
-        m = self._read_manifest(prev)
+        m = self._snapshot(prev)
         current = [os.path.join(self.path, f) for f in m["files"]]
         if not current:
             return self._try_commit([], "delete", 0)
@@ -377,7 +503,7 @@ class VersionedTable:
         dup = source.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
         if dup:
             raise ValueError(f"source has duplicate merge keys, e.g. {key}={dup[0][0]!r}")
-        m = self._read_manifest(prev)
+        m = self._snapshot(prev)
         current = [os.path.join(self.path, f) for f in m["files"]]
         df = self._read_paths(current).withColumn("__file", F.input_file_name())
         keys = source.select(key)
@@ -430,9 +556,9 @@ class VersionedTable:
     def rollback(self, version: int) -> int:
         """Restore an old snapshot as a NEW commit (history is never
         erased; the bad versions stay inspectable)."""
-        m = self._read_manifest(version)  # raises if unknown
+        m = self._snapshot(version)  # raises if unknown
         # the restored files' zones may be absent from the current head —
-        # re-seed them from the target manifest
+        # re-seed them from the target snapshot
         self._pending_stats = m.get("stats", {})
         return self._try_commit(m["files"], f"rollback:{version}", m["n_rows"])
 
@@ -452,7 +578,7 @@ class VersionedTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError("empty table")
-        m = self._read_manifest(v)
+        m = self._snapshot(v)
         if not m["files"]:
             raise ValueError(f"version {v} is empty")
         # mergeSchema: a snapshot may span txn dirs written under evolved
@@ -501,7 +627,7 @@ class VersionedTable:
         retained, expired = vs[-keep_last:], vs[:-keep_last]
         live: set[str] = set()
         for v in retained:
-            live.update(self._read_manifest(v)["files"])
+            live.update(self._snapshot(v)["files"])
         cutoff = _time.time() - min_age_seconds
         # carry txn_ids of expiring manifests forward BEFORE removing them:
         # exactly-once replay detection (txn_version) must survive vacuum,
@@ -514,6 +640,17 @@ class VersionedTable:
         if retired:
             with open(self._retired_txns_path(), "w") as fh:
                 json.dump(retired, fh)
+        # delta manifests: retained versions must stay reconstructable after
+        # the older deltas disappear — anchor a checkpoint at the oldest
+        # retained version (computed BEFORE any manifest is removed), then
+        # drop checkpoints older than it
+        if retained:
+            anchor = retained[0]
+            if not os.path.exists(self._ckpt_path(anchor)):
+                self._write_checkpoint(anchor, self._snapshot(anchor))
+            for c in self._ckpt_versions():
+                if c < anchor:
+                    os.remove(self._ckpt_path(c))
         removed_files = 0
         for root, _, names in os.walk(self.data_dir):
             for name in names:
@@ -528,6 +665,10 @@ class VersionedTable:
                     removed_files += 1
         for v in expired:
             os.remove(self._manifest_path(v))
+            # a vacuumed version must stop being readable: evict its cached
+            # snapshot so read() fails with FileNotFoundError, not a
+            # dangling-path scan error
+            self._snap_cache.pop(v, None)
         # prune empty txn dirs left behind
         for root, dirs, names in os.walk(self.data_dir, topdown=False):
             if root != self.data_dir and not dirs and not names:

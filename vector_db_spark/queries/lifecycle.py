@@ -85,9 +85,8 @@ def versioned_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay = vt.append(b, txn_id="epoch-b")  # duplicate epoch: must no-op
         replay_noop = replay == v1 and vt.current_version() == v3
 
-        files_before = set(vt._read_manifest(v3)["files"])
-        v4 = vt.delete_where(F.col("c_mktsegment") == "NO_SUCH_SEGMENT")
-        m4 = vt._read_manifest(v4)
+        files_before = set(vt._snapshot(v3)["files"])
+        m4 = vt._snapshot(vt.delete_where(F.col("c_mktsegment") == "NO_SUCH_SEGMENT"))
         nomatch_delete_metadata_only = (
             set(m4["files"]) == files_before and m4["n_rows"] == rows_v1
         )
