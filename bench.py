@@ -121,9 +121,10 @@ HEADLINE = [
     "value_percentile_ranks",
     "cms_join_size",
     "node2vec_biased_walks",
-    # round-4 additions: driver-visible lifecycle audits
+    # round-4 additions: driver-visible lifecycle audits + co-purchase PPR
     "versioned_lifecycle_audit",
     "node_table_crud_audit",
+    "copurchase_ppr_expansion",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

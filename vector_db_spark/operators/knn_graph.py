@@ -657,11 +657,13 @@ def sample_non_edges(
         .distinct()
     )
     n_nodes = nodes.count()
-    # single-task global sort of V rows: V (distinct nodes) is the small
-    # axis of a graph workload; for corpus-scale V swap in
-    # packing.global_row_number (range-repartitioned, no single task)
-    widx = Window.orderBy("node")
-    indexed = nodes.withColumn("__idx", F.row_number().over(widx) - 1)
+    # range-repartitioned exact numbering (packing.global_row_number): the
+    # total order on node id makes the index a pure function of the node
+    # set, identical to row_number()-1 but with no single-task sort —
+    # corpus-scale V numbers in parallel
+    from vector_db_spark.operators.packing import global_row_number
+
+    indexed = global_row_number(nodes, ["node"], out_col="__idx")
     deg = edges.groupBy(F.col(src_col).alias("src")).agg(F.count("*").alias("__deg"))
     probes = deg.select(
         "src",

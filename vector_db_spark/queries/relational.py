@@ -1417,6 +1417,86 @@ def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+# --- PPR seed expansion over the co-purchase graph ----------------------------
+
+
+@register(
+    "copurchase_ppr_expansion",
+    extra=True,
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE mod(l_partkey, 5) = 0),
+deg AS (SELECT l_orderkey, count(*) AS c FROM li GROUP BY 1),
+nodes AS (SELECT DISTINCT l_partkey FROM li JOIN deg USING (l_orderkey) WHERE c >= 2)
+SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+       TRUE AS rank_sum_ok, TRUE AS concentrated_ok, TRUE AS hop2_mass_ok
+""",
+)
+def copurchase_ppr_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized-PageRank seed expansion over the parts-bought-together
+    graph (operators/knn_graph.personalized_pagerank on the same
+    join-derived edges as part_cooccurrence_triangles): "customers who
+    bought THESE parts also buy…", the recommendation / local-community
+    primitive at relational scale. Seeds are the 10 smallest part keys in
+    the graph. Invariant projection: exact node count, the stochastic-
+    vector contract, teleport concentration (seed mass ≫ uniform share),
+    and locality (majority of rank mass within two co-purchase hops of
+    the seed set). Exact ranks are float-summation-order sensitive; the
+    1e-9 numpy agreement is pinned in tests/test_knn_graph.py.
+
+    Plan note (100 TB): the edge list is an equi-self-join on l_orderkey
+    (per-order groups are tiny, TPC-H ≤ 7 lineitems); each PPR iteration
+    is one degree-annotated edge join + one partial-aggregated groupBy
+    with localCheckpoint lineage bounds — O(E) shuffle per iteration,
+    nothing quadratic."""
+    from vector_db_spark.operators.knn_graph import personalized_pagerank
+
+    # bench-safe deterministic scope: the mod-5 part slice keeps the graph
+    # proportional at every sf (the unscoped graph is the same plan, just
+    # more iterations of the same O(E) budget)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    nodes = pairs.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.orderBy("node").limit(10).withColumnRenamed("node", "s")
+    ppr = personalized_pagerank(edges=pairs, sources=seeds, nodes=nodes, n_iter=6)
+
+    hop1 = (
+        pairs.join(F.broadcast(seeds), pairs.src == seeds.s)
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    near = seeds.select(F.col("s").alias("node")).union(hop1).distinct()
+    hop2 = pairs.join(near, pairs.src == near.node).select(
+        F.col("dst").alias("node")
+    )
+    within2 = near.union(hop2).distinct()
+
+    seed_mass = ppr.join(F.broadcast(seeds), ppr.id == seeds.s).agg(
+        F.sum("rank")
+    ).collect()[0][0]
+    near_mass = ppr.join(within2, ppr.id == within2.node).agg(
+        F.sum("rank")
+    ).collect()[0][0]
+    n_nodes = nodes.count()
+    return ppr.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("rank_sum_ok"),
+        F.lit(seed_mass > 5 * 10.0 / n_nodes).alias("concentrated_ok"),
+        F.lit(near_mass > 0.5).alias("hop2_mass_ok"),
+    )
+
+
 # --- data-contract expectations -----------------------------------------------
 
 
