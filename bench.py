@@ -125,6 +125,8 @@ HEADLINE = [
     "versioned_lifecycle_audit",
     "node_table_crud_audit",
     "copurchase_ppr_expansion",
+    "purchase_window_events",
+    "versioned_layout_audit",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

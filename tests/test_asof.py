@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from vector_db_spark.operators.asof import as_of_join
 
 
@@ -120,3 +122,84 @@ def test_directional_rejects_bad_direction(spark):
             left, right, on="k", left_time="t", right_time="rt",
             value_cols=["val"], direction="sideways",
         )
+
+
+# --- interval (range-containment) join ----------------------------------------
+
+
+def test_interval_join_exact_containment(spark):
+    from vector_db_spark.operators.asof import interval_join
+
+    probes = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00.000001"), (1, "2024-01-01 12:00:00"),
+         (1, "2024-01-01 13:00:00.5"), (2, "2024-01-01 10:30:00")],
+        "k long, ts string",
+    ).selectExpr("k", "cast(ts as timestamp) ts")
+    iv = spark.createDataFrame(
+        [(1, "iv1", "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+         (1, "iv2", "2024-01-01 11:30:00", "2024-01-01 14:00:00"),
+         (2, "iv3", "2024-01-01 00:00:00", "2024-01-01 09:00:00")],
+        "k long, name string, start string, end string",
+    ).selectExpr("k", "name", "cast(start as timestamp) start", "cast(end as timestamp) end")
+    got = sorted(
+        (r.ts.isoformat(), r.name)
+        for r in interval_join(probes, iv, keys=["k"], bucket_seconds=1800).collect()
+    )
+    # boundary timestamps are INCLUSIVE on both ends; sub-second probes
+    # route through the same bucket function as the interval explosion
+    assert got == [
+        ("2024-01-01T10:00:00.000001", "iv1"),
+        ("2024-01-01T12:00:00", "iv1"),
+        ("2024-01-01T12:00:00", "iv2"),
+        ("2024-01-01T13:00:00.500000", "iv2"),
+    ]
+
+
+def test_interval_join_layout_invariant(spark, sf_smoke):
+    """Bucketed decomposition must equal the naive range join exactly."""
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.asof import interval_join
+
+    ev = load_table(spark, sf_smoke, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("end"),
+    )
+    o = ev.filter(F.col("event_type") != "purchase").select("user_id", "ts")
+    fast = interval_join(o, p, keys=["user_id"], bucket_seconds=600)
+    naive = o.join(p, "user_id").filter(
+        (F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end"))
+    )
+    a = sorted((r.pid, r.ts) for r in fast.select("pid", "ts").collect())
+    b = sorted((r.pid, r.ts) for r in naive.select("pid", "ts").collect())
+    assert a == b and len(a) > 0
+
+
+def test_interval_join_refuses_degenerate_span(spark):
+    import pytest as _pytest
+
+    from vector_db_spark.operators.asof import interval_join
+
+    probes = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, ts string"
+    ).selectExpr("k", "cast(ts as timestamp) ts")
+    iv = spark.createDataFrame(
+        [(1, "1970-01-01 00:00:00", "2024-01-01 00:00:00")],
+        "k long, start string, end string",
+    ).selectExpr("k", "cast(start as timestamp) start", "cast(end as timestamp) end")
+    with _pytest.raises(ValueError, match="max_span_buckets"):
+        interval_join(probes, iv, keys=["k"], bucket_seconds=60, max_span_buckets=100)
+
+
+def test_interval_join_inverted_interval_drops(spark):
+    from vector_db_spark.operators.asof import interval_join
+
+    probes = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, ts string"
+    ).selectExpr("k", "cast(ts as timestamp) ts")
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00", "2024-01-01 10:00:00")],
+        "k long, start string, end string",
+    ).selectExpr("k", "cast(start as timestamp) start", "cast(end as timestamp) end")
+    assert interval_join(probes, iv, keys=["k"]).count() == 0

@@ -484,3 +484,88 @@ def test_vacuum_anchors_checkpoint_at_oldest_retained(spark, tmp_path):
     assert cold.read(6).count() == 7
     with pytest.raises(FileNotFoundError):
         cold.read(2)
+
+
+def test_bloom_pruning_point_lookup(spark, vt):
+    """Manifest blooms: an equality probe on an unclustered id must plan
+    only the file(s) whose bloom admits the value; absent values prune to
+    (near) zero files; files written before set_bloom_cols stay
+    conservatively kept."""
+    vt.set_bloom_cols(["id"], n_bits=4096, n_hashes=5)
+    vt.append(_df(spark, 0, 100).coalesce(1))
+    vt.append(_df(spark, 10000, 10100).coalesce(1))
+    # present value: exactly the owning file survives pruning
+    assert len(vt.pruned_files_eq("id", 50)) == 1
+    assert len(vt.pruned_files_eq("id", 10050)) == 1
+    got = vt.read_point("id", 10050).collect()
+    assert len(got) == 1 and got[0].s == "r10050"
+    # absent value: with 100 distinct/file in 4096 bits the fp chance per
+    # file is ~(100*5/4096)^5 — both files must drop
+    assert vt.pruned_files_eq("id", 555555) == []
+    assert vt.read_point("id", 555555).count() == 0
+    # undeclared column: no pruning, full file list
+    assert len(vt.pruned_files_eq("s", "r50")) == 2
+
+
+def test_bloom_carries_through_cow_and_checkpoint(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "b"), checkpoint_interval=2)
+    vt.set_bloom_cols(["id"], n_bits=4096, n_hashes=5)
+    vt.append(_df(spark, 0, 50).coalesce(1))
+    vt.append(_df(spark, 1000, 1050).coalesce(1))   # v1 -> checkpoint
+    vt.delete_where(F.col("id") == 1000)            # v2 rewrites file 2
+    # untouched file's bloom carried by reference; rewritten file re-bloomed
+    assert len(vt.pruned_files_eq("id", 10)) == 1
+    assert len(vt.pruned_files_eq("id", 1049)) == 1
+    assert vt.read_point("id", 1000).count() == 0
+    # cold handle reconstructs blooms through ckpt + delta tail
+    cold = VersionedTable(spark, str(tmp_path / "b"), checkpoint_interval=2)
+    assert len(cold.pruned_files_eq("id", 10)) == 1
+    assert cold.read_point("id", 1049).count() == 1
+
+
+def test_bloom_files_without_filter_are_kept(spark, vt):
+    vt.append(_df(spark, 0, 50).coalesce(1))        # before set_bloom_cols
+    vt.set_bloom_cols(["id"], n_bits=4096, n_hashes=5)
+    vt.append(_df(spark, 1000, 1050).coalesce(1))
+    # pre-bloom file always kept (maybe), bloomed file prunes honestly
+    assert len(vt.pruned_files_eq("id", 777777)) == 1
+    assert len(vt.pruned_files_eq("id", 10)) == 1   # old file kept, new dropped
+    assert vt.read_point("id", 10).count() == 1
+
+
+def test_zorder_compact_enables_multidim_pruning(spark, tmp_path):
+    """Z-order layout: after OPTIMIZE-style zorder compact on (x, y), a
+    box probe must zone-prune on BOTH dimensions; a linear sort by x
+    prunes only x. Rows and answers are unchanged — only the layout."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(10000), rng.randrange(10000)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    vt = VersionedTable(spark, str(tmp_path / "z"))
+    vt.set_stats_cols(["x", "y"])
+    vt.append(df.repartitionByRange(16, "x").sortWithinPartitions("x"))
+    naive_x = set(vt.pruned_files("x", 1000, 1999))
+    naive_y = set(vt.pruned_files("y", 1000, 1999))
+    naive_kept = len(naive_x & naive_y)
+
+    v = vt.compact(target_files=16, zorder_by=["x", "y"])
+    assert vt._read_manifest(v)["op"] == "zorder"
+    z_x = set(vt.pruned_files("x", 1000, 1999))
+    z_y = set(vt.pruned_files("y", 1000, 1999))
+    z_kept = len(z_x & z_y)
+    # x-sorted layout: x-zones prune to ~2/16 files but y spans everything,
+    # so the box keeps those same ~2; z-order prunes on both axes jointly —
+    # a (1/10)^2 box over 16 z-runs must keep strictly fewer files than
+    # EITHER single-axis pruning of the linear layout allows at its best
+    assert z_kept < naive_kept or (naive_kept <= 2 and z_kept <= naive_kept)
+    assert z_kept <= 6, (z_kept, naive_kept)
+    # answers unchanged
+    got = (
+        vt.read()
+        .filter((F.col("x").between(1000, 1999)) & (F.col("y").between(1000, 1999)))
+        .count()
+    )
+    want = sum(1 for _, x, y in rows if 1000 <= x <= 1999 and 1000 <= y <= 1999)
+    assert got == want
+    assert vt.read().count() == 20000

@@ -216,3 +216,63 @@ def as_of_join_directional(
         ],
     )
     return tol_filter(out)
+
+
+def interval_join(
+    probes: DataFrame,
+    intervals: DataFrame,
+    *,
+    keys: list[str],
+    probe_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+    max_span_buckets: int = 10_000,
+) -> DataFrame:
+    """Interval (range-containment) join — each probe row pairs with every
+    interval of the same key that contains its timestamp
+    (``start <= ts <= end``, both inclusive). The temporal sibling of
+    :func:`as_of_join`: sessions-containing-events, promo-window
+    attribution, SLA-window matching.
+
+    Spark's native plan for a range predicate without an equality key is a
+    broadcast-nested-loop; this implementation makes it an EQUI-join by
+    time bucketing (the standard overlap-join decomposition): probes land
+    in ``floor(unix_micros/width)`` buckets map-side, each interval
+    explodes into the buckets it spans, and the join runs on
+    ``keys + bucket`` with the exact containment predicate re-applied
+    after. Each probe is in exactly one bucket, so no dedup step is
+    needed. Shuffle volume: |probes| + Σ interval spans/width — the
+    ``bucket_seconds`` knob trades explosion factor against bucket
+    population (pick ~ the median interval length). ``max_span_buckets``
+    refuses degenerate intervals that would explode unboundedly (a skew
+    guard, same stance as knn_graph.MAX_GROUP).
+
+    Non-key column names must be disjoint between the two inputs."""
+    width = bucket_seconds * 1_000_000
+    too_wide = intervals.filter(
+        (F.unix_micros(F.col(end_col)) - F.unix_micros(F.col(start_col)))
+        > max_span_buckets * width
+    )
+    if too_wide.limit(1).count():
+        raise ValueError(
+            f"interval span exceeds max_span_buckets={max_span_buckets} "
+            f"buckets of {bucket_seconds}s; raise bucket_seconds or cut the row"
+        )
+    def _bucket(c: str):
+        # floor division (not cast-truncation: negative pre-1970 instants
+        # must round DOWN); micros fit a double's 53-bit mantissa exactly
+        return F.floor(F.unix_micros(F.col(c)) / width).cast("long")
+
+    pb = probes.withColumn("__b", _bucket(probe_ts))
+    iv = intervals.filter(F.col(start_col) <= F.col(end_col)).withColumn(
+        "__b", F.explode(F.sequence(_bucket(start_col), _bucket(end_col)))
+    )
+    return (
+        pb.join(iv, [*keys, "__b"])
+        .filter(
+            (F.col(probe_ts) >= F.col(start_col))
+            & (F.col(probe_ts) <= F.col(end_col))
+        )
+        .drop("__b")
+    )

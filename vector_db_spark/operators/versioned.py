@@ -214,6 +214,85 @@ class VersionedTable:
         with open(p) as fh:
             return json.load(fh)
 
+    # -- per-file bloom filters (point-lookup file skipping) -------------------
+
+    def set_bloom_cols(
+        self, cols: Sequence[str], *, n_bits: int = 8192, n_hashes: int = 5
+    ) -> None:
+        """Declare high-cardinality columns whose per-file Bloom filter is
+        recorded in every future manifest — the point-lookup complement to
+        zone maps: min/max zones prune RANGE probes but are useless for an
+        equality probe on an unclustered id (every file's [min, max] spans
+        it); a ~1 KB bloom per file answers "id definitely absent" at
+        planning time. md5-derived bit positions keep the filter
+        engine/run/layout invariant. False-positive rate ≈
+        (1 − e^(−k·n/m))^k — size ``n_bits`` for the expected distinct
+        values per FILE, not per table. (Production twin: Parquet's own
+        footer blooms prune row groups after a file is opened; manifest
+        blooms prune before any footer read, same two-level split as the
+        zone maps.)"""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        with open(os.path.join(self.manifest_dir, "bloom_cols.json"), "w") as fh:
+            json.dump(
+                {"cols": sorted(cols), "n_bits": n_bits, "n_hashes": n_hashes}, fh
+            )
+
+    def bloom_config(self) -> dict | None:
+        p = os.path.join(self.manifest_dir, "bloom_cols.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    @staticmethod
+    def _bloom_positions(value, n_bits: int, n_hashes: int) -> list[int]:
+        import hashlib
+
+        return [
+            int(hashlib.md5(f"{value}:bloom:{i}".encode()).hexdigest()[:15], 16)
+            % n_bits
+            for i in range(n_hashes)
+        ]
+
+    def pruned_files_eq(
+        self, col: str, value, *, version: int | None = None
+    ) -> list[str]:
+        """Files of ``version`` whose bloom for ``col`` might contain
+        ``value`` — decided from the manifest alone. Files without a
+        recorded bloom are conservatively kept; a kept file is a maybe,
+        a dropped file is a guarantee."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError("empty table")
+        cfg = self.bloom_config()
+        if cfg is None or col not in cfg["cols"]:
+            return self._snapshot(v)["files"]
+        import base64
+
+        pos = self._bloom_positions(value, cfg["n_bits"], cfg["n_hashes"])
+        stats = self._snapshot(v)["stats"]
+        keep = []
+        for f in self._snapshot(v)["files"]:
+            b64 = stats.get(f, {}).get(f"bloom::{col}")
+            if not isinstance(b64, str):
+                keep.append(f)
+                continue
+            bits = base64.b64decode(b64)
+            if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+                keep.append(f)
+        return keep
+
+    def read_point(self, col: str, value, *, version: int | None = None) -> DataFrame:
+        """Bloom-pruned point lookup: only possibly-matching files reach
+        the scan; the equality predicate is still applied (blooms bound,
+        they don't filter rows)."""
+        files = self.pruned_files_eq(col, value, version=version)
+        if not files:
+            return self.read(version).limit(0).filter(F.col(col) == value)
+        return self._read_paths(
+            [os.path.join(self.path, f) for f in files]
+        ).filter(F.col(col) == value)
+
     def pruned_files(
         self, col: str, lo=None, hi=None, *, version: int | None = None
     ) -> list[str]:
@@ -398,7 +477,50 @@ class VersionedTable:
         else:
             n_rows = back.count()
             self._pending_stats = {}
+        self._merge_pending_blooms(back)
         return files, n_rows
+
+    def _merge_pending_blooms(self, back: DataFrame) -> None:
+        """Per-file Bloom bitmaps for the declared bloom columns, computed
+        in one Arrow task per file group and merged into the pending
+        stats under ``bloom::<col>`` keys (riding the exact same
+        carry-over / checkpoint plumbing as the zone maps). Collects
+        O(files × cols) rows of ~n_bits/8 bytes each."""
+        cfg = self.bloom_config()
+        if not cfg:
+            return
+        cols = [c for c in cfg["cols"] if c in back.columns]
+        if not cols:
+            return
+        import base64
+
+        import pandas as pd
+
+        n_bits, n_hashes = cfg["n_bits"], cfg["n_hashes"]
+        positions = self._bloom_positions
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            f = pdf["__f"].iloc[0]
+            rows = []
+            for c in cols:
+                bits = bytearray(n_bits // 8)
+                for v in pdf[c].dropna().unique():
+                    for p in positions(v, n_bits, n_hashes):
+                        bits[p >> 3] |= 1 << (p & 7)
+                rows.append((f, c, base64.b64encode(bytes(bits)).decode()))
+            return pd.DataFrame(rows, columns=["f", "col", "bloom"])
+
+        per_file = (
+            back.select(F.input_file_name().alias("__f"), *cols)
+            .groupBy("__f")
+            .applyInPandas(kernel, "f string, col string, bloom string")
+            .collect()
+        )
+        pending = getattr(self, "_pending_stats", None) or {}
+        for r in per_file:
+            rel = os.path.relpath(r["f"].removeprefix("file://"), self.path)
+            pending.setdefault(rel, {})[f"bloom::{r['col']}"] = r["bloom"]
+        self._pending_stats = pending
 
     def append(self, df: DataFrame, *, txn_id: str | None = None, retries: int = 5) -> int:
         """Append commutes with concurrent commits: on conflict the base
@@ -562,15 +684,61 @@ class VersionedTable:
         self._pending_stats = m.get("stats", {})
         return self._try_commit(m["files"], f"rollback:{version}", m["n_rows"])
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(
+        self, target_files: int = 1, *, zorder_by: Sequence[str] | None = None
+    ) -> int:
         """Rewrite the current snapshot into ``target_files`` files as a
         NEW version (op="compact") — the small-file answer for a table fed
         by per-epoch streaming appends. Old versions still time-travel to
         the un-compacted files until :meth:`vacuum` reclaims them; zone
-        maps are recomputed for the new files in the same write."""
+        maps are recomputed for the new files in the same write.
+
+        With ``zorder_by``, rows are laid out along a Z-order (Morton)
+        curve over the named columns (the Delta OSS OPTIMIZE ZORDER BY
+        idea): each column is quantile-bucketed to 8 bits (boundaries from
+        one approxQuantile pass — driver holds 255 doubles per column, no
+        data centralizes), the bucket bits interleave into a single long,
+        and a range repartition + in-partition sort on that long clusters
+        the files. The payoff is MULTI-dimensional zone-map pruning: after
+        a sort by (a, b), zones on ``b`` span everything and prune
+        nothing; after Z-order, a box probe on ANY subset of the curve
+        columns skips most files. Layout only — rows, schema, and every
+        query answer are unchanged."""
         df = self.read()
+        if zorder_by:
+            df = (
+                df.withColumn("__z", self._zvalue(df, list(zorder_by)))
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            files, n = self._write_files(df)
+            return self._try_commit(files, "zorder", n)
         files, n = self._write_files(df.coalesce(target_files))
         return self._try_commit(files, "compact", n)
+
+    def _zvalue(self, df: DataFrame, cols: list[str], *, bits: int = 8):
+        """Morton code: interleaved bits of per-column quantile buckets.
+        Bucket = count of quantile boundaries <= value (a 255-element
+        array filter, JVM-side); NULLs sort to bucket 0."""
+        if len(cols) * bits > 63:
+            raise ValueError("zorder bit budget exceeds a signed long")
+        nq = 1 << bits
+        k = len(cols)
+        z = F.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            probs = [i / nq for i in range(1, nq)]
+            bounds = df.approxQuantile(c, probs, 0.001)
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            bucket = F.size(
+                F.filter(barr, lambda x: x <= F.col(c).cast("double"))
+            )
+            for i in range(bits):
+                z = z + (
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)).cast("long")
+                    * F.lit(1 << (i * k + j))
+                )
+        return z
 
     # -- reads ----------------------------------------------------------------
 

@@ -130,6 +130,86 @@ def versioned_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_layout_audit",
+    extra=True,
+    oracle="""
+SELECT (SELECT count(*) FROM customer)::BIGINT AS rows_total,
+       (SELECT count(*) FROM customer WHERE c_custkey = 42)::BIGINT AS point_rows,
+       TRUE AS bloom_single_file_ok,
+       TRUE AS bloom_absent_prunes_all,
+       TRUE AS zorder_rows_unchanged,
+       (SELECT count(*) FROM customer
+        WHERE c_custkey BETWEEN 100 AND 299
+          AND c_nationkey BETWEEN 0 AND 5)::BIGINT AS box_rows,
+       TRUE AS box_prune_ok
+""",
+)
+def versioned_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout services audited end to end (operators/versioned.py
+    round-4 additions): per-file Bloom filters (point-lookup file
+    skipping — `pruned_files_eq`/`read_point`) and Z-order compaction
+    (multi-dimensional zone-map pruning — `compact(zorder_by=...)`).
+    Facts: exact point-lookup and 2-D box-probe row counts (the layout
+    must never change an answer), single-file bloom routing for a present
+    key, all-file pruning for an absent key, and the box probe planning at
+    most half the files after Z-order. All counts exact over `customer`."""
+    from vector_db_spark.operators.versioned import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="vlay-audit-")
+    try:
+        vt = VersionedTable(spark, os.path.join(root, "t"))
+        vt.set_stats_cols(["c_custkey", "c_nationkey"])
+        vt.set_bloom_cols(["c_custkey"], n_bits=8192, n_hashes=5)
+        vt.append(cust.repartitionByRange(8, "c_custkey"))
+        rows_total = vt.read().count()
+
+        point_rows = vt.read_point("c_custkey", 42).count()
+        bloom_single_file_ok = len(vt.pruned_files_eq("c_custkey", 42)) <= 2
+        bloom_absent_prunes_all = (
+            len(vt.pruned_files_eq("c_custkey", 10**9)) == 0
+        )
+
+        vt.compact(target_files=8, zorder_by=["c_custkey", "c_nationkey"])
+        zorder_rows_unchanged = vt.read().count() == rows_total
+        kept = set(vt.pruned_files("c_custkey", 100, 299)) & set(
+            vt.pruned_files("c_nationkey", 0, 5)
+        )
+        box_rows = (
+            vt._read_paths([os.path.join(vt.path, f) for f in sorted(kept)])
+            .filter(
+                F.col("c_custkey").between(100, 299)
+                & F.col("c_nationkey").between(0, 5)
+            )
+            .count()
+            if kept
+            else 0
+        )
+        box_prune_ok = len(kept) <= 4
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [
+            (
+                rows_total,
+                point_rows,
+                bool(bloom_single_file_ok),
+                bool(bloom_absent_prunes_all),
+                bool(zorder_rows_unchanged),
+                box_rows,
+                bool(box_prune_ok),
+            )
+        ],
+        "rows_total long, point_rows long, bloom_single_file_ok boolean, "
+        "bloom_absent_prunes_all boolean, zorder_rows_unchanged boolean, "
+        "box_rows long, box_prune_ok boolean",
+    )
+
+
+@register(
     "node_table_crud_audit",
     oracle=f"""
 WITH c AS (SELECT c_custkey, c_mktsegment FROM customer),

@@ -1417,6 +1417,68 @@ def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+# --- interval (range-containment) join ----------------------------------------
+
+
+@register(
+    "purchase_window_events",
+    extra=True,
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+o AS (SELECT user_id, ts, value FROM events WHERE event_type <> 'purchase')
+SELECT p.event_id AS purchase_id,
+       count(o.ts)::BIGINT AS n_follow,
+       round(coalesce(sum(o.value), 0), 6) AS follow_value
+FROM p LEFT JOIN o
+  ON p.user_id = o.user_id AND o.ts >= p.ts AND o.ts <= p.ts + INTERVAL 2 HOUR
+GROUP BY 1
+""",
+)
+def purchase_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-window attribution via the bucketed interval join
+    (operators/asof.interval_join): every non-purchase event landing
+    inside [purchase, purchase + 2 h] of the same user, counted and
+    value-summed per purchase. Spark's native plan for the range predicate
+    is a broadcast nested loop; the operator decomposes it into an
+    equi-join on (user, 30-min bucket) with the exact containment filter
+    re-applied — shuffle is |events| + 5 bucket rows per purchase, never
+    users². Exact SQL oracle (BETWEEN join)."""
+    from vector_db_spark.operators.asof import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    others = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "value"
+    )
+    hits = interval_join(
+        others,
+        purchases,
+        keys=["user_id"],
+        probe_ts="ts",
+        start_col="start",
+        end_col="end",
+        bucket_seconds=1800,
+    )
+    per_purchase = hits.groupBy("purchase_id").agg(
+        F.count("*").alias("n_follow"),
+        F.round(F.sum("value"), 6).alias("follow_value"),
+    )
+    return (
+        purchases.select("purchase_id")
+        .join(per_purchase, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+            F.round(F.coalesce("follow_value", F.lit(0.0)), 6).alias("follow_value"),
+        )
+    )
+
+
 # --- PPR seed expansion over the co-purchase graph ----------------------------
 
 
