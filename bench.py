@@ -127,6 +127,7 @@ HEADLINE = [
     "copurchase_ppr_expansion",
     "purchase_window_events",
     "versioned_layout_audit",
+    "inverted_bm25_search",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number
@@ -137,6 +138,7 @@ def _time_builds(spark, timings: dict[str, float]) -> None:
     """One-time index builds, timed as their own bench entries so the
     regression gate tracks steady-state search (the *_kmeans query numbers
     below run against the warm per-process caches these calls populate)."""
+    from vector_db_spark.queries.curation import _inverted_index
     from vector_db_spark.queries.indexing import _ivfpq_index, _kmeans_index
     from vector_db_spark.queries.pquant import _opq_model, _pq_model
 
@@ -145,6 +147,7 @@ def _time_builds(spark, timings: dict[str, float]) -> None:
         ("ivfpq_build", _ivfpq_index),
         ("pq_train_build", _pq_model),
         ("opq_build", _opq_model),
+        ("inverted_index_build", _inverted_index),
     ):
         t0 = time.perf_counter()
         build(spark, SF_DIR)

@@ -244,21 +244,33 @@ def percolate(
     matching subscriptions).
 
     Plan: the stored-query term table broadcasts (subscriptions are small
-    next to a corpus); distinct doc tokens equi-join the terms; one
+    next to a corpus — their union'd term set rides the plan as a
+    literal); each doc intersects its distinct tokens with that term set
+    MAP-SIDE, so only matching terms are ever exploded or shuffled — the
+    corpus contributes O(matched terms) rows, not O(all tokens). One
     partial-aggregated count per (doc, query) compared to the query's
     term arity — a match means EVERY term hit. No crossJoin, no regex
-    over queries×docs; the corpus shuffles once, keyed on the token."""
+    over queries×docs."""
     q_terms = stored.select(
         query_id_col, F.explode(terms_col).alias("tok")
     )
     q_arity = stored.select(
         query_id_col, F.size(terms_col).alias("__need")
     )
-    doc_toks = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    # bounded by the subscription table's vocabulary (the same smallness
+    # assumption that lets q_terms broadcast)
+    vocab = sorted({r["tok"] for r in q_terms.select("tok").distinct().collect()})
+    matched = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_intersect(
+                F.array_distinct(tokens(text_col)),
+                F.array(*[F.lit(t) for t in vocab]),
+            )
+        ).alias("tok"),
     )
     hits = (
-        doc_toks.join(F.broadcast(q_terms), "tok")
+        matched.join(F.broadcast(q_terms), "tok")
         .groupBy(id_col, query_id_col)
         .agg(F.count("*").alias("__got"))
     )

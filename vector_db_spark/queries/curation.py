@@ -523,6 +523,80 @@ def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- persisted inverted index (BM25 serving without corpus rescans) -----------
+
+_INV_CACHE: dict[str, object] = {}
+
+
+def _inverted_index(spark: SparkSession, sf_dir: str):
+    """One index build per (process, sf_dir) — deployment shape is build
+    once, serve many; bench.py times the build as its own entry."""
+    import tempfile
+
+    from vector_db_spark.operators.inverted import InvertedIndex
+
+    if sf_dir not in _INV_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="inv_") + "/index"
+        import os as _os
+
+        _os.makedirs(path, exist_ok=True)
+        _INV_CACHE[sf_dir] = InvertedIndex.build(spark, docs, path, n_buckets=64)
+    return _INV_CACHE[sf_dir]
+
+
+def _inv_bm25_sql() -> str:
+    tf_cols = ",\n        ".join(
+        f"len(list_filter(t, x -> x = '{t}'))::DOUBLE AS tf_{i}"
+        for i, t in enumerate(_HY_TERMS)
+    )
+    df_cols = ",\n    ".join(
+        f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END)::DOUBLE AS df_{i}"
+        for i, t in enumerate(_HY_TERMS)
+    )
+    parts = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0) * tf_{i} * {_HY_K1 + 1}"
+        f" / (tf_{i} + {_HY_K1} * (1 - {_HY_B} + {_HY_B} * dl / avgdl))"
+        for i in range(len(_HY_TERMS))
+    )
+    return f"""
+corpus AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(len(t)) AS avgdl,
+    {df_cols}
+  FROM corpus),
+scored AS (
+  SELECT doc_id, round({parts}, 6) AS bm25
+  FROM (SELECT doc_id, len(t)::DOUBLE AS dl,
+        {tf_cols}
+        FROM corpus) CROSS JOIN stats)
+SELECT doc_id, bm25, kw_rank FROM (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS kw_rank
+  FROM scored WHERE bm25 > 0)
+WHERE kw_rank <= 20
+"""
+
+
+@register(
+    "inverted_bm25_search",
+    extra=True,
+    oracle=f"WITH {_inv_bm25_sql()}",
+)
+def inverted_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 served from the PERSISTED inverted index
+    (operators/inverted.py): the query reads only its terms' posting
+    buckets (plan shows PartitionFilters on the bucket key + a pushed tok
+    filter) — cost O(posting-list lengths), independent of corpus row
+    count. The oracle re-derives the identical ranking from a full
+    corpus scan, proving index-vs-scan equivalence; tests additionally
+    pin row-exact parity with hybrid.bm25_topk."""
+    idx = _inverted_index(spark, sf_dir)
+    return idx.bm25_search(_HY_TERMS, k=20, k1=_HY_K1, b=_HY_B).select(
+        "doc_id", "bm25", F.col("kw_rank").cast("int").alias("kw_rank")
+    )
+
+
 # --- percolation (stored-query alerting) --------------------------------------
 
 _PERC_QUERIES = [

@@ -786,13 +786,13 @@ def ivf_search_cosine_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.round(euclidean("embedding", "centroid"), 6).alias("cdist"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cdist").asc(), F.col("cluster_id").asc()
-    )
+    # argmin as a partial-aggregated struct-min (lexicographic (cdist,
+    # cluster_id) == the window's (dist asc, id asc) tie-break) — map-side
+    # combine shrinks the shuffle k-fold vs a per-vec_id window
     assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster_id")
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("cdist", "cluster_id")).alias("__m"))
+        .select("vec_id", F.col("__m.cluster_id").alias("cluster_id"))
     )
     queries = nemb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")

@@ -712,6 +712,51 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_tokenize_audit",
+    extra=True,
+    oracle="""
+SELECT count(*)::BIGINT AS n_docs, TRUE AS reconstruct_ok,
+       TRUE AS token_bound_ok, TRUE AS merges_reduce_ok
+FROM documents
+""",
+)
+def bpe_tokenize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY (operators/bpe.apply_bpe — the rank-priority BPE
+    encode loop as an Arrow kernel) audited by its algebraic laws, which
+    hold for ANY learned merge list: lossless reconstruction (per doc,
+    the concatenated tokens minus the </w> markers equal the concatenated
+    lower-cased words — exact, all docs), the token-count upper bound
+    (≤ chars + words: a word starts as chars+1 symbols and merges only
+    shrink it), and strict reduction (8 learned merges must tokenize the
+    corpus into fewer symbols than the character baseline). Exact
+    per-round merge agreement with a reference learner is pinned in
+    tests/test_bpe.py."""
+    from vector_db_spark.operators.bpe import END_OF_WORD, apply_bpe, learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=8, min_freq=2)
+    toked = apply_bpe(docs, merges)
+    words = tokens("text")
+    per_doc = toked.select(
+        F.replace(
+            F.concat_ws("", "bpe_tokens"), F.lit(END_OF_WORD), F.lit("")
+        ).alias("joined"),
+        F.concat_ws("", words).alias("want"),
+        F.size("bpe_tokens").alias("n_toks"),
+        (
+            F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+            + F.size(words)
+        ).alias("baseline_syms"),
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.col("joined") == F.col("want")).alias("reconstruct_ok"),
+        F.min(F.col("n_toks") <= F.col("baseline_syms")).alias("token_bound_ok"),
+        (F.sum("n_toks") < F.sum("baseline_syms")).alias("merges_reduce_ok"),
+    )
+
+
 # --- deterministic shard export -----------------------------------------------
 
 
