@@ -128,6 +128,8 @@ HEADLINE = [
     "purchase_window_events",
     "versioned_layout_audit",
     "inverted_bm25_search",
+    "leakage_safe_split",
+    "bpe_tokenize_audit",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

@@ -259,3 +259,43 @@ def test_percolate_conjunction_semantics(spark):
     )
     got = {(r["doc_id"], r["query_id"]) for r in percolate(docs, stored).collect()}
     assert got == {(1, "q1"), (1, "q2"), (2, "q2")}
+
+
+def test_group_safe_split_no_leakage_and_fractions(spark, sf_smoke):
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.curation import group_safe_split
+
+    docs = load_table(spark, sf_smoke, "documents")
+    # force duplicates: union the corpus with itself under new ids
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    out = group_safe_split(dup, F.md5(F.col("text"))).cache()
+    # no group (text) straddles splits
+    cross = out.groupBy(F.md5("text")).agg(
+        F.countDistinct("split").alias("n")
+    ).filter(F.col("n") > 1)
+    assert cross.count() == 0
+    # fractions approximately honored at group granularity
+    fr = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(fr.values())
+    assert 0.7 < fr["train"] / total < 0.9
+    assert fr.get("val", 0) > 0 and fr.get("test", 0) > 0
+    # layout invariance: same assignment under any partitioning
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in group_safe_split(dup.repartition(7), F.md5(F.col("text"))).collect()
+    }
+    assert a == b
+
+
+def test_group_safe_split_validates_inputs(spark, sf_smoke):
+    import pytest as _pytest
+
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.curation import group_safe_split
+
+    docs = load_table(spark, sf_smoke, "documents")
+    with _pytest.raises(ValueError, match="align"):
+        group_safe_split(docs, "doc_id", fractions=(0.5, 0.5), labels=("a",))
+    with _pytest.raises(ValueError, match="sum"):
+        group_safe_split(docs, "doc_id", fractions=(0.5, 0.2), labels=("a", "b"))

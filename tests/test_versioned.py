@@ -569,3 +569,18 @@ def test_zorder_compact_enables_multidim_pruning(spark, tmp_path):
     want = sum(1 for _, x, y in rows if 1000 <= x <= 1999 and 1000 <= y <= 1999)
     assert got == want
     assert vt.read().count() == 20000
+
+
+def test_timestamp_as_of(spark, vt):
+    import time
+
+    v0 = vt.append(_df(spark, 0, 10))
+    t_between = time.time()
+    time.sleep(0.02)
+    v1 = vt.append(_df(spark, 10, 30))
+    assert vt.version_at(t_between) == v0
+    assert vt.version_at(time.time()) == v1
+    assert vt.read_asof(t_between).count() == 10
+    assert vt.read_asof(time.time()).count() == 30
+    with pytest.raises(ValueError, match="no version"):
+        vt.version_at(0.0)

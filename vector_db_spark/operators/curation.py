@@ -588,3 +588,48 @@ def token_distribution_drift(
             "js_divergence",
         )
     )
+
+
+def group_safe_split(
+    df: DataFrame,
+    group_col: Column | str,
+    *,
+    fractions: tuple[float, ...] = (0.8, 0.1, 0.1),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the GROUP key (md5 bucket over 0..99), so every member of
+    a group — exact duplicates, near-dup cluster ids, same-domain pages —
+    lands on the same side by construction. Splitting i.i.d. by row leaks
+    duplicated content across train/eval and inflates benchmarks (the
+    contamination failure mode decontaminate_ngrams guards against,
+    applied to the split itself).
+
+    Map-only (no shuffle, no state): md5 of the group key → 15-nibble
+    long → bucket mod 100 → threshold ladder from cumulative
+    ``fractions``. Engine/run/layout invariant, so the exact assignment
+    is re-derivable anywhere (full value oracle)."""
+    if len(fractions) != len(labels):
+        raise ValueError("fractions and labels must align")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(g.cast("string"), F.lit(":" + salt))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    cum, expr = 0.0, None
+    for frac, lab in zip(fractions[:-1], labels[:-1]):
+        cum += frac
+        cond = bucket < F.lit(int(round(cum * 100)))
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    expr = (expr if expr is not None else F.when(F.lit(False), "")).otherwise(
+        labels[-1]
+    )
+    return df.withColumn(out_col, expr)

@@ -380,6 +380,8 @@ class VersionedTable:
         new_files = set(files)
         add = sorted(new_files - base_files)
         remove = sorted(base_files - new_files)
+        import time as _time
+
         manifest = {
             "version": version,
             "op": op,
@@ -387,6 +389,7 @@ class VersionedTable:
             "remove": remove,
             "n_files": len(files),
             "n_rows": n_rows,
+            "ts": _time.time(),  # commit wall clock: TIMESTAMP AS OF support
         }
         if txn_id is not None:
             manifest["txn_id"] = txn_id
@@ -755,6 +758,24 @@ class VersionedTable:
         return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f) for f in m["files"]]
         )
+
+    def version_at(self, ts: float) -> int:
+        """Greatest version committed at or before wall-clock ``ts`` (the
+        Delta `TIMESTAMP AS OF` resolution rule). Commit times come from
+        the manifests; versions written before this field existed sort as
+        time 0 (always eligible). Raises if ``ts`` predates the log."""
+        best = None
+        for v in self._versions():
+            if float(self._read_manifest(v).get("ts", 0.0)) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(f"no version committed at or before {ts}")
+        return best
+
+    def read_asof(self, ts: float) -> DataFrame:
+        """Snapshot as of wall-clock ``ts`` — time travel addressed by
+        timestamp instead of version number."""
+        return self.read(self.version_at(ts))
 
     def diff(self, old_version: int, new_version: int, keys: list[str]) -> DataFrame:
         """CDC changeset between two snapshots — time travel composed with

@@ -523,6 +523,35 @@ def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- leakage-safe dataset splitting -------------------------------------------
+
+
+@register(
+    "leakage_safe_split",
+    extra=True,
+    oracle="""
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         AS split
+FROM (SELECT doc_id,
+             mod(('0x' || substr(md5(md5(text) || ':split'), 1, 15))::UBIGINT::BIGINT,
+                 100) AS b
+      FROM documents)
+""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by exact-duplicate GROUP
+    (operators/curation.group_safe_split, group key = md5(text)):
+    duplicated content can never straddle the split boundary, killing the
+    train→eval contamination that row-i.i.d. splitting bakes in. Pure
+    map-side md5 bucketing — the full per-doc assignment is re-derived
+    exactly by the oracle."""
+    from vector_db_spark.operators.curation import group_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_safe_split(docs, F.md5(F.col("text"))).select("doc_id", "split")
+
+
 # --- persisted inverted index (BM25 serving without corpus rescans) -----------
 
 _INV_CACHE: dict[str, object] = {}
