@@ -494,3 +494,30 @@ def test_personalized_pagerank_dangling_mass_returns_to_sources(spark):
     got = {r.id: r.rank for r in personalized_pagerank(edges, sources, n_iter=30).collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[0] > got[2] > 0  # restart keeps source hot; chain decays
+
+
+def test_node_numbering_strategies_agree(spark):
+    """The adaptive switch in sample_non_edges is sound only if the
+    window numbering and the range-repartitioned numbering are the SAME
+    function of the node set — pin it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.packing import global_row_number
+
+    nodes = spark.createDataFrame(
+        [((i * 37) % 1000,) for i in range(1000)], "node long"
+    ).distinct()
+    via_window = {
+        (r["node"], r["__idx"])
+        for r in nodes.withColumn(
+            "__idx", F.row_number().over(Window.orderBy("node")) - 1
+        ).collect()
+    }
+    via_range = {
+        (r["node"], r["__idx"])
+        for r in global_row_number(
+            nodes.repartition(7), ["node"], out_col="__idx"
+        ).collect()
+    }
+    assert via_window == via_range

@@ -391,3 +391,76 @@ def test_cms_merge_is_order_invariant(spark):
     a = cms_merge(sks[0].union(sks[1]).union(sks[2]))
     b = cms_merge(sks[2].union(sks[0]).union(sks[1]))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@settings(**SETTINGS)
+@given(
+    probes=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5000)), min_size=1, max_size=40
+    ),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5000), st.integers(0, 2000)),
+        min_size=1,
+        max_size=25,
+    ),
+    bucket=st.sampled_from([7, 60, 900]),
+)
+def test_interval_join_matches_brute_force(probes, intervals, bucket):
+    """Bucketed decomposition == naive range join, for ANY bucket width
+    (width only changes the plan, never the answer)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.asof import interval_join
+
+    spark = _get_spark()
+    p = spark.createDataFrame(
+        [(k, i, s) for i, (k, s) in enumerate(probes)], "k int, pid int, off int"
+    ).selectExpr(
+        "k", "pid",
+        "cast('2024-01-01 00:00:00' as timestamp) + make_interval(0,0,0,0,0,0,off) AS ts",
+    )
+    iv = spark.createDataFrame(
+        [(k, i, s, s + d) for i, (k, s, d) in enumerate(intervals)],
+        "k int, iid int, s int, e int",
+    ).selectExpr(
+        "k", "iid",
+        "cast('2024-01-01 00:00:00' as timestamp) + make_interval(0,0,0,0,0,0,s) AS start",
+        "cast('2024-01-01 00:00:00' as timestamp) + make_interval(0,0,0,0,0,0,e) AS end",
+    )
+    fast = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            p, iv, keys=["k"], bucket_seconds=bucket, max_span_buckets=10**6
+        ).collect()
+    }
+    brute = {
+        (pid, iid)
+        for pid, (pk, poff) in enumerate(probes)
+        for iid, (ik, s, d) in enumerate(intervals)
+        if pk == ik and s <= poff <= s + d
+    }
+    assert fast == brute
+
+
+@settings(**SETTINGS)
+@given(
+    keys=st.lists(st.text(min_size=0, max_size=8), min_size=1, max_size=50),
+    fracs=st.sampled_from([(0.8, 0.1, 0.1), (0.5, 0.5), (0.9, 0.05, 0.05)]),
+)
+def test_group_safe_split_is_pure_function_of_group(keys, fracs):
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.curation import group_safe_split
+
+    spark = _get_spark()
+    labels = tuple(f"s{i}" for i in range(len(fracs)))
+    rows = [(i, k) for i, k in enumerate(keys)] + [
+        (i + 10_000, k) for i, k in enumerate(keys)  # duplicate groups
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = group_safe_split(df, "grp", fractions=fracs, labels=labels)
+    by_group: dict = {}
+    for r in out.collect():
+        by_group.setdefault(r.grp, set()).add(r.split)
+    # every group maps to exactly one split, regardless of row identity
+    assert all(len(v) == 1 for v in by_group.values())

@@ -657,13 +657,20 @@ def sample_non_edges(
         .distinct()
     )
     n_nodes = nodes.count()
-    # range-repartitioned exact numbering (packing.global_row_number): the
-    # total order on node id makes the index a pure function of the node
-    # set, identical to row_number()-1 but with no single-task sort —
-    # corpus-scale V numbers in parallel
-    from vector_db_spark.operators.packing import global_row_number
+    # Node numbering is a pure function of the node SET (total order on
+    # id), so both physical strategies produce the identical index:
+    # below the bound, one window task over V rows is the cheapest plan
+    # (V is normally the small axis of a graph workload); above it, the
+    # range-repartitioned numbering (packing.global_row_number) removes
+    # the single-task sort — its extra materialization jobs only pay for
+    # themselves at corpus-scale V.
+    if n_nodes <= 2_000_000:
+        widx = Window.orderBy("node")
+        indexed = nodes.withColumn("__idx", F.row_number().over(widx) - 1)
+    else:
+        from vector_db_spark.operators.packing import global_row_number
 
-    indexed = global_row_number(nodes, ["node"], out_col="__idx")
+        indexed = global_row_number(nodes, ["node"], out_col="__idx")
     deg = edges.groupBy(F.col(src_col).alias("src")).agg(F.count("*").alias("__deg"))
     probes = deg.select(
         "src",
