@@ -554,12 +554,16 @@ def test_zorder_compact_enables_multidim_pruning(spark, tmp_path):
     z_x = set(vt.pruned_files("x", 1000, 1999))
     z_y = set(vt.pruned_files("y", 1000, 1999))
     z_kept = len(z_x & z_y)
-    # x-sorted layout: x-zones prune to ~2/16 files but y spans everything,
-    # so the box keeps those same ~2; z-order prunes on both axes jointly —
-    # a (1/10)^2 box over 16 z-runs must keep strictly fewer files than
-    # EITHER single-axis pruning of the linear layout allows at its best
-    assert z_kept < naive_kept or (naive_kept <= 2 and z_kept <= naive_kept)
+    # The robust qualitative claims (repartitionByRange samples its
+    # boundaries, so exact file counts wobble ±1 run to run):
+    # 1. the x-sorted layout CANNOT prune on y — its y zones span everything;
+    assert len(naive_y) == 16
+    # 2. z-order prunes on BOTH axes: the y probe must skip at least half
+    #    the files, and the 1%-area box must plan at most 6 of 16;
+    assert len(z_y) <= 8, len(z_y)
     assert z_kept <= 6, (z_kept, naive_kept)
+    # 3. never worse than the linear layout's box plan
+    assert z_kept <= naive_kept + 1
     # answers unchanged
     got = (
         vt.read()
@@ -584,3 +588,28 @@ def test_timestamp_as_of(spark, vt):
     assert vt.read_asof(time.time()).count() == 30
     with pytest.raises(ValueError, match="no version"):
         vt.version_at(0.0)
+
+
+def test_merge_probe_is_zone_pruned(spark, vt):
+    """With zone maps on the merge key, the matched-key probe must open
+    only files whose key zone overlaps the source batch — a small merge
+    into a key-clustered table never scans disjoint files."""
+    vt.set_stats_cols(["id"])
+    vt.append(_df(spark, 0, 100).coalesce(1))
+    vt.append(_df(spark, 1000, 1100).coalesce(1))
+    vt.append(_df(spark, 2000, 2100).coalesce(1))
+    calls = []
+    orig = vt._read_paths
+    vt._read_paths = lambda paths: (calls.append(list(paths)), orig(paths))[1]
+    v = vt.merge(
+        spark.createDataFrame([(1005, "UPD"), (1500, "NEW")], "id long, s string"),
+        "id",
+    )
+    vt._read_paths = orig
+    # first read is the probe: only the middle file's zone overlaps
+    # [1005, 1500]
+    assert len(calls[0]) == 1 and "txn-" in calls[0][0]
+    got = {r.id: r.s for r in vt.read(v).collect()}
+    assert got[1005] == "UPD" and got[1500] == "NEW"
+    assert got[0] == "r0" and got[2000] == "r2000"
+    assert len(got) == 301

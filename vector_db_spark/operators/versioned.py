@@ -619,7 +619,14 @@ class VersionedTable:
         (a merge batch is small relative to the table by definition;
         corpus-sized source = overwrite). Duplicate keys WITHIN source
         are rejected — ambiguous-merge semantics differ per engine, so
-        this surface refuses rather than guesses."""
+        this surface refuses rather than guesses.
+
+        When the merge key has zone maps (:meth:`set_stats_cols`), the
+        probe scan itself is PRE-pruned from the manifest: only files
+        whose [min, max] zone for the key overlaps the source batch's
+        [min, max] are opened at all, so merging a small batch into a
+        key-clustered 100 TB table scans the overlapping shard, not the
+        table. Untouched files' rows never leave disk."""
         prev = self.current_version()
         if prev is None:
             if not insert:
@@ -629,8 +636,24 @@ class VersionedTable:
         if dup:
             raise ValueError(f"source has duplicate merge keys, e.g. {key}={dup[0][0]!r}")
         m = self._snapshot(prev)
+        # zone-pruned probe: files whose key zone cannot contain any source
+        # key are carried over without being opened
+        probe_files = list(m["files"])
+        if key in self.stats_cols():
+            b = source.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).collect()[0]
+            if b["lo"] is not None:
+                probe_files = self.pruned_files(key, b["lo"], b["hi"], version=prev)
         current = [os.path.join(self.path, f) for f in m["files"]]
-        df = self._read_paths(current).withColumn("__file", F.input_file_name())
+        probe_paths = [os.path.join(self.path, f) for f in probe_files]
+        df = (
+            self._read_paths(probe_paths).withColumn("__file", F.input_file_name())
+            if probe_paths
+            else self._read_paths(current).limit(0).withColumn(
+                "__file", F.input_file_name()
+            )
+        )
         keys = source.select(key)
         matched = df.join(F.broadcast(keys), key, "left_semi")
         hit_files = {
