@@ -130,6 +130,7 @@ HEADLINE = [
     "inverted_bm25_search",
     "leakage_safe_split",
     "bpe_tokenize_audit",
+    "bucketed_join_audit",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number
