@@ -131,6 +131,8 @@ HEADLINE = [
     "leakage_safe_split",
     "bpe_tokenize_audit",
     "bucketed_join_audit",
+    "right_to_erasure_audit",
+    "prefix_filter_jaccard",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number

@@ -755,3 +755,90 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= hamming_max)
         .distinct()
     )
+
+
+def prefix_filter_jaccard_pairs(
+    items: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    item_col: str = "shingle",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-Jaccard ≥ ``threshold`` pairs via prefix filtering
+    (AllPairs/PPJoin, Bayardo et al. WWW'07) — the deterministic
+    complement to MinHash LSH: no bands, no probability of a missed
+    pair, the same equi-join shuffle shape. Input is a distinct
+    ``(id, item)`` set table (``shingle_table`` or token sets).
+
+    The filter: order every doc's set by ascending global document
+    frequency (rarest first, item as tie-break); for Jaccard ≥ θ the
+    required overlap ``⌈θ/(1+θ)·(|A|+|B|)⌉ ≥ 1`` forces A and B to share
+    an item among each one's first ``|S| − ⌈θ·|S|⌉ + 1`` items — so
+    candidates are an equi-join on PREFIX items only. Rare-first
+    ordering makes prefixes low-df, which is what keeps
+    Σ df(prefix-item)² small; the verify is the exact map-side
+    ``array_intersect`` of the two full sets.
+
+    Returns ``(doc_a, doc_b, jaccard)`` with round-6 scores. Engine-
+    deterministic end to end (frequency order + item tie-break), so the
+    full output value-hash-oracles."""
+    toks = items.select(
+        F.col(id_col), F.col(item_col).alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "tok"))),
+                lambda s: s.tok,
+            ).alias("__set")
+        )
+        .withColumn("__sz", F.size("__set"))
+        # prefix length: |S| - ceil(θ|S|) + 1
+        .withColumn(
+            "__plen",
+            F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int") + 1,
+        )
+    )
+    ranked = ranked.cache()  # feeds the prefix explode AND both set lookups
+    # candidate generation joins BARE ids + sizes — the full set arrays
+    # never ride the exploded prefix shuffle
+    pref = ranked.select(
+        F.col(id_col),
+        "__sz",
+        F.explode(F.slice("__set", 1, F.col("__plen"))).alias("tok"),
+    )
+    a = pref.select(F.col(id_col).alias("doc_a"), F.col("__sz").alias("__za"), "tok")
+    b = pref.select(F.col(id_col).alias("doc_b"), F.col("__sz").alias("__zb"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size filter: |A| ≥ θ|B| is necessary for J ≥ θ (cheap pre-cut)
+        .filter(
+            (F.col("__za") >= F.lit(threshold) * F.col("__zb"))
+            & (F.col("__zb") >= F.lit(threshold) * F.col("__za"))
+        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets_a = ranked.select(
+        F.col(id_col).alias("doc_a"), F.col("__set").alias("__sa"),
+        F.col("__sz").alias("__za"),
+    )
+    sets_b = ranked.select(
+        F.col(id_col).alias("doc_b"), F.col("__set").alias("__sb"),
+        F.col("__sz").alias("__zb"),
+    )
+    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(n_common / (F.col("__za") + F.col("__zb") - n_common), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

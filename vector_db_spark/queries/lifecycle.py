@@ -210,6 +210,70 @@ def versioned_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "right_to_erasure_audit",
+    extra=True,
+    oracle="""
+WITH e AS (SELECT event_id, user_id FROM events)
+SELECT (SELECT count(*) FROM e)::BIGINT AS rows_before,
+       (SELECT count(*) FROM e WHERE user_id <> 7)::BIGINT AS rows_after,
+       0::BIGINT AS head_trace,
+       0::BIGINT AS raw_trace,
+       TRUE AS history_redacted,
+       TRUE AS other_users_intact
+""",
+)
+def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style erasure, proven at the STORAGE level: copy-on-write
+    ``delete_where`` removes a user's rows from the head snapshot, and
+    ``vacuum`` makes the erasure physical — after it, a raw scan of
+    every byte under data/ (bypassing all manifests) finds ZERO trace,
+    and the retained time-travel versions cannot resurface the user
+    (history_redacted). The audit emits exact row counts against
+    `events` plus the zero-trace facts. This is the capability the
+    reference's pickle-snapshot persistence cannot express at all:
+    erasure there means rewriting the one monolithic snapshot."""
+    from vector_db_spark.operators.versioned import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    root = tempfile.mkdtemp(prefix="gdpr-audit-")
+    try:
+        vt = VersionedTable(spark, os.path.join(root, "t"))
+        vt.append(ev.filter(F.col("event_id") % 2 == 0))
+        vt.append(ev.filter(F.col("event_id") % 2 == 1))
+        rows_before = vt.read().count()
+        vt.delete_where(F.col("user_id") == 7)
+        rows_after = vt.read().count()
+        vt.vacuum(keep_last=1, min_age_seconds=0)
+        head_trace = vt.read().filter(F.col("user_id") == 7).count()
+        # raw scan of every parquet byte on disk, no manifest consulted
+        raw = spark.read.option("recursiveFileLookup", "true").parquet(vt.data_dir)
+        raw_trace = raw.filter(F.col("user_id") == 7).count()
+        # every still-readable version is clean
+        history_redacted = all(
+            vt.read(v).filter(F.col("user_id") == 7).count() == 0
+            for v in vt._versions()
+        )
+        other_users_intact = rows_after == vt.read().count() == raw.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [
+            (
+                rows_before,
+                rows_after,
+                head_trace,
+                raw_trace,
+                bool(history_redacted),
+                bool(other_users_intact),
+            )
+        ],
+        "rows_before long, rows_after long, head_trace long, raw_trace long, "
+        "history_redacted boolean, other_users_intact boolean",
+    )
+
+
+@register(
     "node_table_crud_audit",
     oracle=f"""
 WITH c AS (SELECT c_custkey, c_mktsegment FROM customer),

@@ -275,6 +275,47 @@ def winnow_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_candidate_pairs(docs, k=8, w=4, min_shared=5, max_df=50)
 
 
+@register(
+    "prefix_filter_jaccard",
+    extra=True,
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                        FOR i IN range(1, len(tk) - 1)]) AS s
+  FROM t WHERE len(tk) >= 3)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+           AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5
+""",
+)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-set Jaccard ≥ 0.5 pairs via AllPairs/PPJoin prefix
+    filtering (operators/dedup.prefix_filter_jaccard_pairs) — the
+    deterministic, zero-miss complement to MinHash LSH: candidates are an
+    equi-join on rare-first PREFIX shingles only (Σ df(prefix)² shuffle,
+    never n²), verification is the exact map-side set intersect. The
+    DuckDB oracle computes the ALL-PAIRS ground truth, so a green row
+    proves the filter's completeness on real data, not just its
+    candidates."""
+    from vector_db_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(shingle_table(docs), threshold=0.5)
+
+
 # --- MinHash + LSH near-dup pipeline ------------------------------------------
 
 # MinHash SQL fragments are parameterized on the source relation so the
