@@ -135,7 +135,12 @@ HEADLINE = [
     "prefix_filter_jaccard",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
-    # overhead (~17 s), not data volume — not a steady-state query number
+    # overhead (~17 s), not data volume — not a steady-state query number.
+    # copurchase_ktruss likewise: the iterative peel is 4-6 full triangle
+    # passes whose fixture-scale time is round-trip scheduling, not scan
+    # volume; its per-round shuffle budget is pinned structurally
+    # (tests/test_knn_graph.py) and the oracle row keeps it correctness-
+    # checked every round
 ]
 
 

@@ -521,3 +521,54 @@ def test_node_numbering_strategies_agree(spark):
         ).collect()
     }
     assert via_window == via_range
+
+
+def test_edge_support_and_ktruss_match_reference(spark):
+    """k-truss vs a pure-Python peeling reference on a structured graph:
+    a K5 clique (every edge support 3 within it), a triangle pendant,
+    and a chain (support 0)."""
+    import itertools
+
+    def py_truss(edges, k):
+        es = {tuple(sorted(e)) for e in edges}
+        while True:
+            sup = {e: 0 for e in es}
+            for a, b, c in itertools.combinations(sorted({v for e in es for v in e}), 3):
+                if ((a, b) in es) and ((b, c) in es) and ((a, c) in es):
+                    for e in ((a, b), (b, c), (a, c)):
+                        sup[e] += 1
+            keep = {e for e in es if sup[e] >= k - 2}
+            if keep == es:
+                return es
+            es = keep
+
+    from vector_db_spark.operators.knn_graph import edge_support, k_truss
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    extra = [(4, 10), (10, 11), (11, 4), (11, 20), (20, 21)]
+    edges = clique + extra
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    sup = {(r.a, r.b): r.support for r in edge_support(df).collect()}
+    assert sup[(0, 1)] == 3 and sup[(20, 21)] == 0 and sup[(4, 10)] == 1
+
+    for k in (3, 4, 5):
+        got = {(r.src, r.dst) for r in k_truss(df, k).collect()}
+        assert got == py_truss(edges, k), k
+    # k=4: the pendant triangle (support 1 each) peels away, K5 survives
+    got4 = {(r.src, r.dst) for r in k_truss(df, 4).collect()}
+    assert got4 == set(map(tuple, clique))
+    # support reported on the FINAL subgraph
+    final_sup = {(r.src, r.dst): r.support for r in k_truss(df, 4).collect()}
+    assert all(v == 3 for v in final_sup.values())
+
+
+def test_ktruss_empty_and_validation(spark):
+    import pytest as _pytest
+
+    from vector_db_spark.operators.knn_graph import k_truss
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert k_truss(df, 3).count() == 0  # no triangles at all
+    with _pytest.raises(ValueError, match="k >= 2"):
+        k_truss(df, 1)

@@ -613,3 +613,33 @@ def test_merge_probe_is_zone_pruned(spark, vt):
     assert got[1005] == "UPD" and got[1500] == "NEW"
     assert got[0] == "r0" and got[2000] == "r2000"
     assert len(got) == 301
+
+
+def test_appended_rows_change_feed(spark, vt):
+    vt.append(_df(spark, 0, 10))                 # v0
+    vt.append(_df(spark, 10, 30))                # v1
+    vt.append(_df(spark, 30, 35))                # v2
+    feed = vt.appended_rows(0)                   # (v0, v2]
+    got = {(r.id, r._commit_version) for r in feed.collect()}
+    assert {i for i, _ in got} == set(range(10, 35))
+    assert {v for _, v in got} == {1, 2}
+    assert vt.appended_rows(1).count() == 5
+    assert vt.appended_rows(2).count() == 0      # empty feed, schema intact
+    assert "_commit_version" in vt.appended_rows(2).columns
+
+
+def test_appended_rows_refuses_rewrites(spark, vt):
+    vt.append(_df(spark, 0, 10))
+    vt.delete_where(F.col("id") == 3)
+    vt.append(_df(spark, 10, 20))
+    with pytest.raises(ValueError, match="append-only"):
+        vt.appended_rows(0)
+    # a range past the rewrite works
+    assert vt.appended_rows(1).count() == 10
+
+
+def test_appended_rows_spans_schema_evolution(spark, vt):
+    vt.append(_df(spark, 0, 5))
+    vt.append(spark.createDataFrame([(50, "n", 0.9)], "id long, s string, score double"))
+    feed = vt.appended_rows(0)
+    assert "score" in feed.columns and feed.count() == 1

@@ -887,7 +887,7 @@ def personalized_pagerank(
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     ranks = node_df.select("src", "__is_s", teleport.alias("rank"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             ed.join(ranks.select("src", "rank"), "src")
             .groupBy("dst")
@@ -911,6 +911,84 @@ def personalized_pagerank(
                     * (F.coalesce("c", F.lit(0.0)) + F.col("dang") * teleport)
                 ).alias("rank"),
             )
+        )
+        # lineage bound without a materialization barrier EVERY round:
+        # checkpoint every 3rd iteration (and the last) — plan depth stays
+        # O(3 iterations), but two of three rounds skip the eager write.
+        # Values are unchanged (checkpointing never alters results).
+        if it % 3 == 2 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("src").alias("id"), "rank")
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """(a, b, support): per-edge triangle count of an undirected graph
+    (a<b normalized). Same oriented wedge-close shape as
+    :func:`triangle_count`, but each found triangle (x<y<z) credits all
+    three of its edges — one explode + one keyed count after the close."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    tris = wedges.join(
+        e.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+        "left_semi",
+    )
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = tri_edges.groupBy("a", "b").agg(F.count("*").alias("support"))
+    return e.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+    )
+
+
+def k_truss(edges: DataFrame, k: int, *, max_iter: int = 30) -> DataFrame:
+    """The k-truss of an undirected graph: the maximal subgraph in which
+    every edge closes at least ``k − 2`` triangles WITHIN the subgraph —
+    the standard cohesive-community denser-than-k-core refinement
+    (Cohen '08). Iterative peel: recompute support, drop light edges,
+    repeat to fixpoint. O(diameter-ish) rounds, each one triangle pass
+    (two equi-joins) over the SURVIVING edges only — the graph only
+    shrinks, so the expensive early rounds dominate and later rounds are
+    nearly free. Returns the surviving ``(a, b, support)`` edges.
+
+    Scale: per-round cost is the wedge volume Σ deg⁺² of the current
+    subgraph (the same bound as triangle_count, with the same low→high
+    orientation mitigation); lineage is cut per round."""
+    if k < 2:
+        raise ValueError("k-truss needs k >= 2")
+    cur = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    n_prev = cur.count()
+    for _ in range(max_iter):
+        sup = edge_support(cur)
+        cur = (
+            sup.filter(F.col("support") >= k - 2)
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .localCheckpoint(eager=True)
         )
-    return ranks.select(F.col("src").alias("id"), "rank")
+        n = cur.count()
+        if n == n_prev:
+            break
+        n_prev = n
+    return edge_support(cur).withColumnRenamed("a", "src").withColumnRenamed("b", "dst")

@@ -782,6 +782,42 @@ class VersionedTable:
             *[os.path.join(self.path, f) for f in m["files"]]
         )
 
+    def appended_rows(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Append-only change feed: the rows landed by ``append`` commits
+        in ``(from_version, to_version]``, each tagged with its
+        ``_commit_version`` — what an incremental consumer (downstream
+        index refresh, feature backfill, CDC fan-out) reads instead of
+        re-scanning the table. Reads ONLY the delta manifests' added
+        files; cost is O(new data), independent of table size.
+
+        Non-append commits in the range (delete/merge/compact/rollback)
+        raise: their adds are rewrites, not new rows — row-level change
+        capture across those goes through :meth:`diff`."""
+        head = self.current_version()
+        if head is None:
+            raise ValueError("empty table")
+        to_version = head if to_version is None else to_version
+        out: DataFrame | None = None
+        for v in range(from_version + 1, to_version + 1):
+            m = self._read_manifest(v)
+            if m["op"] != "append":
+                raise ValueError(
+                    f"version {v} is op={m['op']!r}: the append-only change feed "
+                    "cannot represent rewrites — use diff() across it"
+                )
+            if not m.get("add"):
+                continue
+            part = self._read_paths(
+                [os.path.join(self.path, f) for f in m["add"]]
+            ).withColumn("_commit_version", F.lit(v))
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        if out is None:
+            df = self.read(to_version if to_version <= head else head)
+            return df.limit(0).withColumn("_commit_version", F.lit(0))
+        return out
+
     def version_at(self, ts: float) -> int:
         """Greatest version committed at or before wall-clock ``ts`` (the
         Delta `TIMESTAMP AS OF` resolution rule). Commit times come from

@@ -1623,6 +1623,68 @@ def copurchase_ppr_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "copurchase_ktruss",
+    extra=True,
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE mod(l_partkey, 5) = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges_before,
+       TRUE AS truss_is_subgraph, TRUE AS support_floor_ok,
+       TRUE AS truss_nonempty
+""",
+)
+def copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the co-purchase graph (operators/knn_graph.k_truss —
+    iterative support peel, Cohen '08): the cohesive always-bought-
+    together cores that k-core and raw triangle counts over-include.
+    Same deterministic mod-5 scope as copurchase_ppr_expansion.
+    Invariant projection: exact input edge count, subgraph containment,
+    the k-truss support floor on every surviving edge (recomputed on the
+    FINAL subgraph — the defining property), and non-emptiness. The peel
+    itself is iterative (not one-shot SQL); exact agreement with a
+    pure-Python peeling reference is pinned in tests/test_knn_graph.py."""
+    from vector_db_spark.operators.knn_graph import k_truss
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .cache()
+    )
+    n_before = edges.count()
+    truss = k_truss(edges, 4).cache()
+    n_after = truss.count()
+    contained = (
+        truss.join(edges, ["src", "dst"], "left_anti").count() == 0
+    )
+    floor_ok = truss.filter(F.col("support") < 2).count() == 0
+    return spark.createDataFrame(
+        [
+            (
+                n_before,
+                bool(contained),
+                bool(floor_ok),
+                bool(n_after > 0),
+            )
+        ],
+        "n_edges_before long, truss_is_subgraph boolean, "
+        "support_floor_ok boolean, truss_nonempty boolean",
+    )
+
+
 # --- data-contract expectations -----------------------------------------------
 
 
