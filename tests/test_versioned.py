@@ -643,3 +643,34 @@ def test_appended_rows_spans_schema_evolution(spark, vt):
     vt.append(spark.createDataFrame([(50, "n", 0.9)], "id long, s string, score double"))
     feed = vt.appended_rows(0)
     assert "score" in feed.columns and feed.count() == 1
+
+
+def test_change_feed_drives_incremental_index_refresh(spark, vt, sf_smoke):
+    """Composition: the append-only change feed is exactly what an
+    incremental IVF refresh consumes — assigning ONLY the fed rows gives
+    the same clusters a full re-assignment would give them."""
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.ivf import assign_to_centroids
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    a = emb.filter(F.col("vec_id") < 300)
+    b = emb.filter(F.col("vec_id").between(300, 399))
+    vt.append(a)
+    v_indexed = vt.current_version()
+    vt.append(b)
+
+    cents = [
+        (0, [0.0] * 32),
+        (1, [1.0] * 32),
+        (2, [-1.0] * 32),
+    ]
+    feed = vt.appended_rows(v_indexed).select("vec_id", "embedding")
+    inc = assign_to_centroids(feed, cents, id_col="vec_id", vec_col="embedding")
+    full = assign_to_centroids(
+        vt.read().select("vec_id", "embedding"), cents,
+        id_col="vec_id", vec_col="embedding",
+    ).filter(F.col("vec_id") >= 300)
+    assert feed.count() == 100
+    assert sorted(map(tuple, inc.select("vec_id", "cluster_id").collect())) == sorted(
+        map(tuple, full.select("vec_id", "cluster_id").collect())
+    )

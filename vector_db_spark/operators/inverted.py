@@ -49,6 +49,52 @@ class InvertedIndex:
     # -- build -----------------------------------------------------------------
 
     @classmethod
+    def _write(
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        path: str,
+        *,
+        id_col: str,
+        text_col: str,
+        n_buckets: int,
+        mode: str,
+        prev: dict | None,
+    ) -> "InvertedIndex":
+        toks = tokens(text_col)
+        postings = (
+            docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+            .filter(F.length("tok") > 0)
+            .groupBy("tok", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+        )
+        postings.write.mode(mode).partitionBy("bucket").parquet(
+            os.path.join(path, "postings")
+        )
+        doclens = docs.select(
+            F.col(id_col).alias("doc_id"), F.size(toks).cast("double").alias("dl")
+        )
+        doclens.write.mode(mode).parquet(os.path.join(path, "doclens"))
+        stats = docs.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.sum(F.size(toks)).cast("double").alias("sum_dl"),
+        ).collect()[0]
+        n_docs = stats["n_docs"] + (prev["n_docs"] if prev else 0.0)
+        sum_dl = stats["sum_dl"] + (prev.get("sum_dl", 0.0) if prev else 0.0)
+        with open(os.path.join(path, "stats.json"), "w") as fh:
+            json.dump(
+                {
+                    "n_docs": n_docs,
+                    "sum_dl": sum_dl,
+                    "avgdl": sum_dl / n_docs,
+                    "n_buckets": n_buckets,
+                },
+                fh,
+            )
+        return cls(spark, path)
+
+    @classmethod
     def build(
         cls,
         spark: SparkSession,
@@ -59,35 +105,39 @@ class InvertedIndex:
         text_col: str = "text",
         n_buckets: int = 64,
     ) -> "InvertedIndex":
-        toks = tokens(text_col)
-        postings = (
-            docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
-            .filter(F.length("tok") > 0)
-            .groupBy("tok", "doc_id")
-            .agg(F.count("*").alias("tf"))
-            .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+        return cls._write(
+            spark, docs, path,
+            id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+            mode="overwrite", prev=None,
         )
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(path, "postings")
+
+    def add(
+        self,
+        docs: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "InvertedIndex":
+        """Incremental document addition: new posting/doclen files append
+        into the SAME bucket partition dirs (cost O(new docs), the
+        existing postings are never rewritten or read), and the global
+        stats update from the exact running ``sum_dl``. Searches after
+        ``add`` equal a from-scratch rebuild bit-for-bit (pinned by
+        test) because tf/df/dl are per-doc facts and n_docs/avgdl are
+        exact sums. Caller contract: new ids only (re-adding a doc
+        double-counts — delete support would need a tombstone table,
+        the VersionedTable pattern)."""
+        with open(os.path.join(self.path, "stats.json")) as fh:
+            prev = json.load(fh)
+        if "sum_dl" not in prev:  # stats written by an older build
+            prev["sum_dl"] = prev["n_docs"] * prev["avgdl"]
+        out = self._write(
+            self.spark, docs, self.path,
+            id_col=id_col, text_col=text_col, n_buckets=self.n_buckets,
+            mode="append", prev=prev,
         )
-        doclens = docs.select(
-            F.col(id_col).alias("doc_id"), F.size(toks).cast("double").alias("dl")
-        )
-        doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
-        stats = docs.agg(
-            F.count("*").cast("double").alias("n_docs"),
-            F.avg(F.size(toks)).alias("avgdl"),
-        ).collect()[0]
-        with open(os.path.join(path, "stats.json"), "w") as fh:
-            json.dump(
-                {
-                    "n_docs": stats["n_docs"],
-                    "avgdl": stats["avgdl"],
-                    "n_buckets": n_buckets,
-                },
-                fh,
-            )
-        return cls(spark, path)
+        self.n_docs, self.avgdl = out.n_docs, out.avgdl
+        return self
 
     # -- serving ---------------------------------------------------------------
 
