@@ -674,3 +674,30 @@ def test_change_feed_drives_incremental_index_refresh(spark, vt, sf_smoke):
     assert sorted(map(tuple, inc.select("vec_id", "cluster_id").collect())) == sorted(
         map(tuple, full.select("vec_id", "cluster_id").collect())
     )
+
+
+def test_concurrent_writers_all_commits_land(spark, vt):
+    """Two REAL threads racing appends through the O_EXCL protocol: every
+    commit must land exactly once, versions are gapless, and the final
+    snapshot is the union of all batches."""
+    import threading
+
+    errs = []
+
+    def writer(base: int) -> None:
+        try:
+            for i in range(5):
+                lo = base + i * 100
+                vt.append(_df(spark, lo, lo + 100), retries=50)
+        except Exception as e:  # pragma: no cover - failure surface
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(0,))
+    t2 = threading.Thread(target=writer, args=(10_000,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert vt._versions() == list(range(10))  # gapless, all landed
+    assert vt.read().count() == 1000
+    ids = {r.id for r in vt.read().select("id").collect()}
+    want = set(range(0, 500)) | set(range(10_000, 10_500))
+    assert ids == want

@@ -360,7 +360,13 @@ class VersionedTable:
             return json.load(fh)
 
     def _try_commit(
-        self, files: list[str], op: str, n_rows: int, *, txn_id: str | None = None
+        self,
+        files: list[str],
+        op: str,
+        n_rows: int,
+        *,
+        txn_id: str | None = None,
+        pending: dict | None = None,
     ) -> int:
         """One atomic attempt to claim the next version: the manifest is
         created with O_EXCL, so exactly one writer wins each version
@@ -398,7 +404,7 @@ class VersionedTable:
         # stats, or the base snapshot when re-adding e.g. on rollback);
         # snapshot reconstruction accumulates them
         known: dict = dict(base["stats"])
-        known.update(getattr(self, "_pending_stats", {}) or {})
+        known.update(pending or {})
         add_stats = {f: known[f] for f in add if f in known}
         if add_stats:
             manifest["stats"] = add_stats
@@ -436,7 +442,7 @@ class VersionedTable:
 
     # -- writes ---------------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
+    def _write_files(self, df: DataFrame) -> tuple[list[str], int, dict]:
         """Land ``df`` as immutable files in a fresh txn subdir of data/.
         The directory is invisible to every reader until a manifest that
         references it commits.
@@ -457,7 +463,7 @@ class VersionedTable:
             if f.endswith(".parquet")
         )
         if not files:  # empty frame can commit zero part files
-            return [], 0
+            return [], 0, {}
         back = self.spark.read.parquet(out)
         stats_cols = [c for c in self.stats_cols() if c in back.columns]
         if stats_cols:
@@ -471,7 +477,7 @@ class VersionedTable:
                 .collect()
             )  # O(files) rows
             n_rows = sum(r["__n"] for r in per_file)
-            self._pending_stats = {
+            pending = {
                 os.path.relpath(r["__f"].removeprefix("file://"), self.path): {
                     c: [r[f"min::{c}"], r[f"max::{c}"]] for c in stats_cols
                 }
@@ -479,11 +485,11 @@ class VersionedTable:
             }
         else:
             n_rows = back.count()
-            self._pending_stats = {}
-        self._merge_pending_blooms(back)
-        return files, n_rows
+            pending = {}
+        self._merge_pending_blooms(back, pending)
+        return files, n_rows, pending
 
-    def _merge_pending_blooms(self, back: DataFrame) -> None:
+    def _merge_pending_blooms(self, back: DataFrame, pending: dict) -> None:
         """Per-file Bloom bitmaps for the declared bloom columns, computed
         in one Arrow task per file group and merged into the pending
         stats under ``bloom::<col>`` keys (riding the exact same
@@ -519,11 +525,9 @@ class VersionedTable:
             .applyInPandas(kernel, "f string, col string, bloom string")
             .collect()
         )
-        pending = getattr(self, "_pending_stats", None) or {}
         for r in per_file:
             rel = os.path.relpath(r["f"].removeprefix("file://"), self.path)
             pending.setdefault(rel, {})[f"bloom::{r['col']}"] = r["bloom"]
-        self._pending_stats = pending
 
     def append(self, df: DataFrame, *, txn_id: str | None = None, retries: int = 5) -> int:
         """Append commutes with concurrent commits: on conflict the base
@@ -542,13 +546,14 @@ class VersionedTable:
             seen = self.txn_version(txn_id)
             if seen is not None:
                 return seen
-        files, n = self._write_files(df)
+        files, n, pend = self._write_files(df)
         for _ in range(retries):
             prev = self.current_version()
             m = self._snapshot(prev) if prev is not None else {"files": [], "n_rows": 0}
             try:
                 return self._try_commit(
-                    m["files"] + files, "append", m["n_rows"] + n, txn_id=txn_id
+                    m["files"] + files, "append", m["n_rows"] + n,
+                    txn_id=txn_id, pending=pend,
                 )
             except CommitConflict:
                 continue
@@ -556,10 +561,10 @@ class VersionedTable:
 
     def overwrite(self, df: DataFrame, *, retries: int = 5) -> int:
         """Overwrite is base-independent — a lost race retries verbatim."""
-        files, n = self._write_files(df)
+        files, n, pend = self._write_files(df)
         for _ in range(retries):
             try:
-                return self._try_commit(files, "overwrite", n)
+                return self._try_commit(files, "overwrite", n, pending=pend)
             except CommitConflict:
                 continue
         raise CommitConflict(f"overwrite lost {retries} consecutive commit races")
@@ -592,13 +597,15 @@ class VersionedTable:
         survivors = self._read_paths(
             [os.path.join(self.path, f) for f in sorted(hit_files)]
         ).filter(~F.coalesce(cond, F.lit(False)))
-        new_files, n_new = self._write_files(survivors)
+        new_files, n_new, pend = self._write_files(survivors)
         kept_rows = (
             self.spark.read.parquet(*[os.path.join(self.path, f) for f in keep]).count()
             if keep
             else 0
         )
-        return self._try_commit(keep + new_files, "delete", kept_rows + n_new)
+        return self._try_commit(
+            keep + new_files, "delete", kept_rows + n_new, pending=pend
+        )
 
     def merge(
         self,
@@ -693,13 +700,15 @@ class VersionedTable:
             combined = part if combined is None else combined.unionByName(part)
         if combined is None:
             return self._try_commit(m["files"], "merge", m["n_rows"])
-        new_files, n_new = self._write_files(combined)
+        new_files, n_new, pend = self._write_files(combined)
         kept_rows = (
             self.spark.read.parquet(*[os.path.join(self.path, f) for f in keep]).count()
             if keep
             else 0
         )
-        return self._try_commit(keep + new_files, "merge", kept_rows + n_new)
+        return self._try_commit(
+            keep + new_files, "merge", kept_rows + n_new, pending=pend
+        )
 
     def rollback(self, version: int) -> int:
         """Restore an old snapshot as a NEW commit (history is never
@@ -707,8 +716,10 @@ class VersionedTable:
         m = self._snapshot(version)  # raises if unknown
         # the restored files' zones may be absent from the current head —
         # re-seed them from the target snapshot
-        self._pending_stats = m.get("stats", {})
-        return self._try_commit(m["files"], f"rollback:{version}", m["n_rows"])
+        return self._try_commit(
+            m["files"], f"rollback:{version}", m["n_rows"],
+            pending=m.get("stats", {}),
+        )
 
     def compact(
         self, target_files: int = 1, *, zorder_by: Sequence[str] | None = None
@@ -738,10 +749,10 @@ class VersionedTable:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-            files, n = self._write_files(df)
-            return self._try_commit(files, "zorder", n)
-        files, n = self._write_files(df.coalesce(target_files))
-        return self._try_commit(files, "compact", n)
+            files, n, pend = self._write_files(df)
+            return self._try_commit(files, "zorder", n, pending=pend)
+        files, n, pend = self._write_files(df.coalesce(target_files))
+        return self._try_commit(files, "compact", n, pending=pend)
 
     def _zvalue(self, df: DataFrame, cols: list[str], *, bits: int = 8):
         """Morton code: interleaved bits of per-column quantile buckets.
