@@ -701,3 +701,9 @@ def test_concurrent_writers_all_commits_land(spark, vt):
     ids = {r.id for r in vt.read().select("id").collect()}
     want = set(range(0, 500)) | set(range(10_000, 10_500))
     assert ids == want
+
+
+def test_zorder_rejects_string_columns(spark, vt):
+    vt.append(_df(spark, 0, 10))
+    with pytest.raises(ValueError, match="zorder_by column 's'"):
+        vt.compact(target_files=2, zorder_by=["id", "s"])

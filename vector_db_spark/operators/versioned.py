@@ -760,12 +760,24 @@ class VersionedTable:
         array filter, JVM-side); NULLs sort to bucket 0."""
         if len(cols) * bits > 63:
             raise ValueError("zorder bit budget exceeds a signed long")
+        from pyspark.sql import types as T
+
+        numeric = (T.NumericType, T.TimestampType)
+        for c in cols:
+            if not isinstance(df.schema[c].dataType, numeric):
+                raise ValueError(
+                    f"zorder_by column {c!r} is {df.schema[c].dataType.simpleString()}: "
+                    "quantile bucketing needs a numeric/timestamp column "
+                    "(a string would silently hash to one bucket)"
+                )
         nq = 1 << bits
         k = len(cols)
         z = F.lit(0).cast("long")
         for j, c in enumerate(cols):
             probs = [i / nq for i in range(1, nq)]
-            bounds = df.approxQuantile(c, probs, 0.001)
+            bounds = df.select(
+                F.col(c).cast("double").alias("__q")
+            ).approxQuantile("__q", probs, 0.001)
             barr = F.array(*[F.lit(float(b)) for b in bounds])
             bucket = F.size(
                 F.filter(barr, lambda x: x <= F.col(c).cast("double"))
