@@ -124,3 +124,28 @@ def test_search_diversify_mmr(service):
     assert top_div.content == "Red Apple"
     # distances still true distances (self-match ~0)
     assert top_div.distance <= 1e-6
+
+
+def test_delete_documents_removes_from_store_and_index(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    svc = VectorDBService(spark, str(tmp_path / "svc"), dim=8)
+    docs = spark.createDataFrame(
+        [(f"doc number {i}", {"k": str(i % 2)}) for i in range(30)],
+        "content string, metadata map<string,string>",
+    )
+    svc.insert_documents(docs)
+    svc.build_index(k=3)
+    removed = svc.delete_documents([1, 2, 3, 999])
+    assert removed == 3  # 999 never existed
+    assert svc.nodes.size() == 27
+    # the index agrees: deleted ids are unsearchable and membership matches
+    idx = svc._index()
+    assert idx.corpus().filter(F.col("id").isin([1, 2, 3])).count() == 0
+    assert idx.corpus().count() == 27
+    # search still works over the survivors
+    q = svc.nodes.df().filter(F.col("id") == 5).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = idx.search(q, k=3, n_probe=3)
+    assert got.count() == 3

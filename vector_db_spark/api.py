@@ -103,6 +103,19 @@ class VectorDBService:
             idx.add(new_ids)
         return n
 
+    def delete_documents(self, node_ids: list[int]) -> int:
+        """DELETE by id across BOTH stores: the node table (anti-join
+        rewrite, storage.py delete semantics) and, when an index exists,
+        the IVF partitions holding those vectors (partition-targeted
+        rewrite, IVFIndex.delete) — store and index can never disagree
+        about membership. Returns the number actually removed."""
+        n_before = self.nodes.size()
+        self.nodes.delete(node_ids)
+        idx = self._index()
+        if idx is not None:
+            idx.delete(node_ids)
+        return n_before - self.nodes.size()
+
     # -- index build (V10) -----------------------------------------------------
 
     def build_index(self, k: int = 10, max_iter: int = 20, seed: int = 42) -> None:
