@@ -233,6 +233,35 @@ def export_partition_hnsw(
     return sharded.groupBy(partition_col, "shard").applyInPandas(build, schema)
 
 
+def hnsw_sharded_search(
+    graph_rows: list,
+    vectors: dict[int, np.ndarray],
+    query: np.ndarray,
+    k: int,
+    *,
+    ef: int = 50,
+) -> list[int]:
+    """Serving-side fan-out over a SHARDED cluster export: run
+    :func:`hnsw_graph_search` independently on each shard's graph and
+    merge the per-shard results by true distance (ties by id) — the same
+    probe-union a serving tier already performs across clusters, applied
+    one level down. Rows must carry the ``shard`` column the exporter
+    emits; an unsharded cluster (single shard 0) degenerates to the plain
+    search."""
+    by_shard: dict[int, list] = {}
+    for r in graph_rows:
+        by_shard.setdefault(getattr(r, "shard", 0), []).append(r)
+    cand: set[int] = set()
+    for rows in by_shard.values():
+        ids = {r.src_id for r in rows}
+        vecs = {i: vectors[i] for i in ids if i in vectors}
+        cand.update(hnsw_graph_search(rows, vecs, query, k, ef=ef))
+    scored = sorted(
+        (float(np.sqrt(((vectors[i] - query) ** 2).sum())), i) for i in cand
+    )
+    return [i for _, i in scored[:k]]
+
+
 def hnsw_graph_search(
     graph_rows: list,
     vectors: dict[int, np.ndarray],
