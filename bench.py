@@ -130,7 +130,6 @@ HEADLINE = [
     "inverted_bm25_search",
     "leakage_safe_split",
     "bpe_tokenize_audit",
-    "bucketed_join_audit",
     "right_to_erasure_audit",
     "prefix_filter_jaccard",
     # knn_pagerank is registry-tested but not benched: power iteration is

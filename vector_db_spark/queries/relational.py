@@ -1417,70 +1417,6 @@ def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
-# --- bucketed (pre-shuffled) co-located join -----------------------------------
-
-_BUCKETED_READY: set[str] = set()
-
-
-@register(
-    "bucketed_join_audit",
-    extra=True,
-    oracle="""
-SELECT (SELECT count(*) FROM orders o JOIN lineitem l
-        ON o.o_orderkey = l.l_orderkey)::BIGINT AS n_joined,
-       (SELECT round(sum(l.l_extendedprice), 2) FROM orders o JOIN lineitem l
-        ON o.o_orderkey = l.l_orderkey
-        WHERE o.o_orderstatus = 'F') AS f_revenue,
-       TRUE AS no_shuffle_join
-""",
-)
-def bucketed_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pre-shuffled join layout (operators/bucketing.py): orders and
-    lineitem are written once as co-bucketed tables on the order key,
-    then a sort-merge join runs with ZERO Exchange on either side — the
-    repeated-join shuffle paid once at write time, the layout move that
-    makes hourly fact-to-fact joins viable at 100 TB. Emits the exact
-    join cardinality and a filtered revenue sum (results must be
-    layout-independent) plus the Exchange-free plan fact."""
-    import tempfile
-
-    from vector_db_spark.operators.bucketing import (
-        bucketed_join,
-        joins_without_exchange,
-        write_bucketed,
-    )
-
-    if sf_dir not in _BUCKETED_READY:
-        base = tempfile.mkdtemp(prefix="bkt_")
-        write_bucketed(
-            load_table(spark, sf_dir, "orders"),
-            "b_orders",
-            base + "/orders",
-            key="o_orderkey",
-            n_buckets=8,
-        )
-        write_bucketed(
-            load_table(spark, sf_dir, "lineitem"),
-            "b_lineitem",
-            base + "/lineitem",
-            key="l_orderkey",
-            n_buckets=8,
-        )
-        _BUCKETED_READY.add(sf_dir)
-    j = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey", "l_orderkey")
-    no_shuffle = joins_without_exchange(j)
-    agg = j.agg(
-        F.count("*").alias("n_joined"),
-        F.round(
-            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("l_extendedprice"))),
-            2,
-        ).alias("f_revenue"),
-    )
-    return agg.select(
-        "n_joined", "f_revenue", F.lit(bool(no_shuffle)).alias("no_shuffle_join")
-    )
-
-
 # --- interval (range-containment) join ----------------------------------------
 
 
