@@ -276,6 +276,55 @@ def winnow_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_novelty",
+    extra=True,
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                               FOR i IN range(1, len(tk) - 1)])) AS shingle
+  FROM t WHERE len(tk) >= 3),
+df AS (SELECT shingle, count(*) AS d FROM sh GROUP BY 1)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+       round(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS novelty
+FROM sh JOIN df USING (shingle)
+GROUP BY 1
+""",
+)
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-shingles that appear NOWHERE else in the corpus — the
+    dedup-adjacent curation signal separating fresh text from recombined
+    boilerplate (low novelty ⇒ heavily shared phrasing even when no
+    single pair crosses the near-dup threshold; the complement of the
+    memorization-risk screen). One shingle-df aggregation + one keyed
+    join — the same Σ-distinct-shingles budget as boilerplate_frac,
+    value-exact against DuckDB."""
+    from vector_db_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(load_table(spark, sf_dir, "documents"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("d"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("d") == 1).cast("long")).alias("n_unique"),
+            F.round(
+                F.sum((F.col("d") == 1).cast("long")) / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
     "prefix_filter_jaccard",
     extra=True,
     oracle="""
