@@ -133,6 +133,7 @@ HEADLINE = [
     "right_to_erasure_audit",
     "prefix_filter_jaccard",
     "doc_novelty",
+    "association_rules",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number.

@@ -1560,6 +1560,74 @@ def copurchase_ppr_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "association_rules",
+    extra=True,
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE mod(l_partkey, 5) = 0),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li),
+item AS (SELECT l_partkey AS p, count(*) AS sup FROM li GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, count(*) AS sup_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2)
+SELECT ante, cons, sup_ab::BIGINT AS support,
+       round(sup_ab::DOUBLE / ia.sup, 6) AS confidence,
+       round((sup_ab::DOUBLE / ia.sup) / (ic.sup::DOUBLE / n.n_baskets), 6)
+         AS lift
+FROM pair JOIN item ia ON ia.p = ante
+          JOIN item ic ON ic.p = cons
+          CROSS JOIN n
+WHERE sup_ab >= 3
+  AND round((sup_ab::DOUBLE / ia.sup) / (ic.sup::DOUBLE / n.n_baskets), 6) > 1.0
+""",
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift —
+    Agrawal-Srikant) over parts co-purchased in one order, at the same
+    deterministic mod-5 scope as the other co-purchase analytics:
+    directed rules ante→cons with support ≥ 3 and lift > 1. One distinct
+    pass, one per-order self-join (tiny groups: TPC-H ≤ 7 lineitems),
+    two broadcast-able item-support joins — never baskets². Exact SQL
+    oracle, every metric value-checked."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .cache()
+    )
+    n_baskets = li.select("l_orderkey").distinct().count()
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(F.count("*").alias("sup"))
+    pair = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons")
+        )
+        .agg(F.count("*").alias("sup_ab"))
+    )
+    ia = item.select(F.col("p").alias("ante"), F.col("sup").alias("sup_a"))
+    ic = item.select(F.col("p").alias("cons"), F.col("sup").alias("sup_c"))
+    conf = F.col("sup_ab") / F.col("sup_a")
+    lift = conf / (F.col("sup_c") / F.lit(float(n_baskets)))
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .filter(F.col("sup_ab") >= 3)
+        .withColumn("confidence", F.round(conf, 6))
+        .withColumn("lift", F.round(lift, 6))
+        .filter(F.col("lift") > 1.0)
+        .select(
+            "ante", "cons", F.col("sup_ab").cast("long").alias("support"),
+            "confidence", "lift",
+        )
+    )
+
+
+@register(
     "copurchase_ktruss",
     extra=True,
     oracle="""
