@@ -134,6 +134,7 @@ HEADLINE = [
     "prefix_filter_jaccard",
     "doc_novelty",
     "association_rules",
+    "image_phash_near_dup",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number.

@@ -243,3 +243,90 @@ def sample_video_frames(
         .select("media_id", "payload", F.col("meta.duration_ms").alias("duration_ms"))
         .mapInPandas(kernel, "media_id long, frame_idx int, ts_ms int, features array<float>")
     )
+
+
+def media_hash60(
+    df: DataFrame, *, decoder: str = "strict", hash_col: str = "phash"
+) -> DataFrame:
+    """(media_id, phash): 60-bit perceptual hash per image payload — the
+    image-dedup primitive (pHash/dHash family: decode → downscale → DCT →
+    sign bits). Real implementation point: PIL decode + 8×8 DCT inside
+    this same Arrow kernel; not installed here, so ``decoder="fake"``
+    substitutes the md5-low-60 of the payload BYTES — deterministic, so
+    identical payloads collide exactly (Hamming 0) and the entire
+    downstream blocking/verify pipeline is real and oracle-checkable.
+    60 bits = the repo's 15-nibble sign-safe-int64 idiom."""
+    if decoder == "strict":
+        raise NotImplementedError(
+            "perceptual hashing requires PIL (decode + DCT), not installed "
+            "in this container; use decoder='fake'"
+        )
+    import hashlib
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = [
+                int(hashlib.md5(bytes(p or b"")).hexdigest()[:15], 16)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], hash_col: hs})
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, f"media_id long, {hash_col} long")
+    )
+
+
+def media_near_dup_pairs(
+    df: DataFrame,
+    *,
+    decoder: str = "strict",
+    hamming_max: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Exact Hamming-≤k near-duplicate image pairs via pigeonhole band
+    blocking over the perceptual hash — the image-corpus dedup pass,
+    sharing the SimHash machinery's guarantee (two hashes within
+    ``hamming_max`` < ``n_bands`` must agree exactly on ≥1 band, so the
+    equi-join candidates are complete, never an all-pairs scan) and its
+    codegen'd ``bit_count(xor)`` verify."""
+    if hamming_max >= n_bands:
+        raise ValueError("pigeonhole completeness needs hamming_max < n_bands")
+    width = 60 // n_bands
+    h = media_hash60(df, decoder=decoder)
+    bands = h.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), i * width)
+                    % F.lit(2**width)
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_value"),
+    )
+    a = bands.select(
+        "band_idx", "band_value",
+        F.col("media_id").alias("media_a"), F.col("phash").alias("ha"),
+    )
+    b = bands.select(
+        "band_idx", "band_value",
+        F.col("media_id").alias("media_b"), F.col("phash").alias("hb"),
+    )
+    return (
+        a.join(b, ["band_idx", "band_value"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select(
+            "media_a", "media_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .distinct()
+    )

@@ -25,6 +25,7 @@ from vector_db_spark.io import load_table
 from vector_db_spark.operators.multimodal import (
     decode_image_features,
     extract_audio_windows,
+    media_near_dup_pairs,
     resample_audio,
     resize_images,
     sample_video_frames,
@@ -193,3 +194,34 @@ def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
     )
+
+
+@register(
+    "image_phash_near_dup",
+    extra=True,
+    oracle="""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         ('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT AS phash
+  FROM documents WHERE doc_id % 3 = 0),
+bands AS (
+  SELECT media_id, phash, i AS band_idx,
+         (phash >> (i * 15)::INTEGER) & 32767 AS band_value
+  FROM h CROSS JOIN (SELECT unnest(range(4)) AS i) ii)
+SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       bit_count(xor(a.phash, b.phash))::INTEGER AS hamming
+FROM bands a JOIN bands b USING (band_idx, band_value)
+WHERE a.media_id < b.media_id
+  AND bit_count(xor(a.phash, b.phash)) <= 3
+""",
+)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by banded perceptual hash
+    (operators/multimodal.media_near_dup_pairs): per-payload 60-bit hash
+    through the decoder-seam Arrow kernel, pigeonhole band blocking, exact
+    bit_count verify — the image-corpus dedup pass. With the fake decoder
+    the hash is md5-of-payload-bytes, so the oracle reproduces the entire
+    pipeline from the text-derived payloads (duplicate payloads land at
+    Hamming 0; the real pHash slots into the same kernel)."""
+    media = media_table(spark, sf_dir)
+    return media_near_dup_pairs(media, decoder="fake", hamming_max=3, n_bands=4)
