@@ -842,3 +842,84 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def containment_pairs(
+    items: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    item_col: str = "shingle",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT *directional* containment pairs: every ``(doc_a, doc_b)`` with
+    ``|A ∩ B| / |A| ≥ threshold`` (doc_a's shingle set mostly inside
+    doc_b's) — the asymmetric near-dup test Jaccard misses: a paragraph
+    quoted inside a much larger page scores near-zero Jaccard but
+    containment ≈ 1. The subset-document signal a training-data curation
+    pass removes before token counting inflates the small copy's weight.
+
+    Prefix filter, one-sided (the AllPairs bound specialized to
+    containment): order A's items rare-first by global document frequency
+    (item tie-break). If C(a,b) ≥ θ then A shares ≥ ⌈θ|A|⌉ items with B,
+    so at least one of A's first ``|A| − ⌈θ|A|⌉ + 1`` items is in B —
+    candidates are an equi-join of a's PREFIX items against the FULL
+    postings table (bare ids ride the shuffle; sets attach after the
+    pair dedup). Zero misses by the pigeonhole above; the verify is the
+    exact map-side ``array_intersect``. Join volume is
+    Σ_{t ∈ prefixes} df(t) — rare-first prefixes keep df low; the
+    ``|B| ≥ θ|A|`` size pre-cut drops tiny-into-huge false candidates
+    before the set arrays attach.
+
+    Returns ``(doc_a, doc_b, containment)``, round-6, a ≠ b, both
+    directions independently (mutual containment ⇒ two rows). Engine-
+    deterministic end to end — the DuckDB oracle computes ALL-PAIRS
+    ground truth, so a green row proves completeness."""
+    toks = items.select(F.col(id_col), F.col(item_col).alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "tok"))),
+                lambda s: s.tok,
+            ).alias("__set")
+        )
+        .withColumn("__sz", F.size("__set"))
+        # one-sided prefix: |A| - ceil(θ|A|) + 1 items suffice (pigeonhole)
+        .withColumn(
+            "__plen",
+            F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int") + 1,
+        )
+    )
+    ranked = ranked.cache()  # feeds the prefix explode, full postings, both set lookups
+    pref_a = ranked.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("__sz").alias("__za"),
+        F.explode(F.slice("__set", 1, F.col("__plen"))).alias("tok"),
+    )
+    posts_b = ranked.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("__sz").alias("__zb"),
+        F.explode("__set").alias("tok"),
+    )
+    cand = (
+        pref_a.join(posts_b, "tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        # |A∩B| ≥ θ|A| and |A∩B| ≤ |B|  ⇒  |B| ≥ θ|A| (necessary, cheap)
+        .filter(F.col("__zb") >= F.lit(threshold) * F.col("__za"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets_a = ranked.select(
+        F.col(id_col).alias("doc_a"), F.col("__set").alias("__sa"), F.col("__sz").alias("__za")
+    )
+    sets_b = ranked.select(F.col(id_col).alias("doc_b"), F.col("__set").alias("__sb"))
+    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("containment", F.round(n_common / F.col("__za"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

@@ -122,6 +122,34 @@ def hyperplane_lsh_buckets(
     )
 
 
+def expand_probe_buckets(buckets: DataFrame, n_bits: int = N_BITS) -> DataFrame:
+    """Multi-probe expansion (Lv et al., VLDB'07): for each base bucket
+    emit the bucket itself plus every bucket at Hamming distance 1 (one
+    sign bit flipped) — ``1 + n_bits`` probes per table. Applied to the
+    QUERY side only: recall rises as if more hash tables existed, but the
+    corpus is bucketed (and stored) exactly once — the memory/recall
+    trade that made multi-probe the standard LSH deployment shape. The
+    probe set is a pure string transform of the base bucket, so the whole
+    expansion stays inside whole-stage codegen and is reproducible in SQL.
+
+    Input/output schema: ``(id, table_idx, bucket)``; probes are distinct
+    by construction (each flip changes exactly one position)."""
+    id_col, *_ = buckets.columns
+    variants = [F.col("bucket")] + [
+        F.concat(
+            F.substring("bucket", 1, i),
+            F.when(F.substring("bucket", i + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring("bucket", i + 2, n_bits - i - 1),
+        )
+        for i in range(n_bits)
+    ]
+    return buckets.select(
+        id_col, "table_idx", F.explode(F.array(*variants)).alias("bucket")
+    )
+
+
 def lsh_search(
     queries: DataFrame,
     corpus: DataFrame,
@@ -133,12 +161,19 @@ def lsh_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """ANN top-k within the union of the query's L buckets."""
+    """ANN top-k within the union of the query's L buckets. With
+    ``multiprobe=True`` each query additionally probes every bucket one
+    bit-flip away in each table (``expand_probe_buckets``) — ~(1+h)× the
+    candidate volume for strictly higher recall, corpus-side storage
+    unchanged."""
     cbuckets = hyperplane_lsh_buckets(corpus, vec_col, id_col)
     qbuckets = hyperplane_lsh_buckets(queries, query_vec_col, query_id_col).withColumnRenamed(
         query_id_col, "query_id"
     )
+    if multiprobe:
+        qbuckets = expand_probe_buckets(qbuckets)
     # dedup collisions on bare (query_id, neighbor_id) ids — carrying the
     # query vector through the distinct would shuffle the float arrays as
     # part of the grouping key; the vectors re-attach afterwards (query
@@ -248,4 +283,74 @@ def radius_search(
             dist.alias("dist"),
         )
         .filter(F.col("dist") <= radius)
+    )
+
+
+def sparse_cosine_pairs(
+    toks: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    threshold: float = 0.6,
+    max_df_frac: float = 0.2,
+) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity ≥ ``threshold`` via the inverted-
+    index join — document similarity WITHOUT embeddings, over the sparse
+    term space itself (Bayardo et al. WWW'07 all-pairs; the exact core
+    DIMSUM approximates by sampling). Input is the raw ``(id, term)``
+    token stream (duplicates = term frequency).
+
+    Plan: tf per (doc, term) → df per term → weights
+    ``tf · ln((1+N)/(1+df))`` restricted to *informative* terms
+    (``df ≤ max_df_frac·N`` — the df cut that bounds the self-join:
+    posting-list join volume is Σ_{df≤cut} df², and the near-stopword
+    terms that would dominate it carry ~zero idf anyway). Pair scores
+    come from ONE equi-join of the postings table with itself on term —
+    never docs² — with map-side partial aggregation of the per-term
+    products; norms are one per-doc aggregation, broadcast-joined back.
+
+    Engine-exact across engines at any parallelism: weights are rounded
+    to 6dp (the ``doc_keywords`` idf-parity contract), every dot/norm
+    contribution is rounded to 12dp and summed as DECIMAL(28,12) —
+    order-independent — and only the final cosine divides in doubles.
+
+    Returns ``(doc_a, doc_b, cos_sim)``, doc_a < doc_b, round-6."""
+    tf = toks.groupBy(id_col, term_col).agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy(term_col).agg(F.count("*").alias("df"))
+    n_docs = toks.select(id_col).distinct().count()
+    max_df = max_df_frac * n_docs
+    w = (
+        tf.join(F.broadcast(dfreq.filter(F.col("df") <= max_df)), term_col)
+        .select(
+            id_col,
+            term_col,
+            F.round(
+                F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df"))), 6
+            ).alias("w"),
+        )
+    )
+    norms = (
+        w.groupBy(id_col)
+        .agg(F.sum(F.round(F.col("w") * F.col("w"), 12).cast("decimal(28,12)")).alias("n2"))
+        .select(id_col, F.sqrt(F.col("n2").cast("double")).alias("norm"))
+    )
+    a = w.select(F.col(id_col).alias("doc_a"), F.col(term_col).alias("t"), F.col("w").alias("wa"))
+    b = w.select(F.col(id_col).alias("doc_b"), F.col(term_col).alias("t"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.round(F.col("wa") * F.col("wb"), 12).cast("decimal(28,12)")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("norm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("norm").alias("__nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cos_sim",
+            F.round(F.col("dot").cast("double") / (F.col("__na") * F.col("__nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", "cos_sim")
     )

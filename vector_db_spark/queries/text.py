@@ -36,11 +36,14 @@ from vector_db_spark.operators.dedup import (
 )
 from vector_db_spark.operators.export import shard_manifest, shard_plan
 from vector_db_spark.operators.packing import pack_sequences
+from vector_db_spark.operators.dedup import containment_pairs
 from vector_db_spark.operators.similarity import (
     HYPERPLANES,
+    N_BITS,
     N_TABLES,
     brp_lsh_similarity_join,
     lsh_search,
+    sparse_cosine_pairs,
 )
 from vector_db_spark.queries import register
 
@@ -1301,3 +1304,124 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, hamming_max=3, n_bands=4)
+
+
+# --- round-4 closing additions: containment / multi-probe / sparse cosine ------
+
+@register(
+    "containment_near_dup",
+    extra=True,
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                        FOR i IN range(1, len(tk) - 1)]) AS s
+  FROM t WHERE len(tk) >= 3)
+SELECT doc_a, doc_b, containment FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) AS containment
+  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+WHERE containment >= 0.8
+""",
+)
+def containment_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-containment pairs (|A∩B|/|A| ≥ 0.8) via the
+    one-sided prefix filter (operators/dedup.containment_pairs) — the
+    asymmetric quote/subset-document detector Jaccard misses. The DuckDB
+    oracle is ALL-PAIRS ground truth, so a green row proves the prefix
+    filter's zero-miss guarantee on real data."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(shingle_table(docs), threshold=0.8)
+
+
+@register(
+    "ann_lsh_multiprobe",
+    extra=True,
+    oracle=f"""
+WITH buckets AS ({_LSH_BUCKETS_SQL}),
+probes AS (
+  SELECT vec_id, table_idx,
+         CASE WHEN f = 0 THEN bucket
+              ELSE substring(bucket, 1, f - 1)
+                   || (CASE WHEN substring(bucket, f, 1) = '1' THEN '0' ELSE '1' END)
+                   || substring(bucket, f + 1, {N_BITS} - f)
+         END AS bucket
+  FROM buckets CROSS JOIN (SELECT unnest(range(0, {N_BITS} + 1)) AS f)
+  WHERE vec_id < 10
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM probes p JOIN buckets cb
+    ON p.table_idx = cb.table_idx AND p.bucket = cb.bucket
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_distance(q.qv, e.embedding::DOUBLE[]), 6) AS dist
+  FROM cand c JOIN q ON q.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, dist, rank::INTEGER AS rank FROM (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN (Lv et al., VLDB'07): each query
+    probes its own bucket plus every 1-bit-flip neighbor bucket in each
+    table — (1+h)× candidates, recall of ~L·(1+h) tables, corpus bucketed
+    once. Same exact re-rank as ann_lsh_search; the probe expansion is a
+    pure codegen string transform reproduced verbatim in the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 10)
+    return lsh_search(queries, emb, 5, multiprobe=True)
+
+
+@register(
+    "tfidf_cosine_pairs",
+    extra=True,
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) GROUP BY 1, 2),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+w AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln((1.0 + nd) / (1.0 + df.df)), 6) AS w
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+  WHERE df.df <= 0.2 * nd),
+norms AS (
+  SELECT doc_id,
+         sqrt(SUM(CAST(round(w * w, 12) AS DECIMAL(28,12)))::DOUBLE) AS norm
+  FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         SUM(CAST(round(a.w * b.w, 12) AS DECIMAL(28,12))) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, cos_sim FROM (
+  SELECT doc_a, doc_b,
+         round(dot::DOUBLE / (x.norm * y.norm), 6) AS cos_sim
+  FROM dots JOIN norms x ON x.doc_id = doc_a JOIN norms y ON y.doc_id = doc_b)
+WHERE cos_sim >= 0.6
+""",
+)
+def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs TF-IDF cosine ≥ 0.6 via the inverted-index join
+    (operators/similarity.sparse_cosine_pairs) — document similarity in
+    the sparse term space, no embeddings: one postings self-join on
+    informative terms (df ≤ 0.2·N), decimal-summed contributions for
+    engine-exact scores at any parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    return sparse_cosine_pairs(toks, threshold=0.6, max_df_frac=0.2)
