@@ -300,3 +300,36 @@ def test_percolation_over_doc_stream(spark, tmp_path):
     }
     want = {(r["doc_id"], r["query_id"]) for r in percolate(df, stored).collect()}
     assert got == want and (3, "q1") in got and (4, "q2") not in got
+
+
+def test_left_outer_join_emits_null_after_eviction(spark, tmp_path):
+    """A click with no qualifying purchase must get its NULL row once the
+    global watermark passes click_ts + lookback; a matched click emits the
+    pair; a click too close to the stream's end (no eviction proof yet)
+    emits nothing — exactly the bounded-source determinism contract."""
+    from vector_db_spark.streaming.ingest import unattributed_clicks_stream
+
+    src = str(tmp_path / "src")
+    _write_file(
+        spark,
+        src,
+        [
+            _ev(1, "2024-01-01 08:00:00", user=7, etype="click"),     # unattributed
+            _ev(2, "2024-01-01 09:00:00", user=8, etype="click"),     # matched
+            _ev(3, "2024-01-01 09:30:00", user=8, etype="purchase"),
+            _ev(4, "2024-01-01 17:40:00", user=9, etype="click"),     # near stream end
+            # watermark drivers: push both sides' max event time forward
+            _ev(5, "2024-01-01 18:00:00", user=1, etype="click"),
+            _ev(6, "2024-01-01 18:00:00", user=1, etype="purchase"),
+        ],
+    )
+    clicks = _stream_events(spark, src).filter(F.col("event_type") == "click")
+    purchases = _stream_events(spark, src).filter(F.col("event_type") == "purchase")
+    out = run_to_memory(
+        unattributed_clicks_stream(clicks, purchases), output_mode="append"
+    ).collect()
+    by_click = {r.click_id: r.purchase_id for r in out}
+    # watermark = 18:00 - 1h = 17:00; eviction proof needs click_ts + 1h < 17:00
+    assert by_click.get(1) is None and 1 in by_click
+    assert by_click.get(2) == 3
+    assert 4 not in by_click  # 17:40 + 1h > watermark: still in state, no null row

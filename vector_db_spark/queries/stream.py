@@ -28,6 +28,7 @@ from vector_db_spark.streaming.ingest import (
     run_to_memory,
     session_windows_stream,
     sliding_counts_stream,
+    unattributed_clicks_stream,
 )
 
 
@@ -569,4 +570,55 @@ def stream_hourly_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 2)
         .select("window_start", "event_type", "n_events", "rnk")
+    )
+
+
+@register(
+    "stream_unattributed_clicks",
+    extra=True,
+    oracle="""
+WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id AS p_user, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+cut AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+                     (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+               - INTERVAL 3 HOUR AS cutoff)
+SELECT click_id, user_id, click_ts
+FROM c CROSS JOIN cut
+WHERE click_ts <= cutoff
+  AND NOT EXISTS (SELECT 1 FROM p
+                  WHERE p.p_user = c.user_id
+                    AND p.purchase_ts >= c.click_ts
+                    AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+""",
+)
+def stream_unattributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join (the watermark-eviction semantics the
+    inner attribution join can't show): clicks with NO same-user purchase
+    in the following hour, their NULL rows emitted exactly when state
+    eviction proves no match can arrive. Restricted to the deterministic
+    region — clicks more than (watermark + lookback + margin) behind the
+    global watermark's driver, ``least(max click ts, max purchase ts)`` —
+    where stream output provably equals the batch anti-join; the DuckDB
+    oracle computes that batch ground truth, so a green row pins the
+    outer-join flush semantics, not just liveness."""
+    src = os.path.join(sf_dir, "events.parquet")
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg((F.min("m") - F.expr("INTERVAL 3 HOUR")).alias("cutoff"))
+        .collect()[0][0]
+    )  # one scalar: the deterministic-region bound (bounded collect)
+    clicks = read_events_stream(spark, src).filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, src).filter(F.col("event_type") == "purchase")
+    out = run_to_memory(
+        unattributed_clicks_stream(clicks, purchases), output_mode="append"
+    )
+    return (
+        out.filter(F.col("purchase_id").isNull())
+        .filter(F.col("click_ts") <= F.lit(cutoff))
+        .select("click_id", "user_id", "click_ts")
     )

@@ -162,6 +162,50 @@ def click_attribution_join_stream(
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
 
 
+def unattributed_clicks_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time bounds: every click,
+    matched to the same user's purchase within the following ``lookback``
+    or emitted with NULL purchase columns once a match is provably
+    impossible. The OUTER half is the semantics the inner join above
+    cannot express — the null row for a click at time T is emitted only
+    after the global watermark (the MIN of both sides' watermarks, each
+    ``max event time − watermark``) passes ``T + lookback``, i.e. when
+    state eviction proves no qualifying purchase can still arrive. State
+    stays bounded for the same reason.
+
+    Determinism contract for bounded sources: rows with
+    ``click_ts + lookback < final_watermark`` have exact batch left-join
+    semantics (matched rows identical, null rows guaranteed emitted by
+    the no-data flush batch); rows above that cutoff may still sit in
+    state when the stream ends. Callers that need an engine-checkable
+    result must filter to the deterministic region — see
+    ``queries/stream.stream_unattributed_clicks``."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"user_id = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {lookback}"
+        ),
+        "left_outer",
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
+
+
 def dedup_stream(
     events: DataFrame,
     keys: list[str] | None = None,
