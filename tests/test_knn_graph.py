@@ -278,6 +278,25 @@ def test_link_prediction_scoped_sources(spark):
     assert got[(3, 1)] == 0.5 and got[(3, 2)] == 0.5
 
 
+def test_adamic_adar_known_graph(spark):
+    import math
+
+    from vector_db_spark.operators.knn_graph import link_prediction_adamic_adar
+
+    # two shared neighbors of different degree: pair (1,2) connects through
+    # hub 0 (deg 4) AND lower-degree 3 (deg 3); pair (1,4) only through hub 0.
+    # AA must rank (1,2) above (1,4) by the hub discount.
+    edges = [(0, 1), (0, 2), (0, 4), (3, 1), (3, 2), (0, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"]): r.asDict() for r in
+           link_prediction_adamic_adar(df, top_n=10).collect()}
+    aa_12 = round(round(1 / math.log(4), 12) + round(1 / math.log(3), 12), 6)
+    aa_14 = round(round(1 / math.log(4), 12), 6)
+    assert got[(1, 2)]["common"] == 2 and abs(got[(1, 2)]["aa_score"] - aa_12) < 1e-9
+    assert got[(1, 4)]["common"] == 1 and abs(got[(1, 4)]["aa_score"] - aa_14) < 1e-9
+    assert got[(1, 2)]["aa_score"] > got[(1, 4)]["aa_score"]
+
+
 def test_core_numbers_match_reference(spark):
     import random
     from collections import defaultdict

@@ -528,6 +528,71 @@ def link_prediction_jaccard(
     return scored.orderBy(F.col("jaccard").desc(), "a", "b").limit(top_n)
 
 
+def link_prediction_adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    top_n: int = 20,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """(a, b, common, aa_score): link prediction by Adamic-Adar —
+    Σ_{m ∈ N(a)∩N(b)} 1/ln(deg(m)), the common-neighbor scorer that
+    discounts hub intermediaries (a shared neighbor of degree 10 000 says
+    far less than one of degree 3 — Jaccard counts them equally).
+
+    Same wedge-join shape and ``sources`` scale knob as
+    :func:`link_prediction_jaccard`; the per-wedge weight joins the
+    shared neighbor's broadcast degree BEFORE the pair aggregation, so
+    the contribution ``1/ln(deg(m))`` is computed map-side. deg(m) ≥ 2
+    for any wedge midpoint (it has two distinct neighbors), so ln never
+    hits zero. Contributions are rounded to 12dp and summed as
+    DECIMAL(28,12) — the order-independent sum that makes the score
+    engine-exact at any parallelism; ordering uses the exact decimal,
+    output rounds to 6."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    a_side = e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+    if sources is not None:
+        src_ids = sources.select(F.col(sources.columns[0]).alias("a")).distinct()
+        a_side = a_side.join(F.broadcast(src_ids), "a", "left_semi")
+        pair_cond = F.col("a") != F.col("b")
+    else:
+        pair_cond = F.col("a") < F.col("b")
+    wedges = (
+        a_side.join(e.select(F.col("src").alias("m"), F.col("dst").alias("b")), "m")
+        .filter(pair_cond)
+        .join(F.broadcast(deg.select(F.col("src").alias("m"), F.col("d").alias("dm"))), "m")
+    )
+    common = wedges.groupBy("a", "b").agg(
+        F.count("*").alias("common"),
+        F.sum(
+            F.round(F.lit(1.0) / F.log(F.col("dm")), 12).cast("decimal(28,12)")
+        ).alias("__aa"),
+    )
+    non_edges = common.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        non_edges.orderBy(F.col("__aa").desc(), "a", "b")
+        .limit(top_n)
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(F.col("__aa").cast("double"), 6).alias("aa_score"),
+        )
+    )
+
+
 def core_numbers(
     edges: DataFrame,
     src_col: str = "src",

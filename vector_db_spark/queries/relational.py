@@ -1807,6 +1807,49 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_jaccard(edges, top_n=_LP_TOP, sources=targets)
 
 
+@register(
+    "part_link_prediction_aa",
+    extra=True,
+    oracle=f"""
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+wed AS (
+  SELECT w1.s AS a, w2.d AS b, dm.dg AS dm
+  FROM e w1 JOIN e w2 ON w1.d = w2.s JOIN deg dm ON dm.s = w1.d
+  WHERE w1.s % 97 = 0 AND w1.s <> w2.d),
+common AS (
+  SELECT a, b, count(*) AS common,
+         SUM(CAST(round(1.0 / ln(dm), 12) AS DECIMAL(28,12))) AS aa
+  FROM wed GROUP BY 1, 2),
+ne AS (
+  SELECT c.* FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = c.a AND e.d = c.b))
+SELECT a, b, common::BIGINT AS common, round(aa::DOUBLE, 6) AS aa_score
+FROM ne ORDER BY aa DESC, a, b LIMIT {_LP_TOP}
+""",
+)
+def part_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph
+    (operators/knn_graph.link_prediction_adamic_adar), same scoped
+    contract as part_link_prediction: hub-discounted common-neighbor
+    scores, decimal-summed so the ranking is engine-exact."""
+    from vector_db_spark.operators.knn_graph import link_prediction_adamic_adar
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    )
+    targets = li.select("l_partkey").filter(F.col("l_partkey") % 97 == 0).distinct()
+    return link_prediction_adamic_adar(edges, top_n=_LP_TOP, sources=targets)
+
+
 # --- snapshot diff (CDC) ------------------------------------------------------
 
 
