@@ -266,3 +266,30 @@ def test_rolling_same_timestamp_shares_frame(spark):
     rows = rolling_time_stats(df, key="user_id", window_seconds=60).collect()
     # RANGE semantics: peers at the same order value share the frame
     assert all(r.n_window == 2 and r.sum_window == 30.0 for r in rows)
+
+
+def test_lagged_crosscorr_detects_exact_shift(spark):
+    """B is A shifted by exactly 2 hours: corr(lag=2) must be 1.0 and
+    strictly dominate every other lag; the grid zero-fills gaps."""
+    import datetime
+
+    from vector_db_spark.operators.timeseries import lagged_cross_correlation
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # A counts per hour h: pattern [3,1,4,1,5,9,2,6]; B = same, 2h later
+    pattern = [3, 1, 4, 1, 5, 9, 2, 6]
+    for h, n in enumerate(pattern):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, base + datetime.timedelta(hours=h), 1, "click", 1.0))
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, base + datetime.timedelta(hours=h + 2), 1, "purchase", 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r.lag: r.corr for r in lagged_cross_correlation(df, max_lag=4).collect()}
+    assert out[2] == 1.0
+    assert all(out[l] < 1.0 for l in out if l != 2)

@@ -347,3 +347,77 @@ def rolling_time_stats(
         sum_dec.cast("double").alias("sum_window"),
         (sum_dec.cast("double") / F.count("*").over(w)).alias("avg_window"),
     )
+
+
+def lagged_cross_correlation(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    series_col: str = "event_type",
+    series_a: str = "click",
+    series_b: str = "purchase",
+    bucket: str = "hour",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Pearson cross-correlation of two event-count series at lags
+    0..``max_lag`` buckets: corr(A(t), B(t+ℓ)) — "do purchases follow
+    clicks, and by how many hours?", the lead/lag diagnostic behind
+    attribution windows and forecasting features.
+
+    Exactness: both series are integer COUNTS on a shared bucket grid
+    (missing buckets = 0 via a ``sequence()`` spine), so every Pearson
+    ingredient (n, Σa, Σb, Σab, Σa², Σb²) is exact integer arithmetic —
+    the only floating math is the final closed-form division, identical
+    in any engine; round-6 output.
+
+    Scale: raw events collapse to O(buckets) rows in ONE map-side-partial
+    aggregation; the grid spine, the lag shift (an equi-join of the grid
+    with itself at t+ℓ), and the per-lag aggregation are all grid-sized —
+    at 100 TB the corpus is touched once and everything downstream is
+    kilobytes. Output: (lag, n_points, corr)."""
+    t = F.date_trunc(bucket, F.col(ts))
+    counts = (
+        df.filter(F.col(series_col).isin(series_a, series_b))
+        .groupBy(t.alias("t"), F.col(series_col).alias("s"))
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = counts.agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    step = F.expr(f"INTERVAL 1 {bucket.upper()}")
+    grid = bounds.select(
+        F.explode(F.sequence("t0", "t1", step)).alias("t")
+    )
+    a = grid.join(
+        counts.filter(F.col("s") == series_a).select("t", "c"), "t", "left"
+    ).select("t", F.coalesce("c", F.lit(0)).alias("a"))
+    b = grid.join(
+        counts.filter(F.col("s") == series_b).select("t", "c"), "t", "left"
+    ).select(F.col("t").alias("tb"), F.coalesce("c", F.lit(0)).alias("b"))
+    lags = df.sparkSession.range(0, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
+    # pair A(t) with B(t+lag): equi-join on the shifted grid key; pairs
+    # where t+lag overruns the grid drop out (inner join) so every lag
+    # correlates only aligned buckets
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("tb", F.col("t") + F.col("lag") * step)
+        .join(b, ["tb"])
+    )
+    agg = paired.groupBy("lag").agg(
+        F.count("*").alias("n_points"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    num = F.col("n_points") * F.col("sab") - F.col("sa") * F.col("sb")
+    var_a = F.col("n_points") * F.col("saa") - F.col("sa") * F.col("sa")
+    var_b = F.col("n_points") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return agg.select(
+        "lag",
+        "n_points",
+        F.round(
+            num.cast("double") / F.sqrt(var_a.cast("double") * var_b.cast("double")), 6
+        ).alias("corr"),
+    )

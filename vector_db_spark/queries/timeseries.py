@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.timeseries import (
     ewma,
+    lagged_cross_correlation,
     mad_outliers,
     ohlc_bars,
     resample_ffill,
@@ -324,3 +325,42 @@ def seasonal_hourly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "click_purchase_crosscorr",
+    extra=True,
+    oracle="""
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS t, event_type AS s, count(*) AS c
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+bounds AS (SELECT min(t) AS t0, max(t) AS t1 FROM counts),
+grid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t FROM bounds),
+a AS (SELECT g.t, coalesce(c.c, 0) AS a
+      FROM grid g LEFT JOIN counts c ON c.t = g.t AND c.s = 'click'),
+b AS (SELECT g.t AS tb, coalesce(c.c, 0) AS b
+      FROM grid g LEFT JOIN counts c ON c.t = g.t AND c.s = 'purchase'),
+paired AS (
+  SELECT l.lag, a.a, b.b
+  FROM a CROSS JOIN (SELECT unnest(range(0, 7))::INTEGER AS lag) l
+  JOIN b ON b.tb = a.t + l.lag * INTERVAL 1 HOUR),
+agg AS (
+  SELECT lag, count(*) AS n_points, sum(a) AS sa, sum(b) AS sb,
+         sum(a * b) AS sab, sum(a * a) AS saa, sum(b * b) AS sbb
+  FROM paired GROUP BY lag)
+SELECT lag, n_points::BIGINT AS n_points,
+       round((n_points * sab - sa * sb)::DOUBLE
+             / sqrt((n_points * saa - sa * sa)::DOUBLE
+                    * (n_points * sbb - sb * sb)::DOUBLE), 6) AS corr
+FROM agg
+""",
+)
+def click_purchase_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag diagnostic between the click and purchase hourly series
+    (operators/timeseries.lagged_cross_correlation): Pearson correlation
+    at lags 0..6 h on a zero-filled shared grid — every ingredient exact
+    integer arithmetic, so the value hash-matches at any parallelism. The
+    raw corpus collapses to O(hours) rows in one aggregation; everything
+    after is grid-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    return lagged_cross_correlation(ev, max_lag=6)
