@@ -423,3 +423,24 @@ def test_cms_join_size_disjoint_is_zero_when_no_bucket_overlap(spark):
     # true join size is 0; with width=4096 and 20 keys/side a shared bucket
     # in every one of the 4 depths is vanishingly unlikely
     assert r.join_size_est == 0
+
+
+def test_kmv_difference_sparse_is_exact(spark):
+    """Sets smaller than k: θ=1 and every hash is kept, so the difference
+    estimate is exactly |A \\ B| in both directions."""
+    from vector_db_spark.operators.sketches import (
+        kmv_difference_estimate,
+        kmv_sketch,
+    )
+
+    a_vals = [(v,) for v in range(100)]          # A = 0..99
+    b_vals = [(v,) for v in range(60, 140)]      # B = 60..139
+    a = kmv_sketch(spark.createDataFrame(a_vals, "v long"), "v", k=256)
+    b = kmv_sketch(spark.createDataFrame(b_vals, "v long"), "v", k=256)
+    ab = kmv_difference_estimate(a, b, k=256).collect()[0]
+    ba = kmv_difference_estimate(b, a, k=256).collect()[0]
+    assert ab.n_kept == 60 and ab.difference_est == 60.0   # A\B = 0..59
+    assert ba.n_kept == 40 and ba.difference_est == 40.0   # B\A = 100..139
+    # disjoint-with-self sanity: A \ A is empty
+    aa = kmv_difference_estimate(a, a, k=256).collect()[0]
+    assert aa.n_kept == 0 and aa.difference_est == 0.0

@@ -360,6 +360,53 @@ def kmv_intersect_estimate(
     )
 
 
+def kmv_difference_estimate(
+    sk_a: DataFrame, sk_b: DataFrame, *, k: int = 256
+) -> DataFrame:
+    """One-row ``(n_kept, difference_est)``: estimated ``|A \\ B|`` from
+    two single-group sketches — the OTHER set operation HLL cannot do
+    (union it has; intersection and difference need hash samples).
+    θ = min of the two thetas; A's hashes below θ are a θ-probability
+    uniform sample of A, and for any such hash membership in B is decided
+    EXACTLY (B's sketch holds every B hash < θ_b ≥ θ), so the anti-join
+    survivors below θ are a θ-sample of A\\B and ``n_kept/θ`` is the
+    standard theta-sketch difference estimate. Join volume ≤ k×k sketch
+    rows, zero corpus access; deterministic, value-oracled like the
+    intersect form."""
+
+    def theta(sk: DataFrame) -> DataFrame:
+        return sk.agg(
+            F.when(F.count("*") < k, F.lit(int(_KMV_SCALE)))
+            .otherwise(F.max("kmv_hash"))
+            .alias("th")
+        )
+
+    th = (
+        theta(sk_a).select(F.col("th").alias("th_a"))
+        .join(theta(sk_b).select(F.col("th").alias("th_b")))
+        .select(F.least("th_a", "th_b").alias("theta"))
+    )
+    kept = sk_a.select("kmv_hash").join(
+        sk_b.select("kmv_hash"), "kmv_hash", "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(th))
+        .filter(F.col("kmv_hash") < F.col("theta"))
+        .groupBy("theta")
+        .agg(F.count("*").alias("n_kept"))
+        .union(th.select("theta", F.lit(0).alias("n_kept")))  # empty-difference fallback
+        .groupBy()
+        .agg(
+            F.max("n_kept").alias("n_kept"),
+            F.round(
+                F.max("n_kept").cast("double")
+                / (F.min("theta").cast("double") / F.lit(_KMV_SCALE)),
+                4,
+            ).alias("difference_est"),
+        )
+    )
+
+
 # --- Count-Min frequency sketches -------------------------------------------
 #
 # The frequency companion of the HLL/KMV distinct sketches: heavyhitters.py

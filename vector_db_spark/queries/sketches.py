@@ -349,3 +349,93 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= exact + 2.8 / 1024.0 * float(na) * float(nb)
         ).alias("bound_ok"),
     )
+
+
+@register(
+    "kmv_orderkey_difference",
+    extra=True,
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+         ('0x' || substr(md5(l_orderkey::VARCHAR || ':kmv'), 1, 15))::UBIGINT::BIGINT AS kmv_hash
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+r AS (
+  SELECT l_returnflag, kmv_hash,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY kmv_hash) AS rn
+  FROM h),
+sk AS (SELECT l_returnflag, kmv_hash FROM r WHERE rn <= 256),
+th AS (
+  SELECT l_returnflag,
+         CASE WHEN count(*) < 256 THEN 1152921504606846976 ELSE max(kmv_hash) END AS th
+  FROM sk GROUP BY 1),
+theta AS (SELECT min(th) AS theta FROM th),
+kept AS (
+  SELECT 'A_minus_R' AS direction, count(*)::BIGINT AS n_kept FROM (
+    SELECT kmv_hash FROM sk WHERE l_returnflag = 'A'
+    EXCEPT SELECT kmv_hash FROM sk WHERE l_returnflag = 'R') s, theta
+  WHERE s.kmv_hash < theta.theta
+  UNION ALL
+  SELECT 'R_minus_A', count(*)::BIGINT FROM (
+    SELECT kmv_hash FROM sk WHERE l_returnflag = 'R'
+    EXCEPT SELECT kmv_hash FROM sk WHERE l_returnflag = 'A') s, theta
+  WHERE s.kmv_hash < theta.theta),
+exact AS (
+  SELECT 'A_minus_R' AS direction, count(*)::BIGINT AS exact_diff FROM (
+    SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+  UNION ALL
+  SELECT 'R_minus_A', count(*)::BIGINT FROM (
+    SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A'))
+SELECT k.direction, k.n_kept,
+       round(k.n_kept / (t.theta::DOUBLE / 1152921504606846976e0), 4) AS difference_est,
+       x.exact_diff,
+       abs(k.n_kept / (t.theta::DOUBLE / 1152921504606846976e0) - x.exact_diff)
+         <= 0.25 * x.exact_diff AS diff_ok
+FROM kept k JOIN exact x USING (direction) CROSS JOIN theta t
+""",
+)
+def kmv_orderkey_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set DIFFERENCE, both directions (|A\\R| and |R\\A| of
+    distinct orderkeys) — with union (native) and intersection
+    (kmv_orderkey_overlap) this completes the sketch set algebra HLL
+    cannot express. Estimates reproduced value-exact in the oracle, plus
+    exact counts and 25% relative-error bound booleans; sketch rows are
+    the only join input, the corpus is scanned once per sketch build."""
+    from vector_db_spark.operators.sketches import (
+        kmv_difference_estimate,
+        kmv_sketch,
+    )
+
+    K = 256
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    sk = kmv_sketch(li, "l_orderkey", ["l_returnflag"], k=K).cache()
+    a = sk.filter(F.col("l_returnflag") == "A")
+    r = sk.filter(F.col("l_returnflag") == "R")
+    keys = li.select("l_returnflag", "l_orderkey").distinct().cache()
+    ka = keys.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    kr = keys.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    out = []
+    for direction, sx, sy, kx, ky in (
+        ("A_minus_R", a, r, ka, kr),
+        ("R_minus_A", r, a, kr, ka),
+    ):
+        est = kmv_difference_estimate(sx, sy, k=K)
+        exact = kx.join(ky, "l_orderkey", "left_anti").agg(
+            F.count("*").alias("exact_diff")
+        )
+        out.append(
+            est.crossJoin(exact).select(
+                F.lit(direction).alias("direction"),
+                "n_kept",
+                "difference_est",
+                "exact_diff",
+                (
+                    F.abs(F.col("difference_est") - F.col("exact_diff"))
+                    <= 0.25 * F.col("exact_diff")
+                ).alias("diff_ok"),
+            )
+        )
+    return out[0].union(out[1])
