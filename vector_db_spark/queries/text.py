@@ -1425,3 +1425,71 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     return sparse_cosine_pairs(toks, threshold=0.6, max_df_frac=0.2)
+
+
+@register(
+    "quality_dup_auc",
+    extra=True,
+    oracle=f"""
+WITH s AS (
+  SELECT round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
+             + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) AS q,
+         md5(array_to_string(list_slice({_TOKS}, 1, 5), ' ')) AS fp
+  FROM documents),
+lab AS (SELECT q, (count(*) OVER (PARTITION BY fp)) > 1 AS dup FROM s),
+per AS (
+  SELECT q,
+         sum(CASE WHEN dup THEN 1 ELSE 0 END) AS p,
+         sum(CASE WHEN dup THEN 0 ELSE 1 END) AS n
+  FROM lab GROUP BY q),
+cum AS (
+  SELECT q, p, n,
+         coalesce(sum(n) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+  FROM per),
+tot AS (SELECT sum(2 * p * cumn + p * n) AS total2,
+               sum(p) AS pos, sum(n) AS neg FROM cum)
+SELECT pos::BIGINT AS n_pos, neg::BIGINT AS n_neg,
+       CASE WHEN pos * neg > 0
+            THEN round(total2::DOUBLE / (2.0 * pos * neg), 6) END AS auc
+FROM tot
+""",
+)
+def quality_dup_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC (Mann-Whitney with tie correction) of the quality
+    score as a duplicate detector: does low quality predict membership
+    in a prefix-fingerprint duplicate group (the dedup_exact_prefix
+    survivor-group label)? AUC = P(score_dup > score_unique) + ½·P(tie), computed
+    WITHOUT a corpus-scale sort: one groupBy collapses the corpus to
+    O(distinct scores) rows; the rank window runs over that aggregate.
+    All ingredients (2·p·cum_n + p·n) are exact integers — the value
+    hash-matches any engine. The measurement behind every curation-
+    threshold decision; pyspark.ml's areaUnderROC is the approximate
+    (driver-collected curve) cousin."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        quality_score("text").alias("q"), doc_fingerprint("text", 5).alias("fp")
+    )
+    lab = s.select(
+        "q", (F.count("*").over(Window.partitionBy("fp")) > 1).alias("dup")
+    )
+    per = lab.groupBy("q").agg(
+        F.sum(F.col("dup").cast("long")).alias("p"),
+        F.sum((~F.col("dup")).cast("long")).alias("n"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "p", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cumn")
+    )
+    return cum.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_neg"),
+        F.when(
+            F.sum("p") * F.sum("n") > 0,
+            F.round(
+                F.sum(2 * F.col("p") * F.col("cumn") + F.col("p") * F.col("n")).cast("double")
+                / (2.0 * F.sum("p") * F.sum("n")),
+                6,
+            ),
+        ).alias("auc"),
+    )
