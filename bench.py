@@ -135,6 +135,15 @@ HEADLINE = [
     "doc_novelty",
     "association_rules",
     "image_phash_near_dup",
+    # round-4 closing additions
+    "containment_near_dup",
+    "ann_lsh_multiprobe",
+    "tfidf_cosine_pairs",
+    "stream_unattributed_clicks",
+    "part_link_prediction_aa",
+    "click_purchase_crosscorr",
+    "kmv_orderkey_difference",
+    "quality_dup_auc",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number.

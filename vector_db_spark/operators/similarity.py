@@ -311,13 +311,21 @@ def sparse_cosine_pairs(
 
     Engine-exact across engines at any parallelism: weights are rounded
     to 6dp (the ``doc_keywords`` idf-parity contract), every dot/norm
-    contribution is rounded to 12dp and summed as DECIMAL(28,12) —
-    order-independent — and only the final cosine divides in doubles.
+    contribution is scaled by 1e12 and rounded to a LONG — the exact
+    integer sum is order-independent like a decimal but aggregates at
+    plain-long speed (the dot aggregation runs over Σ df² rows, the one
+    hot loop of this plan; headroom: |w| ≤ ~20 ⇒ contribution ≤ 4e14,
+    × ≤10⁴ shared terms per pair ≪ 2⁶³) — and only the final cosine
+    divides in doubles.
 
     Returns ``(doc_a, doc_b, cos_sim)``, doc_a < doc_b, round-6."""
-    tf = toks.groupBy(id_col, term_col).agg(F.count("*").alias("tf"))
+    # tf is the pivot of the whole plan (feeds df, N, weights, norms and
+    # BOTH join sides): cache it so the corpus tokenization+aggregation
+    # runs once, not once per consumer — it is O(docs × distinct terms)
+    # rows, the already-collapsed representation
+    tf = toks.groupBy(id_col, term_col).agg(F.count("*").alias("tf")).cache()
     dfreq = tf.groupBy(term_col).agg(F.count("*").alias("df"))
-    n_docs = toks.select(id_col).distinct().count()
+    n_docs = tf.select(id_col).distinct().count()
     max_df = max_df_frac * n_docs
     w = (
         tf.join(F.broadcast(dfreq.filter(F.col("df") <= max_df)), term_col)
@@ -331,8 +339,8 @@ def sparse_cosine_pairs(
     )
     norms = (
         w.groupBy(id_col)
-        .agg(F.sum(F.round(F.col("w") * F.col("w"), 12).cast("decimal(28,12)")).alias("n2"))
-        .select(id_col, F.sqrt(F.col("n2").cast("double")).alias("norm"))
+        .agg(F.sum(F.round(F.col("w") * F.col("w") * 1e12).cast("long")).alias("n2"))
+        .select(id_col, F.sqrt(F.col("n2").cast("double") / 1e12).alias("norm"))
     )
     a = w.select(F.col(id_col).alias("doc_a"), F.col(term_col).alias("t"), F.col("w").alias("wa"))
     b = w.select(F.col(id_col).alias("doc_b"), F.col(term_col).alias("t"), F.col("w").alias("wb"))
@@ -340,7 +348,7 @@ def sparse_cosine_pairs(
         a.join(b, "t")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.round(F.col("wa") * F.col("wb"), 12).cast("decimal(28,12)")).alias("dot"))
+        .agg(F.sum(F.round(F.col("wa") * F.col("wb") * 1e12).cast("long")).alias("dot"))
     )
     na = norms.select(F.col(id_col).alias("doc_a"), F.col("norm").alias("__na"))
     nb = norms.select(F.col(id_col).alias("doc_b"), F.col("norm").alias("__nb"))
@@ -349,7 +357,11 @@ def sparse_cosine_pairs(
         .join(nb, "doc_b")
         .withColumn(
             "cos_sim",
-            F.round(F.col("dot").cast("double") / (F.col("__na") * F.col("__nb")), 6),
+            F.round(
+                (F.col("dot").cast("double") / 1e12)
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", "cos_sim")

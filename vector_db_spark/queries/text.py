@@ -1390,9 +1390,11 @@ def ann_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_cosine_pairs",
     extra=True,
     oracle=f"""
-WITH tf AS (
-  SELECT doc_id, tok, count(*) AS tf
-  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) GROUP BY 1, 2),
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+big AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS tok
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM big GROUP BY 1, 2),
 n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
 df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
 w AS (
@@ -1402,16 +1404,16 @@ w AS (
   WHERE df.df <= 0.2 * nd),
 norms AS (
   SELECT doc_id,
-         sqrt(SUM(CAST(round(w * w, 12) AS DECIMAL(28,12)))::DOUBLE) AS norm
+         sqrt(SUM(CAST(round(w * w * 1e12) AS BIGINT))::DOUBLE / 1e12) AS norm
   FROM w GROUP BY doc_id),
 dots AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         SUM(CAST(round(a.w * b.w, 12) AS DECIMAL(28,12))) AS dot
+         SUM(CAST(round(a.w * b.w * 1e12) AS BIGINT)) AS dot
   FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, cos_sim FROM (
   SELECT doc_a, doc_b,
-         round(dot::DOUBLE / (x.norm * y.norm), 6) AS cos_sim
+         round((dot::DOUBLE / 1e12) / (x.norm * y.norm), 6) AS cos_sim
   FROM dots JOIN norms x ON x.doc_id = doc_a JOIN norms y ON y.doc_id = doc_b)
 WHERE cos_sim >= 0.6
 """,
@@ -1419,11 +1421,19 @@ WHERE cos_sim >= 0.6
 def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs TF-IDF cosine ≥ 0.6 via the inverted-index join
     (operators/similarity.sparse_cosine_pairs) — document similarity in
-    the sparse term space, no embeddings: one postings self-join on
-    informative terms (df ≤ 0.2·N), decimal-summed contributions for
-    engine-exact scores at any parallelism."""
+    the sparse term space, no embeddings. Terms are word BIGRAMS: this
+    corpus's unigram vocabulary is ~31 words (every one a near-stopword),
+    so bigrams are the informative unit — exactly the df-aware term
+    choice a real corpus profile drives. One postings self-join on
+    df ≤ 0.2·N terms; decimal-summed contributions keep scores
+    engine-exact at any parallelism; the df cut is the join-volume
+    throttle (Σ df² over kept terms)."""
+    from vector_db_spark.functions.text import shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    toks = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 2)).alias("term")
+    )
     return sparse_cosine_pairs(toks, threshold=0.6, max_df_frac=0.2)
 
 
