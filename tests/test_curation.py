@@ -299,3 +299,27 @@ def test_group_safe_split_validates_inputs(spark, sf_smoke):
         group_safe_split(docs, "doc_id", fractions=(0.5, 0.5), labels=("a",))
     with _pytest.raises(ValueError, match="sum"):
         group_safe_split(docs, "doc_id", fractions=(0.5, 0.2), labels=("a", "b"))
+
+
+def test_weighted_fixed_k_sample_laws(spark):
+    """A-ES draw: exact k, zero-weight rows excluded, layout-invariant,
+    and weight-monotone in aggregate (heavier ids win far more often
+    across independent salts)."""
+    from vector_db_spark.operators.curation import weighted_fixed_k_sample
+
+    rows = [(i, 10.0 if i < 20 else 0.1) for i in range(200)] + [(999, 0.0)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_fixed_k_sample(docs, "w", 30).collect()
+    assert len(out) == 30 and all(r.doc_id != 999 for r in out)
+    # identical draw from a different physical layout
+    out2 = weighted_fixed_k_sample(docs.repartition(7, "doc_id"), "w", 30).collect()
+    assert {r.doc_id for r in out} == {r.doc_id for r in out2}
+    # heavy ids (weight 100x) must dominate the draw on average over salts
+    heavy_frac = 0.0
+    for salt in ("a", "b", "c", "d", "e"):
+        got = weighted_fixed_k_sample(docs, "w", 30, salt=salt).collect()
+        heavy_frac += sum(1 for r in got if r.doc_id < 20) / 30 / 5
+    # 20 heavy ids out of 200; uniform would pick ~10%; weight 100x ⇒ most
+    assert heavy_frac > 0.4
+    # k >= n returns every positive-weight row
+    assert weighted_fixed_k_sample(docs, "w", 1000).count() == 200

@@ -528,6 +528,45 @@ def group_sample_fixed_k(
     )
 
 
+def weighted_fixed_k_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Exactly ``min(k, n)`` rows drawn WITHOUT replacement with
+    probability proportional to ``weight_col`` — Efraimidis-Spirakis
+    (IPL'06) A-ES: each row gets key ``ln(u)/w`` for a uniform u and the
+    k LARGEST keys win (equivalently u^(1/w); log space avoids pow()
+    cross-engine drift). Completes the sampling triptych: Bernoulli
+    weighted keep (``weighted_sample``), uniform fixed-k per group
+    (``group_sample_fixed_k``), and now weighted fixed-k — the "give me
+    exactly 10k docs, quality-weighted" training-mix draw.
+
+    Reproducible by the md5 discipline: u is the first 13 hex digits of
+    ``md5(id:salt)`` over 2^52 — an exactly-representable double, so
+    every engine computes the identical key (round-12 before ranking;
+    id tie-break). Zero-weight rows are excluded (their inclusion
+    probability is 0). One global top-k — rank via a single ordered
+    window over keys, fine to corpus scale the same way every top-k here
+    is (``operators/topk.py``); output order is by key."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    u = F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(float(1 << 52))
+    key = F.round(F.log(u) / F.col(weight_col), 12)
+    w = Window.orderBy(F.col("__key").desc(), F.col(id_col))
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("__key", key)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(*docs.columns, F.col("__key").alias("sample_key"))
+    )
+
+
 def token_distribution_drift(
     corpus_a: DataFrame,
     corpus_b: DataFrame,

@@ -48,6 +48,7 @@ def _grams_sql(n: int, src: str = "documents", distinct: bool = False) -> str:
 
 @register(
     "doc_repetition",
+    extra=True,  # demoted r4: green r02+r03 driver record; text-quality family keeps doc_quality/lang_id rows
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 c2 AS (SELECT doc_id, max(c) AS top2_cnt, sum(c) AS n2
@@ -76,6 +77,7 @@ _BP_MIN_DF = 3
 
 @register(
     "boilerplate_frac",
+    extra=True,  # demoted r4: green r03 driver record; same family coverage
     oracle=f"""
 WITH sh AS ({_grams_sql(4, distinct=True)}),
 df AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
@@ -948,3 +950,39 @@ def quality_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n long, is_monotone boolean, brier_improved boolean, knots_ok boolean",
     )
+
+
+@register(
+    "quality_weighted_draw",
+    extra=True,
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         round(0.5 * least(len(string_split_regex(lower(trim(text)), '\\s+')) / 100.0, 1.0)
+             + 0.5 * (CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+                      / len(string_split_regex(lower(trim(text)), '\\s+'))), 6) AS quality,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':wsample'), 1, 13))::UBIGINT::DOUBLE
+           / 4503599627370496e0 AS u
+  FROM documents),
+keyed AS (
+  SELECT doc_id, quality, round(ln(u) / quality, 12) AS sample_key
+  FROM s WHERE quality > 0)
+SELECT doc_id, quality, sample_key FROM (
+  SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rk FROM keyed)
+WHERE rk <= 100
+""",
+)
+def quality_weighted_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100-doc training-mix draw, probability ∝ quality score —
+    Efraimidis-Spirakis weighted sampling without replacement
+    (operators/curation.weighted_fixed_k_sample): the fixed-size
+    companion to the Bernoulli weighted keep. The md5-derived keys make
+    the draw a pure function of (corpus, salt): the oracle reproduces the
+    EXACT member set, not a statistical lookalike."""
+    from vector_db_spark.functions.text import quality_score
+    from vector_db_spark.operators.curation import weighted_fixed_k_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    return weighted_fixed_k_sample(docs, "quality", 100)

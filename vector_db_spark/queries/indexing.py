@@ -115,7 +115,7 @@ def ivf_centroids_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- V11 assignment -----------------------------------------------------------
 
-@register("ivf_assign_det", oracle=_ASSIGN_SQL)
+@register("ivf_assign_det", extra=True, oracle=_ASSIGN_SQL)  # demoted r4: assignment exercised inside both driver IVF searches
 def ivf_assign_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _assign(spark, sf_dir)
 

@@ -574,8 +574,7 @@ def stream_hourly_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_unattributed_clicks",
-    extra=True,
+    "stream_unattributed_clicks",  # promoted r4: stream-stream OUTER join shape, first driver row
     oracle="""
 WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
            FROM events WHERE event_type = 'click'),

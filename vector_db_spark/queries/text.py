@@ -415,7 +415,7 @@ _BANDS_SQL = _bands_sql()
 _CAND_SQL = _cand_sql()
 
 
-@register("minhash_signatures", oracle=_MINHASH_SQL)
+@register("minhash_signatures", extra=True, oracle=_MINHASH_SQL)  # demoted r4: the full pipeline (near_dup_jaccard) stays driver-tier
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_signatures(shingle_table(docs), n_hashes=8)
@@ -1309,8 +1309,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round-4 closing additions: containment / multi-probe / sparse cosine ------
 
 @register(
-    "containment_near_dup",
-    extra=True,
+    "containment_near_dup",  # promoted r4: asymmetric-containment dedup, first driver row for the family
     oracle="""
 WITH t AS (
   SELECT doc_id,
@@ -1387,8 +1386,7 @@ def ann_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tfidf_cosine_pairs",
-    extra=True,
+    "tfidf_cosine_pairs",  # promoted r4: sparse-term similarity family, first driver row
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 big AS (
@@ -1438,8 +1436,7 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "quality_dup_auc",
-    extra=True,
+    "quality_dup_auc",  # promoted r4: evaluation-metric family, first driver row
     oracle=f"""
 WITH s AS (
   SELECT round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
@@ -1502,4 +1499,88 @@ def quality_dup_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         ).alias("auc"),
+    )
+
+
+_PMI_TOP = 30
+_PMI_MIN_PAIR = 5
+
+
+@register(
+    "token_collocations_pmi",
+    extra=True,
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+uni AS (
+  SELECT tok, count(*) AS c FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY 1),
+t1 AS (SELECT sum(c) AS n1 FROM uni),
+pair AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS n_pair
+  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)
+  GROUP BY 1, 2),
+t2 AS (SELECT sum(n_pair) AS n2 FROM pair),
+sc AS (
+  SELECT w1, w2, n_pair,
+         round(ln((n_pair::DOUBLE / n2) / ((a.c::DOUBLE / n1) * (b.c::DOUBLE / n1))), 6) AS pmi
+  FROM pair JOIN uni a ON a.tok = w1 JOIN uni b ON b.tok = w2
+  CROSS JOIN t1 CROSS JOIN t2
+  WHERE n_pair >= {_PMI_MIN_PAIR})
+SELECT w1, w2, n_pair::BIGINT AS n_pair, pmi, rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM sc)
+WHERE rank <= {_PMI_TOP}
+""",
+)
+def token_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-{_PMI_TOP} adjacent token pairs by
+    pointwise mutual information ln(p(ab)/(p(a)p(b))) with a min-count
+    floor — the classic phrase-discovery signal (which word pairs stick
+    together far beyond chance). Two token-stream aggregations (both
+    map-side partial) + a broadcast unigram join; every probability is a
+    ratio of exact counts, so PMI is engine-exact after round-6. The
+    rank window runs over the pair AGGREGATE (vocab², tiny), never the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from vector_db_spark.functions.text import shingles
+
+    tk = docs.select(tokens("text").alias("tk"))
+    uni = tk.select(F.explode("tk").alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    pair = (
+        tk.select(F.explode(shingles(F.col("tk"), 2)).alias("p"))
+        .select(
+            F.split("p", " ").getItem(0).alias("w1"),
+            F.split("p", " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= _PMI_MIN_PAIR)
+    )
+    n1 = uni.agg(F.sum("c")).collect()[0][0]      # scalar: total tokens
+    n2 = tk.select(
+        F.sum(F.greatest(F.size("tk") - 1, F.lit(0))).alias("n")
+    ).collect()[0][0]                             # scalar: total bigrams
+    sc = (
+        pair.join(F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("c").alias("__ca"))), "w1")
+        .join(F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("c").alias("__cb"))), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.lit(float(n2)))
+                    / (
+                        (F.col("__ca").cast("double") / F.lit(float(n1)))
+                        * (F.col("__cb").cast("double") / F.lit(float(n1)))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _PMI_TOP)
     )
