@@ -144,6 +144,8 @@ HEADLINE = [
     "click_purchase_crosscorr",
     "kmv_orderkey_difference",
     "quality_dup_auc",
+    "token_collocations_pmi",
+    "quality_weighted_draw",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number.

@@ -515,3 +515,31 @@ def test_simhash_pigeonhole_guard(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup_pairs(df, hamming_max=4, n_bands=4)
+
+
+def test_pmi_collocation_ranks_planted_pair_first(spark):
+    """A pair that always co-occurs ('hong kong') must out-PMI pairs of
+    independent frequent words; PMI value matches the closed form."""
+    import math
+    import os
+    import tempfile
+
+    from vector_db_spark.queries.text import (
+        _PMI_MIN_PAIR,
+        token_collocations_pmi,
+    )
+
+    docs = [(i, "hong kong " + ("the of and or " * 5).strip()) for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # run the registered function against a temp dir shaped like a fixture
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    out = token_collocations_pmi(spark, d).collect()
+    assert out, "no collocations found"
+    top = out[0]
+    assert (top.w1, top.w2) == ("hong", "kong")
+    # closed form: c(hong kong)=10, c(hong)=c(kong)=10, T1=220, T2=210
+    want = round(math.log((10 / 210) / ((10 / 220) * (10 / 220))), 6)
+    assert abs(top.pmi - want) < 1e-9
+    assert all(r.n_pair >= _PMI_MIN_PAIR for r in out)
