@@ -146,6 +146,8 @@ HEADLINE = [
     "quality_dup_auc",
     "token_collocations_pmi",
     "quality_weighted_draw",
+    "udaf_event_median",
+    "udtf_token_positions",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number.

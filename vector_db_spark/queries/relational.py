@@ -18,6 +18,7 @@ Oracle-parity discipline (every query here is hash-checked against DuckDB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2156,4 +2157,40 @@ def value_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         F.round(F.percent_rank().over(w), 6).alias("pct"),
+    )
+
+
+@register(
+    "udaf_event_median",
+    extra=True,
+    oracle="""
+SELECT event_type, count(*)::BIGINT AS n,
+       round(quantile_cont(value, 0.5), 6) AS median_value
+FROM events GROUP BY event_type
+""",
+)
+def udaf_event_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE surface (SURVEY.md §2.9): per-type median
+    via a grouped-agg pandas UDF — the plan shows ``ArrowAggregatePython``
+    (Arrow-batched group transfer; NOT the row-at-a-time BatchEvalPython
+    the lint rejects). The kernel sorts before selecting, so the result
+    is order-deterministic and matches DuckDB's ``quantile_cont`` exactly
+    (both take the midpoint mean for even counts). Exercises the one
+    extension point the built-in operator queries can't: custom
+    aggregation logic running inside a keyed shuffle."""
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.median(np.sort(v.to_numpy(dtype="float64"))))
+
+    ev = load_table(spark, sf_dir, "events")
+    # Spark refuses pandas + built-in aggregates in ONE agg; two keyed
+    # aggs over the same tiny group key, broadcast-joined
+    med = ev.groupBy("event_type").agg(
+        F.round(median_udaf("value"), 6).alias("median_value")
+    )
+    cnt = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return cnt.join(F.broadcast(med), "event_type").select(
+        "event_type", "n", "median_value"
     )

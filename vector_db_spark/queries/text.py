@@ -1584,3 +1584,51 @@ def token_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _PMI_TOP)
     )
+
+
+@register(
+    "udtf_token_positions",
+    extra=True,
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS tk
+  FROM documents)
+SELECT doc_id, len(tk)::BIGINT AS n_tokens, tk[len(tk)] AS last_tok,
+       (len(tk) * (len(tk) - 1) // 2)::BIGINT AS pos_sum
+FROM t WHERE len(tk) > 0
+""",
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE-function surface (SURVEY.md §2.9): a Python
+    UDTF lateral-joined against the corpus explodes each document into
+    (position, token) rows — the plan shows ``ArrowEvalPythonUDTF``
+    (Arrow row transfer, lint-clean). The downstream aggregate pins every
+    emitted row: n_tokens, the max_by-position last token, and the
+    position checksum Σpos = n(n−1)/2 — values the oracle reproduces from
+    the token list, so the UDTF's row stream is verified, not just its
+    liveness."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, tok: string", useArrow=True)
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                for i, t in enumerate(text.lower().split()):
+                    yield i, t
+
+    name = "tokenize_udtf"
+    spark.udtf.register(name, Tokenize)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = spark.sql(
+        "SELECT d.doc_id, t.pos, t.tok FROM {d} AS d, LATERAL "
+        + name
+        + "(d.text) AS t",
+        d=docs,
+    )
+    return rows.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.max_by("tok", "pos").alias("last_tok"),
+        F.sum("pos").alias("pos_sum"),
+    )
