@@ -464,3 +464,68 @@ def test_group_safe_split_is_pure_function_of_group(keys, fracs):
         by_group.setdefault(r.grp, set()).add(r.split)
     # every group maps to exactly one split, regardless of row identity
     assert all(len(v) == 1 for v in by_group.values())
+
+
+@settings(**SETTINGS)
+@given(
+    sets=st.lists(
+        st.sets(st.integers(min_value=0, max_value=25), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.75, 0.8, 1.0]),
+)
+def test_containment_pairs_complete_on_random_sets(sets, threshold):
+    """One-sided prefix filtering must find EVERY directional pair with
+    |A∩B|/|A| ≥ θ on arbitrary set families — the ceil-boundary property
+    the fixture corpus can't probe (θ·|A| landing exactly on an integer,
+    singleton sets, identical sets, subset chains)."""
+    from vector_db_spark.operators.dedup import containment_pairs
+
+    spark = _get_spark()
+    rows = [(i, f"tok{t}") for i, ss in enumerate(sets) for t in ss]
+    items = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(items, threshold=threshold).collect()
+    }
+    want = {}
+    for a, sa in enumerate(sets):
+        for b, sb in enumerate(sets):
+            if a == b:
+                continue
+            c = round(len(sa & sb) / len(sa), 6)
+            if c >= threshold:
+                want[(a, b)] = c
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    sets=st.lists(
+        st.sets(st.integers(min_value=0, max_value=25), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8, 1.0]),
+)
+def test_prefix_filter_jaccard_complete_on_random_sets(sets, threshold):
+    """AllPairs prefix filtering: zero misses at any θ, including θ=1
+    (exact duplicates only) and prefix lengths of exactly 1."""
+    from vector_db_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    spark = _get_spark()
+    rows = [(i, f"tok{t}") for i, ss in enumerate(sets) for t in ss]
+    items = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(items, threshold=threshold).collect()
+    }
+    want = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+            if j >= threshold:
+                want[(a, b)] = j
+    assert got == want
