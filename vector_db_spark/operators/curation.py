@@ -549,20 +549,18 @@ def weighted_fixed_k_sample(
     ``md5(id:salt)`` over 2^52 — an exactly-representable double, so
     every engine computes the identical key (round-12 before ranking;
     id tie-break). Zero-weight rows are excluded (their inclusion
-    probability is 0). One global top-k — rank via a single ordered
-    window over keys, fine to corpus scale the same way every top-k here
-    is (``operators/topk.py``); output order is by key."""
-    from pyspark.sql import Window
-
+    probability is 0). The global top-k is ``orderBy().limit(k)`` —
+    Spark's TakeOrderedAndProject: per-partition heaps + a k-row driver
+    merge, NO single-task sort of the corpus (a global row_number window
+    would be one)."""
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
     u = F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(float(1 << 52))
     key = F.round(F.log(u) / F.col(weight_col), 12)
-    w = Window.orderBy(F.col("__key").desc(), F.col(id_col))
     return (
         docs.filter(F.col(weight_col) > 0)
         .withColumn("__key", key)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
+        .orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(k)
         .select(*docs.columns, F.col("__key").alias("sample_key"))
     )
 
