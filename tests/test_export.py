@@ -71,3 +71,27 @@ def test_write_shards_order_is_partition_invariant(spark, tmp_path):
     assert orders[0] == orders[1]
     # within-shard order is the shuffle order, not id order
     assert any(orders[0][s] != sorted(orders[0][s]) for s in range(4))
+
+
+def test_write_shards_jsonl_roundtrip(spark, sf_smoke, tmp_path):
+    """JSONL export: same shard layout as parquet, rows read back intact
+    (the format LLM training loaders consume directly)."""
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.export import shard_plan, write_shards
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    plan = shard_plan(docs, n_shards=4)
+    out = str(tmp_path / "jsonl_shards")
+    write_shards(plan, out, n_shards=4, fmt="jsonl")
+    back = spark.read.json(out)
+    assert back.count() == 50
+    assert {r.shard_id for r in back.select("shard_id").distinct().collect()} <= set(range(4))
+    # content survives the round trip
+    want = {r.doc_id for r in docs.select("doc_id").collect()}
+    got = {r.doc_id for r in back.select("doc_id").collect()}
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown fmt"):
+        write_shards(plan, out, n_shards=4, fmt="csvx")

@@ -92,16 +92,27 @@ def shard_manifest(plan: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def write_shards(plan: DataFrame, path: str, *, n_shards: int) -> None:
+def write_shards(
+    plan: DataFrame, path: str, *, n_shards: int, fmt: str = "parquet"
+) -> None:
     """Materialize the export: one directory per shard (Hive
     ``shard_id=K``), rows in shuffle-key order within each file. The
     repartition keys on ``shard_id`` so each task writes whole shards;
     ``maxRecordsPerFile`` (session conf) splits oversized shards into
-    ordered file sequences without breaking determinism."""
-    (
+    ordered file sequences without breaking determinism.
+
+    ``fmt``: ``parquet`` (columnar, the analytics default) or ``jsonl``
+    (newline-delimited JSON — the training-data interchange format most
+    LLM loaders consume directly). Same layout, same determinism."""
+    writer = (
         plan.repartition(n_shards, "shard_id")
         .sortWithinPartitions("shard_id", "shuffle_key")
         .write.mode("overwrite")
         .partitionBy("shard_id")
-        .parquet(path)
     )
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "jsonl":
+        writer.json(path)
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}; choose 'parquet' or 'jsonl'")
