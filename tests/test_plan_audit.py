@@ -125,40 +125,116 @@ _AUDIT_ALLOW = {
 }
 
 
-def test_no_scale_errors_in_any_driver_query(spark, sf_smoke):
-    """Every driver-tier query's physical plan must be free of
-    error-severity scale findings (CartesianProduct, row-at-a-time Python
-    UDFs) — the lint, applied to the whole driver contract."""
+@pytest.fixture(scope="module")
+def registry_findings(spark, sf_smoke):
+    """ONE build+audit pass over the full registry, shared by the error-
+    and warn-grade checks below (each query build can trigger real work —
+    k-means fits, stream commits — so the sweep must not run per-test)."""
     from vector_db_spark.plans import audit_plan
-    from vector_db_spark.queries import QUERIES
+    from vector_db_spark.queries import all_queries
 
-    bad = {}
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_smoke)
-        findings = [
-            f
-            for f in audit_plan(df, allow=_AUDIT_ALLOW.get(name, ()))
-            if f.severity == "error"
-        ]
-        if findings:
-            bad[name] = [(f.code, f.detail) for f in findings]
+    return {
+        name: audit_plan(fn(spark, sf_smoke), allow=_AUDIT_ALLOW.get(name, ()))
+        for name, fn in all_queries().items()
+    }
+
+
+def test_no_scale_errors_in_any_registered_query(registry_findings):
+    """Every registered query's physical plan — driver AND extra tier —
+    must be free of error-severity scale findings (CartesianProduct,
+    row-at-a-time Python UDFs): the lint, applied to the whole contract."""
+    bad = {
+        name: [(f.code, f.detail) for f in fs if f.severity == "error"]
+        for name, fs in registry_findings.items()
+    }
+    bad = {k: v for k, v in bad.items() if v}
     assert not bad, bad
 
 
-def test_no_scale_errors_in_extra_tier(spark, sf_smoke):
-    """The extra tier under the same lint — with the deliberate,
-    documented exceptions allow-listed per query."""
-    from vector_db_spark.plans import audit_plan
-    from vector_db_spark.queries import EXTRA_QUERIES
+# Warn-grade snapshot of the whole 200-query registry (sweep at sf0.001):
+# every entry is a deliberate bounded shape — "nested-loop-join" is a
+# broadcast of an O(1)/O(k) query/centroid/sketch side, "single-partition-
+# exchange" is a final scalar/top-N collapse after partial aggregation,
+# "unpartitioned-window" runs over an already-bounded candidate or
+# group-summary set (argued at each definition site). A query NOT listed
+# here must audit warn-free: a new registration (or an edit to a clean
+# query) that introduces one of these shapes fails the subset check below
+# until it is consciously allow-listed.
+_WARN_ALLOW: dict[str, set[str]] = {
+    "adaptive_quality_cut": {"unpartitioned-window"},
+    "approx_stats": {"single-partition-exchange"},
+    "bigram_lm_score": {"nested-loop-join", "single-partition-exchange"},
+    "bpe_tokenize_audit": {"single-partition-exchange"},
+    "bq_hamming_search": {"nested-loop-join"},
+    "bq_retrieval_metrics": {"nested-loop-join"},
+    "click_purchase_crosscorr": {"nested-loop-join", "single-partition-exchange"},
+    "cluster_stats": {"single-partition-exchange"},
+    "cluster_topic_terms": {"nested-loop-join", "single-partition-exchange"},
+    "cms_join_size": {"single-partition-exchange"},
+    "copurchase_ppr_expansion": {"single-partition-exchange"},
+    "corpus_drift_js": {"nested-loop-join", "single-partition-exchange"},
+    "corpus_governance_report": {"single-partition-exchange"},
+    "dedup_retain_best": {"unpartitioned-window"},
+    "digest_price_quantiles": {"nested-loop-join"},
+    "embedding_isotropy": {"nested-loop-join", "single-partition-exchange"},
+    "embedding_near_dup_brute": {"nested-loop-join"},
+    "event_key_skew": {"nested-loop-join", "single-partition-exchange"},
+    "frequent_event_paths": {"unpartitioned-window"},
+    "fuzzy_typo_pairs": {"nested-loop-join"},
+    "hard_negative_mining": {"nested-loop-join"},
+    "hybrid_search": {
+        "nested-loop-join", "single-partition-exchange", "unpartitioned-window"
+    },
+    "interleave_training_order": {
+        "single-partition-exchange", "unpartitioned-window"
+    },
+    "inverted_bm25_search": {"unpartitioned-window"},
+    "ivf_assign_det": {"nested-loop-join"},
+    "ivf_lloyd_step_det": {"nested-loop-join"},
+    "ivf_search_cosine_det": {"nested-loop-join"},
+    "ivf_search_det": {"nested-loop-join"},
+    "ivf_search_kmeans": {"nested-loop-join"},
+    "ivf_stats_kmeans": {"single-partition-exchange"},
+    "ivfpq_search_kmeans": {"nested-loop-join", "single-partition-exchange"},
+    "jl_projection_audit": {"single-partition-exchange"},
+    "join_size_preflight": {"nested-loop-join", "single-partition-exchange"},
+    "kmv_orderkey_difference": {"nested-loop-join", "single-partition-exchange"},
+    "kmv_orderkey_overlap": {"nested-loop-join", "single-partition-exchange"},
+    "knn_exact_sql": {"nested-loop-join"},
+    "knn_graph_export": {"nested-loop-join"},
+    "knn_pagerank": {"single-partition-exchange"},
+    "knn_personalized_pagerank": {"single-partition-exchange"},
+    "late_interaction_search": {"nested-loop-join"},
+    "node2vec_biased_walks": {"unpartitioned-window"},
+    "opq_adc_recall": {"nested-loop-join", "single-partition-exchange"},
+    "part_cooccurrence_triangles": {"nested-loop-join", "single-partition-exchange"},
+    "pq_adc_kmeans": {"nested-loop-join", "single-partition-exchange"},
+    "qty_price_corr": {"single-partition-exchange"},
+    "quality_dup_auc": {"single-partition-exchange", "unpartitioned-window"},
+    "radius_search": {"nested-loop-join"},
+    "recall_bytes_frontier": {"nested-loop-join", "single-partition-exchange"},
+    "semantic_search_docs": {"nested-loop-join"},
+    "sq8_search": {"nested-loop-join"},
+    "table_expectations": {"single-partition-exchange"},
+    "token_collocations_pmi": {"unpartitioned-window"},
+    "training_data_manifest": {"single-partition-exchange"},
+    "unigram_lm_score": {"nested-loop-join", "single-partition-exchange"},
+    # exact-percentile scalar finish; shape appears only under some input
+    # partitionings (AQE), so the subset check needs it listed
+    "winsorized_value_stats": {"single-partition-exchange"},
+}
 
+
+def test_registry_warn_shapes_are_allow_listed(registry_findings):
+    """Subset check over the FULL registry: each query's warn-severity
+    finding codes must be within its pinned allowlist (absent = must be
+    warn-free). Catches plan-shape regressions — a pushdown that stopped
+    working, a window that lost its PARTITION BY — on queries that audit
+    clean today, without failing when a warn legitimately disappears."""
     bad = {}
-    for name, fn in EXTRA_QUERIES.items():
-        df = fn(spark, sf_smoke)
-        findings = [
-            f
-            for f in audit_plan(df, allow=_AUDIT_ALLOW.get(name, ()))
-            if f.severity == "error"
-        ]
-        if findings:
-            bad[name] = [(f.code, f.detail) for f in findings]
-    assert not bad, bad
+    for name, fs in registry_findings.items():
+        warns = {f.code for f in fs if f.severity == "warn"}
+        extra = warns - _WARN_ALLOW.get(name, set())
+        if extra:
+            bad[name] = sorted(extra)
+    assert not bad, f"unexpected warn-grade plan shapes: {bad}"

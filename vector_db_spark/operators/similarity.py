@@ -342,7 +342,21 @@ def sparse_cosine_pairs(
         .agg(F.sum(F.round(F.col("w") * F.col("w") * 1e12).cast("long")).alias("n2"))
         .select(id_col, F.sqrt(F.col("n2").cast("double") / 1e12).alias("norm"))
     )
-    a = w.select(F.col(id_col).alias("doc_a"), F.col(term_col).alias("t"), F.col("w").alias("wa"))
+    # The postings table is SMALL (O(docs·terms) rows) but the term
+    # self-join EXPANDS it to Σ df² rows — AQE sizes the stream side by
+    # input bytes, so without intervention it coalesces the tiny input to
+    # ~1 partition and the whole expansion + pair partial-agg lands on one
+    # core (measured: >10 min vs ~4 s at sf0.1). An explicit fixed-width
+    # repartition on the join key pins the expansion's parallelism; AQE
+    # honors user-specified partition counts. On a cluster the same
+    # exchange is what a co-partitioned sort-merge join needs anyway once
+    # the build side outgrows the broadcast threshold.
+    n_part = int(
+        toks.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    a = w.select(
+        F.col(id_col).alias("doc_a"), F.col(term_col).alias("t"), F.col("w").alias("wa")
+    ).repartition(n_part, "t")
     b = w.select(F.col(id_col).alias("doc_b"), F.col(term_col).alias("t"), F.col("w").alias("wb"))
     dots = (
         a.join(b, "t")
