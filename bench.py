@@ -148,6 +148,10 @@ HEADLINE = [
     "quality_weighted_draw",
     "udaf_event_median",
     "udtf_token_positions",
+    # round-4: Python DataSource connectors + VARIANT metadata
+    "pyds_jsonl_roundtrip",
+    "pyds_stream_replay",
+    "events_variant_stats",
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number.

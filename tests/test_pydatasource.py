@@ -1,0 +1,242 @@
+"""Python DataSource API sources (sources/jsonl.py, sources/replay.py).
+
+Pins: write→read round-trip equality, typed filter pushdown semantics
+(accepted filters applied exactly; unsupported handed back), the
+two-phase commit protocol (no .tmp litter, overwrite removes stale
+shards), and the replay stream's exactly-once offsets (agg parity with
+batch; checkpoint restart re-emits nothing).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, StringContains
+
+from vector_db_spark.io import load_table
+from vector_db_spark.sources import ensure_registered
+from vector_db_spark.sources.jsonl import JsonlShardReader
+from vector_db_spark.sources.replay import ParquetReplayStreamReader
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    ensure_registered(spark)
+    return load_table(spark, SF, "documents").select("doc_id", "lang", "source", "n_chars")
+
+
+@pytest.fixture(scope="module")
+def shard_dir(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("jsonl") / "shards")
+    docs.repartition(3).write.format("vdb_jsonl").option("path", path).mode(
+        "overwrite"
+    ).save()
+    return path
+
+
+def test_jsonl_roundtrip_exact(spark, docs, shard_dir):
+    back = (
+        spark.read.format("vdb_jsonl").schema(docs.schema).option("path", shard_dir).load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_jsonl_commit_leaves_no_tmp(shard_dir):
+    names = os.listdir(shard_dir)
+    assert not [n for n in names if n.endswith(".tmp")]
+    assert len([n for n in names if n.endswith(".jsonl")]) == 3
+
+
+def test_jsonl_overwrite_removes_stale_shards(spark, docs, tmp_path):
+    path = str(tmp_path / "shards")
+    docs.repartition(4).write.format("vdb_jsonl").option("path", path).mode(
+        "append"
+    ).save()
+    assert len(os.listdir(path)) == 4
+    docs.limit(10).repartition(1).write.format("vdb_jsonl").option("path", path).mode(
+        "overwrite"
+    ).save()
+    assert len([n for n in os.listdir(path) if n.endswith(".jsonl")]) == 1
+    back = spark.read.format("vdb_jsonl").schema(docs.schema).option("path", path).load()
+    assert back.count() == 10
+
+
+def test_jsonl_schema_inference(spark, shard_dir):
+    inf = spark.read.format("vdb_jsonl").option("path", shard_dir).load()
+    assert inf.schema.simpleString() == (
+        "struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>"
+    )
+
+
+def test_jsonl_filter_pushdown_contract(docs, shard_dir):
+    reader = JsonlShardReader(docs.schema, {"path": shard_dir})
+    eq = EqualTo(("lang",), "en")
+    gt = GreaterThan(("n_chars",), 200)
+    unsupported = StringContains(("source",), "src")
+    rest = list(reader.pushFilters([eq, gt, unsupported]))
+    assert reader.pushed == [eq, gt]
+    assert rest == [unsupported]
+    # accepted filters are applied EXACTLY inside read()
+    rows = sum(
+        b.num_rows for p in reader.partitions() for b in reader.read(p)
+    )
+    assert rows > 0
+
+
+def test_jsonl_pushdown_results_exact(spark, docs, shard_dir):
+    back = (
+        spark.read.format("vdb_jsonl").schema(docs.schema).option("path", shard_dir).load()
+    )
+    got = back.filter((F.col("lang") == "en") & (F.col("n_chars") > 200))
+    want = docs.filter((F.col("lang") == "en") & (F.col("n_chars") > 200))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_jsonl_missing_column_reads_null(spark, docs, shard_dir):
+    wider = docs.schema.add("absent_col", "string")
+
+    def load():
+        return (
+            spark.read.format("vdb_jsonl").schema(wider).option("path", shard_dir).load()
+        )
+
+    assert load().filter(F.col("absent_col").isNotNull()).count() == 0
+    assert load().count() == docs.count()
+
+
+def test_jsonl_upstream_scan_cache_quirk(spark, docs, shard_dir):
+    """Documents the Spark 4.1 relation-level read-info cache: an
+    UNFILTERED action on the same load() DataFrame reuses a previously
+    planned filtered scan (the JVM only re-plans when there are filters
+    to push). If a Spark upgrade fixes this, the second assert flips to
+    ``== docs.count()`` and the jsonl.py docstring caveat can go."""
+    shared = (
+        spark.read.format("vdb_jsonl").schema(docs.schema).option("path", shard_dir).load()
+    )
+    n_en = shared.filter(F.col("lang") == "en").count()
+    assert 0 < n_en < docs.count()
+    assert shared.count() == n_en  # stale filtered scan reused (upstream quirk)
+    # plain-then-filtered plans correctly, and fresh relations always do
+    fresh = (
+        spark.read.format("vdb_jsonl").schema(docs.schema).option("path", shard_dir).load()
+    )
+    assert fresh.count() == docs.count()
+    assert fresh.filter(F.col("lang") == "en").count() == n_en
+
+
+def test_replay_partition_slicing():
+    reader = ParquetReplayStreamReader(
+        None, {"path": f"{SF}/events.parquet", "rows_per_partition": "100"}
+    )
+    total = reader.latestOffset()["row"]
+    assert total == 1000
+    parts = reader.partitions({"row": 0}, {"row": total})
+    assert sum(p.n_rows for p in parts) == total
+    assert max(p.n_rows for p in parts) <= 100
+    # a mid-range window slices exactly, never duplicating rows
+    parts = reader.partitions({"row": 150}, {"row": 420})
+    assert sum(p.n_rows for p in parts) == 270
+
+
+def test_replay_slicing_properties():
+    """slice_row_range covers any window exactly once for any row-group
+    layout: slices are disjoint, in-group, capped, and their union is
+    precisely [lo, hi)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_db_spark.sources.replay import slice_row_range
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        groups=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+        frac=st.tuples(st.floats(0, 1), st.floats(0, 1)),
+        cap=st.integers(1, 64),
+    )
+    def check(groups, frac, cap):
+        total = sum(groups)
+        lo = int(min(frac) * total)
+        hi = int(max(frac) * total)
+        slices = slice_row_range(groups, lo, hi, cap)
+        covered = set()
+        g_base = [sum(groups[:i]) for i in range(len(groups))]
+        for gi, off, n in slices:
+            assert 1 <= n <= cap
+            assert 0 <= off and off + n <= groups[gi]  # contained in its group
+            rows = range(g_base[gi] + off, g_base[gi] + off + n)
+            assert not covered & set(rows)  # disjoint
+            covered |= set(rows)
+        assert covered == set(range(lo, hi))  # exact cover
+
+    check()
+
+
+def test_replay_stream_matches_batch(spark):
+    ensure_registered(spark)
+    sdf = (
+        spark.readStream.format("vdb_replay")
+        .option("path", f"{SF}/events.parquet")
+        .option("rows_per_partition", "256")
+        .load()
+    )
+    agg = sdf.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("replay_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("replay_parity").collect()))
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, SF, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_replay_checkpoint_restart_emits_nothing(spark, tmp_path):
+    """Exactly-once across restart: a second availableNow run against the
+    same checkpoint finds offset == latest and appends zero rows."""
+    ensure_registered(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run() -> None:
+        sdf = (
+            spark.readStream.format("vdb_replay")
+            .option("path", f"{SF}/events.parquet")
+            .load()
+        )
+        q = (
+            sdf.select("event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert spark.read.parquet(out).count() == 1000
+    run()
+    assert spark.read.parquet(out).count() == 1000
+    assert spark.read.parquet(out).select("event_id").distinct().count() == 1000

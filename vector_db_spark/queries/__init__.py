@@ -78,6 +78,7 @@ from vector_db_spark.queries import chunking  # noqa: E402,F401  isort: skip
 from vector_db_spark.queries import sketches  # noqa: E402,F401  isort: skip
 from vector_db_spark.queries import timeseries  # noqa: E402,F401  isort: skip
 from vector_db_spark.queries import lifecycle  # noqa: E402,F401  isort: skip
+from vector_db_spark.queries import pysource  # noqa: E402,F401  isort: skip
 
 assert len(QUERIES) <= DRIVER_QUERY_BUDGET, (
     f"{len(QUERIES)} driver queries registered, budget is {DRIVER_QUERY_BUDGET}; "

@@ -77,6 +77,41 @@ def events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_variant_stats",
+    extra=True,
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))::BIGINT AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                THEN 1 ELSE 0 END)::BIGINT AS n_big
+FROM events GROUP BY event_type
+""",
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metadata through Spark 4's VARIANT type:
+    ``parse_json`` once into a binary variant, typed ``variant_get``
+    extraction after. Against string re-parsing (get_json_object per
+    predicate), a variant column parses once at ingest and every probe
+    is a typed path lookup — at 100 TB the metadata column is parsed one
+    time, not once per expression. The reference's metadata JSON
+    (parsed per row at reference storage.py:245) maps exactly here."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_big"),
+        )
+    )
+
+
 # --- S3: point lookup by id (reference storage.py:232-252) ------------------
 
 @register(
