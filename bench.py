@@ -152,6 +152,11 @@ HEADLINE = [
     "pyds_jsonl_roundtrip",
     "pyds_stream_replay",
     "events_variant_stats",
+    # dbscan_embedding_clusters is registry-tested but not benched: like
+    # knn_pagerank, its wall time is hash-min component rounds (each a
+    # tiny join + localCheckpoint + convergence count), i.e. scheduler
+    # overhead at fixture scale, not scan volume; the oracle row keeps
+    # the full construction correctness-checked every round
     # knn_pagerank is registry-tested but not benched: power iteration is
     # ~2 tiny jobs per round, so fixture-scale wall time is scheduler
     # overhead (~17 s), not data volume — not a steady-state query number.

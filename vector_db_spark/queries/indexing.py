@@ -798,3 +798,75 @@ def ivf_search_cosine_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     ).filter(F.col("query_id") < N_QUERIES)
     return ivf_det_search(queries, cents, assign, nemb)
+
+
+# --- density clustering (DBSCAN over the blocked ε-graph) --------------------
+
+_DBSCAN_EPS = 1.16
+_DBSCAN_MIN_PTS = 4
+_DBSCAN_N_PROBE = 2
+
+
+@register(
+    "dbscan_embedding_clusters",
+    # promoted r4 closing: first driver row for the density-clustering family
+    oracle=f"""
+WITH RECURSIVE
+cent AS ({_CENT_LIST_SQL}),
+member AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.embedding::DOUBLE[], c.centroid), 6),
+                      c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn <= {_DBSCAN_N_PROBE}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM member a JOIN member b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+        <= {_DBSCAN_EPS}),
+und AS (SELECT va s, vb t FROM pairs UNION ALL SELECT vb, va FROM pairs),
+deg AS (SELECT s, count(*) n FROM und GROUP BY s),
+core AS (SELECT s FROM deg WHERE n + 1 >= {_DBSCAN_MIN_PTS}),
+cce AS (SELECT u.s, u.t FROM und u
+        JOIN core c1 ON u.s = c1.s JOIN core c2 ON u.t = c2.s),
+reach(s, r) AS (SELECT s, s FROM core
+                UNION SELECT c.s, r.r FROM cce c JOIN reach r ON c.t = r.s),
+lab AS (SELECT s, min(r) AS cluster_label FROM reach GROUP BY s),
+border AS (
+  SELECT u.s, min(l.cluster_label) AS cluster_label
+  FROM und u JOIN lab l ON u.t = l.s
+  WHERE u.s NOT IN (SELECT s FROM core) GROUP BY u.s),
+allpts AS (
+  SELECT s, cluster_label, 'core' AS role FROM lab
+  UNION ALL SELECT s, cluster_label, 'border' FROM border
+  UNION ALL SELECT e.vec_id, -1, 'noise' FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT s FROM lab)
+      AND e.vec_id NOT IN (SELECT s FROM border))
+SELECT cluster_label, count(*)::BIGINT AS size,
+       sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END)::BIGINT AS n_core,
+       sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END)::BIGINT AS n_border
+FROM allpts GROUP BY cluster_label
+""",
+)
+def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the blocked ε-graph (operators/density.py): candidate
+    pairs from deterministic-centroid multi-assignment (n_probe=2 —
+    the Σ cluster² SemDeDup/IVF bound, never n²), exact 6dp-rounded
+    euclidean verify, core/border/noise semantics, components labelled
+    by min member id. The oracle reproduces the ENTIRE construction —
+    blocking, degrees, component closure, border tie-break — value-exact
+    per cluster (label, size, core/border split)."""
+    from vector_db_spark.operators.density import (
+        dbscan_cluster_stats,
+        dbscan_from_pairs,
+        epsilon_pairs_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids_arrays(spark, sf_dir)
+    pairs = epsilon_pairs_blocked(
+        emb, cents, _DBSCAN_EPS, n_probe=_DBSCAN_N_PROBE
+    )
+    assignment = dbscan_from_pairs(emb, pairs, _DBSCAN_MIN_PTS)
+    return dbscan_cluster_stats(assignment)

@@ -79,7 +79,7 @@ def events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_variant_stats",
-    extra=True,
+    # promoted r4 closing: first driver row for the VARIANT semi-structured family
     oracle="""
 SELECT event_type,
        count(*)::BIGINT AS n_events,
@@ -665,6 +665,7 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_stats",
+    extra=True,  # demoted r4 closing: sketch family keeps cms_token_freq + kmv_orderkey_overlap driver rows
     oracle="""
 SELECT COUNT(DISTINCT l_partkey)::BIGINT AS exact_parts,
        COUNT(DISTINCT l_orderkey)::BIGINT AS exact_orders,

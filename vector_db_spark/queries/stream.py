@@ -71,6 +71,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_windows",
+    extra=True,  # demoted r4 closing: streaming keeps 4 driver rows (hourly/ingest/serving/outer-join)
     oracle="""
 WITH e AS (
   SELECT user_id, ts, event_id, epoch_us(ts) AS us,

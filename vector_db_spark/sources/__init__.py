@@ -36,6 +36,10 @@ def ensure_registered(spark: SparkSession) -> None:
     from vector_db_spark.sources.jsonl import JsonlShardDataSource
     from vector_db_spark.sources.replay import ParquetReplayDataSource
 
+    # runtime-settable; without it Spark REFUSES a reader that implements
+    # pushFilters (DATA_SOURCE_PUSHDOWN_DISABLED) — set here so the
+    # sources work on any caller's session, not just session.get_spark()
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     for cls in (JsonlShardDataSource, ParquetReplayDataSource):
         key = (id(spark), cls.name())
         if key in _REGISTERED:
