@@ -152,6 +152,7 @@ HEADLINE = [
     "pyds_jsonl_roundtrip",
     "pyds_stream_replay",
     "events_variant_stats",
+    "stream_state_inspection",
     # dbscan_embedding_clusters is registry-tested but not benched: like
     # knn_pagerank, its wall time is hash-min component rounds (each a
     # tiny join + localCheckpoint + convergence count), i.e. scheduler

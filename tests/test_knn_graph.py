@@ -85,6 +85,64 @@ def test_distributed_connectivity_agrees_with_bfs(spark, graph):
     assert comps == {0: 0, 1: 0, 10: 10, 11: 10, 12: 10}
 
 
+def test_components_long_path_converges_logarithmically(spark):
+    """A 200-link path has diameter 200: pure label propagation needs
+    ~200 rounds, so max_iter=20 proves the pointer-shortcutting rounds
+    are O(log n). Labels must be the exact min member id (0)."""
+    from vector_db_spark.operators.knn_graph import components_from_edges
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    comp = {
+        r.id: r.component
+        for r in components_from_edges(edges, max_iter=20).collect()
+    }
+    assert comp == {i: 0 for i in range(n + 1)}
+
+
+def test_components_random_graph_matches_union_find(spark):
+    import random
+
+    rng = random.Random(5)
+    n, m = 120, 150
+    raw = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+    raw = [(a, b) for a, b in raw if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        parent[find(a)] = find(b)
+    want_sets: dict[int, list[int]] = {}
+    for i in range(n):
+        want_sets.setdefault(find(i), []).append(i)
+    want = {i: min(ms) for ms in want_sets.values() for i in ms}
+
+    from vector_db_spark.operators.knn_graph import components_from_edges
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {
+        r.id: r.component
+        for r in components_from_edges(edges, nodes=nodes).collect()
+    }
+    assert got == want
+
+
+def test_components_nonconvergence_raises(spark):
+    from vector_db_spark.operators.knn_graph import components_from_edges
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components_from_edges(edges, max_iter=2)
+
+
 def test_tiny_cluster_graceful(spark):
     """Cluster smaller than m+1: neighbors = all others, no error."""
     df = spark.createDataFrame(

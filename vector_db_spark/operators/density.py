@@ -119,8 +119,9 @@ def dbscan_from_pairs(
 
     - **core**: |closed ε-neighborhood| ≥ min_pts (degree + self);
     - clusters: connected components of the core-core subgraph, labelled
-      by min member id (:func:`components_from_edges`, O(diameter)
-      hash-min rounds, one join + one agg each);
+      by min member id (:func:`components_from_edges`, hash-min rounds
+      with pointer shortcutting — O(log n) rounds, two joins + one agg
+      each);
     - **border**: non-core with ≥ 1 core ε-neighbor — joins the minimum
       adjacent core label (deterministic tie-break);
     - **noise**: everything else, ``cluster_label = -1``.

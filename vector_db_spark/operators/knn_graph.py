@@ -158,15 +158,28 @@ def components_from_edges(
     max_iter: int = 50,
 ) -> DataFrame:
     """(id, component) from an undirected edge list by hash-min label
-    propagation — the shared Pregel-style core behind graph connectivity
-    AND duplicate-cluster grouping (operators/dedup.py). ``nodes`` is an
-    optional one-column DataFrame of every node id; ids absent from
-    ``edges`` become singleton components. Defaults to edge endpoints.
+    propagation WITH pointer shortcutting — the shared Pregel-style core
+    behind graph connectivity AND duplicate-cluster grouping
+    (operators/dedup.py). ``nodes`` is an optional one-column DataFrame
+    of every node id; ids absent from ``edges`` become singleton
+    components. Defaults to edge endpoints.
 
     Each iteration every node adopts the minimum label in its closed
-    neighborhood; converges in O(diameter) iterations, each one join + one
-    aggregation. ``localCheckpoint`` truncates the growing lineage so the
-    plan stays O(1) per iteration."""
+    neighborhood, then follows its label's label
+    (``comp ← comp(comp(u))``, the Shiloach-Vishkin shortcut — sound
+    because a label is always the id of a node in the same component, so
+    composing label lookups stays inside the component). Propagation
+    alone needs O(diameter) rounds — a 10k-link near-dup chain would
+    need 10k rounds; with shortcutting label depth collapses
+    geometrically and convergence is O(log n) rounds (pinned on a long
+    path in tests/test_knn_graph.py), so ``max_iter=50`` covers any
+    component that fits on hardware. Per round: two joins + one
+    aggregation; ``localCheckpoint`` keeps lineage O(1).
+
+    Raises RuntimeError if ``max_iter`` rounds pass without a fixpoint —
+    unconverged labels split one component into several, which silently
+    corrupts every downstream consumer (dedup survivor groups, DBSCAN
+    clusters), so refusing is the only safe behavior."""
     edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -179,18 +192,28 @@ def components_from_edges(
         id_col = nodes.columns[0]
         nodes = nodes.select(F.col(id_col).alias("src")).distinct()
     labels = nodes.select("src", F.col("src").cast("long").alias("comp"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(labels.select(F.col("src").alias("dst"), "comp"), "dst")
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        prop = labels.join(nbr, "src", "left").select(
+            "src",
+            F.col("comp").alias("__old"),
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+        )
+        # shortcut: comp ← comp(comp(u)). Every label is a node id (a min
+        # over node ids), so prop always has a row for it; least() keeps
+        # monotonicity even mid-round when the parent row is staler than
+        # the child's fresh label.
+        parent = prop.select(F.col("src").alias("comp"), F.col("comp").alias("__gp"))
         updated = (
-            labels.join(nbr, "src", "left")
+            prop.join(parent, "comp")
             .select(
                 "src",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
-                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")).alias("__chg"),
+                F.least(F.col("comp"), F.col("__gp")).alias("comp"),
+                (F.least(F.col("comp"), F.col("__gp")) < F.col("__old")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
@@ -198,6 +221,12 @@ def components_from_edges(
         labels = updated.select("src", "comp")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"components_from_edges did not converge in {max_iter} rounds "
+            "(with shortcutting this means a pathological input, not a "
+            "large diameter); raise max_iter explicitly if intended"
+        )
     return labels.select(F.col("src").alias("id"), F.col("comp").alias("component"))
 
 

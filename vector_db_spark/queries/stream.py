@@ -622,3 +622,66 @@ def stream_unattributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("click_ts") <= F.lit(cutoff))
         .select("click_id", "user_id", "click_ts")
     )
+
+
+@register(
+    "stream_state_inspection",
+    extra=True,
+    oracle="""
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2, 3
+HAVING window_end > (SELECT w FROM wm)
+""",
+)
+def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 State Data Source: run the watermarked hourly aggregation
+    to a checkpoint (append mode: a window is emitted AND evicted from
+    the store once its end crosses the watermark), then read the
+    checkpoint back with ``spark.read.format("statestore")``. The rows
+    still IN the store at termination are exactly the windows the final
+    watermark (max event time − 1 h) has not yet closed — a fact plain
+    SQL reproduces, so the state-store read path itself is value-checked.
+    This is the streaming-ops debugging surface (what is my state, how
+    big, which keys) the reference's pickle snapshots could never answer
+    without loading them into the process."""
+    import shutil
+    import tempfile
+    import uuid
+
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="state-inspect-")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("state_inspect_" + uuid.uuid4().hex[:8])
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.col("key.window.start").alias("window_start"),
+                F.col("key.window.end").alias("window_end"),
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").alias("n_events"),
+            )
+            .collect()  # eager: the lazy plan reads checkpoint files we delete below
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "window_start timestamp, window_end timestamp, event_type string, n_events long"
+    )
