@@ -153,6 +153,8 @@ HEADLINE = [
     "pyds_stream_replay",
     "events_variant_stats",
     "stream_state_inspection",
+    "ivf_incremental_update",
+    "rendezvous_shard_stability",
     # dbscan_embedding_clusters is registry-tested but not benched: like
     # knn_pagerank, its wall time is hash-min component rounds (each a
     # tiny join + localCheckpoint + convergence count), i.e. scheduler

@@ -116,3 +116,44 @@ def write_shards(
         writer.json(path)
     else:
         raise ValueError(f"unknown fmt {fmt!r}; choose 'parquet' or 'jsonl'")
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    *,
+    salt: str = "rdv-v1",
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment:
+    ``shard(key) = argmax_s md5(key|salt|s)``. Unlike mod-N hashing,
+    growing N → N+1 moves ONLY the keys whose new max weight is the new
+    shard — an exact n/(N+1) expected fraction, and nothing reshuffles
+    among surviving shards, so a shard split at 100 TB rewrites 1/(N+1)
+    of the corpus instead of (N-1)/N of it. Weights are the first 15 md5
+    nibbles (the repo's cross-engine integer idiom), so placement is a
+    pure deterministic function of (key, salt, N) any engine reproduces.
+    Map-only: N weight expressions per row, no shuffle."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    weights = F.array(
+        *[
+            F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt), F.lit(s))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("w"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return df.withColumn(out_col, F.array_max(weights)["s"])

@@ -870,3 +870,85 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assignment = dbscan_from_pairs(emb, pairs, _DBSCAN_MIN_PTS)
     return dbscan_cluster_stats(assignment)
+
+
+# --- incremental centroid maintenance (sufficient statistics) ----------------
+
+@register(
+    "ivf_incremental_update",
+    extra=True,
+    oracle="""
+WITH oldc AS (SELECT * FROM embeddings WHERE vec_id % 5 < 4),
+newb AS (SELECT * FROM embeddings WHERE vec_id % 5 = 4),
+ostats AS (
+  SELECT label AS cluster_id, i::INTEGER AS dim_idx,
+         SUM(CAST(v AS DECIMAL(28,9))) AS sum_val, COUNT(*) AS n
+  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(0, 64)) AS i FROM oldc)
+  GROUP BY 1, 2),
+ocent AS (
+  SELECT cluster_id, list(CAST(sum_val AS DOUBLE) / n ORDER BY dim_idx) AS centroid
+  FROM ostats GROUP BY cluster_id),
+assign AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.embedding::DOUBLE[], c.centroid), 6),
+                      c.cluster_id) AS rn
+    FROM newb e CROSS JOIN ocent c) WHERE rn = 1),
+nstats AS (
+  SELECT cluster_id, i::INTEGER AS dim_idx,
+         SUM(CAST(v AS DECIMAL(28,9))) AS sum_val, COUNT(*) AS n
+  FROM (SELECT cluster_id, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(0, 64)) AS i FROM assign)
+  GROUP BY 1, 2),
+merged AS (
+  SELECT cluster_id, dim_idx, SUM(sum_val) AS sum_val, SUM(n) AS n
+  FROM (SELECT * FROM ostats UNION ALL SELECT * FROM nstats)
+  GROUP BY 1, 2)
+SELECT cluster_id, dim_idx,
+       CAST(sum_val AS DOUBLE) / n AS centroid_val,
+       n::BIGINT AS n
+FROM merged WHERE dim_idx < 6
+""",
+)
+def ivf_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental quantizer maintenance: per-cluster (Σ vector, n)
+    DECIMAL sufficient statistics make an incremental centroid update
+    bit-identical to a full recompute — old corpus never rescanned, only
+    its O(k×dim) stats rows. New batch (vec_id%5==4) is routed against
+    the CURRENT centroids (the reference's add semantics, reference
+    ivf.py:87-117 — which never updates its centroids; this closes that
+    drift gap) and folded in. The oracle reproduces stats → centroids →
+    assignment → merge end to end; dims 0-5 keep the row count bounded."""
+    from vector_db_spark.operators.centroid_stats import (
+        assign_batch,
+        centroid_stats,
+        centroids_from_stats,
+        merge_centroid_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 < 4)
+    new = emb.filter(F.col("vec_id") % 5 == 4)
+    ostats = centroid_stats(
+        old.select(F.col("label").alias("cluster_id"), "embedding")
+    )
+    ocent = (
+        centroids_from_stats(ostats)
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_idx", "centroid_val"))),
+                lambda s: s.centroid_val,
+            ).alias("centroid")
+        )
+    )
+    nstats = centroid_stats(assign_batch(new, ocent))
+    merged = merge_centroid_stats(ostats, nstats)
+    return (
+        centroids_from_stats(merged)
+        .join(merged.select("cluster_id", "dim_idx", "n"), ["cluster_id", "dim_idx"])
+        .filter(F.col("dim_idx") < 6)
+        .select("cluster_id", "dim_idx", "centroid_val", "n")
+    )

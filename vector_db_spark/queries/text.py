@@ -1632,3 +1632,57 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("tok", "pos").alias("last_tok"),
         F.sum("pos").alias("pos_sum"),
     )
+
+
+@register(
+    "rendezvous_shard_stability",
+    extra=True,
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         (SELECT s FROM (
+            SELECT unnest(range(0, 8)) AS s,
+                   ('0x' || substr(md5(doc_id::VARCHAR || '|rdv-v1|' || unnest(range(0, 8))::VARCHAR), 1, 15))::UBIGINT AS wt
+          ) ORDER BY wt DESC, s LIMIT 1) AS s8,
+         (SELECT s FROM (
+            SELECT unnest(range(0, 9)) AS s,
+                   ('0x' || substr(md5(doc_id::VARCHAR || '|rdv-v1|' || unnest(range(0, 9))::VARCHAR), 1, 15))::UBIGINT AS wt
+          ) ORDER BY wt DESC, s LIMIT 1) AS s9
+  FROM documents)
+SELECT count(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+       bool_and(CASE WHEN s8 <> s9 THEN s9 = 8 ELSE TRUE END) AS moves_only_to_new,
+       (SELECT max(cnt) FROM (SELECT count(*) cnt FROM w GROUP BY s8))::BIGINT AS max_shard_n8,
+       (SELECT min(cnt) FROM (SELECT count(*) cnt FROM w GROUP BY s8))::BIGINT AS min_shard_n8
+FROM w
+""",
+)
+def rendezvous_shard_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard stability audit: assign every document under
+    N=8 and N=9 shards and check the defining property — every moved key
+    moves TO the new shard (surviving shards never reshuffle among
+    themselves), so shard-count growth at 100 TB rewrites ~1/(N+1) of
+    the corpus, not (N-1)/N as mod-N would. Placement is md5-derived,
+    reproduced weight-for-weight by the oracle; balance facts
+    (max/min shard size at N=8) ride along."""
+    from vector_db_spark.operators.export import rendezvous_shard
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    both = rendezvous_shard(
+        rendezvous_shard(docs, "doc_id", 8, out_col="s8"), "doc_id", 9, out_col="s9"
+    )
+    sizes = both.groupBy("s8").count()
+    return (
+        both.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0)).alias("n_moved"),
+            F.min(
+                F.when(F.col("s8") != F.col("s9"), F.col("s9") == 8).otherwise(F.lit(True))
+            ).alias("moves_only_to_new"),
+        )
+        .crossJoin(
+            sizes.agg(
+                F.max("count").alias("max_shard_n8"), F.min("count").alias("min_shard_n8")
+            )
+        )
+    )
