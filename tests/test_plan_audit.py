@@ -174,6 +174,11 @@ _WARN_ALLOW: dict[str, set[str]] = {
     "copurchase_ppr_expansion": {"single-partition-exchange"},
     "corpus_drift_js": {"nested-loop-join", "single-partition-exchange"},
     "corpus_governance_report": {"single-partition-exchange"},
+    # broadcast of the O(k) deterministic-centroid side (argmin routing)
+    "dbscan_embedding_clusters": {"nested-loop-join"},
+    "ivf_incremental_update": {"nested-loop-join"},
+    # crossJoin of two ONE-ROW aggregates + scalar finish
+    "rendezvous_shard_stability": {"nested-loop-join", "single-partition-exchange"},
     "dedup_retain_best": {"unpartitioned-window"},
     "digest_price_quantiles": {"nested-loop-join"},
     "embedding_isotropy": {"nested-loop-join", "single-partition-exchange"},

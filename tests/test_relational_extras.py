@@ -8,14 +8,14 @@ from pyspark.sql import functions as F
 
 from vector_db_spark.functions.embedding import remote_embed
 from vector_db_spark.io import load_table
-from vector_db_spark.queries import QUERIES
+from vector_db_spark.queries import QUERIES, all_queries
 
 
 def test_approx_aggregates_near_exact(spark, sf_smoke):
     li = load_table(spark, sf_smoke, "lineitem")
     exact_parts = li.select("l_partkey").distinct().count()
     exact_orders = li.select("l_orderkey").distinct().count()
-    row = QUERIES["approx_stats"](spark, sf_smoke).collect()[0]
+    row = all_queries()["approx_stats"](spark, sf_smoke).collect()[0]
     # the query itself carries the sketch-accuracy invariants as booleans
     assert row.exact_parts == exact_parts
     assert row.exact_orders == exact_orders
