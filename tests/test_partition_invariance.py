@@ -90,3 +90,34 @@ def test_minhash_partition_invariant(spark, docs):
     assert sorted((r.doc_id, tuple(r.sig)) for r in a.collect()) == sorted(
         (r.doc_id, tuple(r.sig)) for r in b.collect()
     )
+
+
+def test_dbscan_partition_invariant(spark, emb):
+    """Density labels are a pure function of the data: pair generation
+    (rounded distances), degree cut, min-id components, and border
+    tie-breaks must all be layout-independent — the iterative component
+    joins are the riskiest surface, so pin end to end."""
+    from vector_db_spark.operators.density import (
+        dbscan_from_pairs,
+        epsilon_pairs_brute,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 150).select("vec_id", "embedding")
+    def run(df):
+        return dbscan_from_pairs(df, epsilon_pairs_brute(df, 1.16), 4)
+
+    assert _rows(run(sub.repartition(1))) == _rows(run(sub.repartition(13)))
+
+
+def test_centroid_stats_partition_invariant(spark, emb):
+    """Decimal sufficient statistics are summation-order-independent, so
+    derived centroids must be bit-identical under any partitioning."""
+    from vector_db_spark.operators.centroid_stats import (
+        centroid_stats,
+        centroids_from_stats,
+    )
+
+    base = emb.select(F.col("label").alias("cluster_id"), "embedding")
+    a = centroids_from_stats(centroid_stats(base.repartition(1)))
+    b = centroids_from_stats(centroid_stats(base.repartition(17)))
+    assert _rows(a) == _rows(b)
