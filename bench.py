@@ -155,6 +155,7 @@ HEADLINE = [
     "stream_state_inspection",
     "ivf_incremental_update",
     "rendezvous_shard_stability",
+    "copurchase_als_recs",
     # dbscan_embedding_clusters is registry-tested but not benched: like
     # knn_pagerank, its wall time is hash-min component rounds (each a
     # tiny join + localCheckpoint + convergence count), i.e. scheduler
@@ -176,7 +177,7 @@ def _time_builds(spark, timings: dict[str, float]) -> None:
     regression gate tracks steady-state search (the *_kmeans query numbers
     below run against the warm per-process caches these calls populate)."""
     from vector_db_spark.queries.curation import _inverted_index
-    from vector_db_spark.queries.indexing import _ivfpq_index, _kmeans_index
+    from vector_db_spark.queries.indexing import _als_model, _ivfpq_index, _kmeans_index
     from vector_db_spark.queries.pquant import _opq_model, _pq_model
 
     for name, build in (
@@ -185,6 +186,7 @@ def _time_builds(spark, timings: dict[str, float]) -> None:
         ("pq_train_build", _pq_model),
         ("opq_build", _opq_model),
         ("inverted_index_build", _inverted_index),
+        ("als_build", _als_model),
     ):
         t0 = time.perf_counter()
         build(spark, SF_DIR)
