@@ -79,6 +79,7 @@ def _shard_files(path: str) -> list[str]:
 
 def _apply_filters(table: "Any", filters: Sequence[Filter]) -> "Any":
     """Evaluate pushed filters with pyarrow.compute (exact, typed)."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     mask = None
@@ -95,7 +96,7 @@ def _apply_filters(table: "Any", filters: Sequence[Filter]) -> "Any":
         elif isinstance(f, LessThanOrEqual):
             m = pc.less_equal(col, f.value)
         elif isinstance(f, In):
-            m = pc.is_in(col, value_set=__import__("pyarrow").array(list(f.value)))
+            m = pc.is_in(col, value_set=pa.array(list(f.value)))
         elif isinstance(f, IsNull):
             m = pc.is_null(col)
         elif isinstance(f, IsNotNull):
