@@ -234,3 +234,43 @@ def test_prefix_filter_candidates_join_carries_no_set_arrays(spark, sf_smoke):
     # the explode feeding the tok join projects only id/size/tok
     assert "__plen" in plan or "slice" in plan  # prefix slice present
     assert df.count() >= 0  # plan executes
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_smoke):
+    """Spark's runtime Bloom-filter join pruning: when a selective dim
+    side exceeds the broadcast threshold (the 100 TB case — at fixture
+    scale broadcast wins and no bloom is needed), the optimizer injects
+    a might_contain probe on the fact side so the shuffle scans only
+    rows that can match. Pin both regimes: broadcast-able → no bloom
+    (broadcast hash join already prunes); shuffle join → bloom injected."""
+    from vector_db_spark.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    saved["spark.sql.autoBroadcastJoinThreshold"] = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold"
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (
+            load_table(spark, sf_smoke, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .filter(F.col("o_totalprice") > 200000)
+        )
+        li = load_table(spark, sf_smoke, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        assert "might_contain" not in plan_of(j).lower()  # broadcast regime
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j2 = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        assert "might_contain" in plan_of(j2).lower()  # shuffle regime
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
