@@ -51,6 +51,21 @@ def test_jsonl_commit_leaves_no_tmp(shard_dir):
     assert len([n for n in names if n.endswith(".jsonl")]) == 3
 
 
+def test_jsonl_append_never_overwrites_prior_shards(spark, docs, tmp_path):
+    """Sequential final names silently replaced a previous append's
+    shards (observed data loss); uuid-keyed finals make appends safe."""
+    path = str(tmp_path / "shards")
+    docs.limit(20).repartition(2).write.format("vdb_jsonl").option("path", path).mode(
+        "append"
+    ).save()
+    docs.filter(F.col("doc_id") >= 400).repartition(2).write.format("vdb_jsonl").option(
+        "path", path
+    ).mode("append").save()
+    back = spark.read.format("vdb_jsonl").schema(docs.schema).option("path", path).load()
+    assert len([n for n in os.listdir(path) if n.endswith(".jsonl")]) == 4
+    assert back.count() == 20 + docs.filter(F.col("doc_id") >= 400).count()
+
+
 def test_jsonl_overwrite_removes_stale_shards(spark, docs, tmp_path):
     path = str(tmp_path / "shards")
     docs.repartition(4).write.format("vdb_jsonl").option("path", path).mode(

@@ -201,9 +201,13 @@ class JsonlShardWriter(DataSourceArrowWriter):
         return _ShardCommit(tmp_name=tmp_name)
 
     def commit(self, messages: list[_ShardCommit]) -> None:  # type: ignore[override]
+        # final name keeps the task uuid (tmp name minus ".tmp"): append
+        # mode must never collide with shards from a PREVIOUS write —
+        # sequential part-NNNNN names silently overwrote them (data loss,
+        # pinned in tests); overwrite mode clears the survivors instead
         keep = set()
-        for i, msg in enumerate(messages):
-            final = f"part-{i:05d}.jsonl"
+        for msg in messages:
+            final = msg.tmp_name[: -len(".tmp")]
             os.replace(
                 os.path.join(self.path, msg.tmp_name), os.path.join(self.path, final)
             )
