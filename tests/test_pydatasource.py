@@ -255,3 +255,46 @@ def test_replay_checkpoint_restart_emits_nothing(spark, tmp_path):
     run()
     assert spark.read.parquet(out).count() == 1000
     assert spark.read.parquet(out).select("event_id").distinct().count() == 1000
+
+
+def test_replay_source_drives_ivf_ingest(spark, tmp_path):
+    """Composition: the custom replay source feeds the engine's real
+    ingest path (foreachBatch cluster assignment → partitioned append,
+    the reference's write loop) and the resulting corpus is identical to
+    a batch assignment — the connector plugs into the write machinery,
+    not just aggregations."""
+    ensure_registered(spark)
+    from vector_db_spark.operators.ivf import assign_to_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = [(c, [float(c)] * 64) for c in range(4)]  # fixed toy quantizer
+
+    sdf = (
+        spark.readStream.format("vdb_replay")
+        .option("path", f"{SF}/embeddings.parquet")
+        .option("rows_per_partition", "128")
+        .load()
+        .select("vec_id", "embedding")
+    )
+    sink, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+
+    def write_batch(batch_df, epoch_id):
+        assigned = assign_to_centroids(batch_df, cents)
+        assigned.write.mode("append").partitionBy("cluster_id").parquet(sink)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r.vec_id, r.cluster_id) for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.cluster_id)
+        for r in assign_to_centroids(emb.select("vec_id", "embedding"), cents).collect()
+    )
+    assert got == want and len(got) == emb.count()
