@@ -156,6 +156,7 @@ HEADLINE = [
     "ivf_incremental_update",
     "rendezvous_shard_stability",
     "copurchase_als_recs",
+    "frequent_event_itemsets",
     # dbscan_embedding_clusters is registry-tested but not benched: like
     # knn_pagerank, its wall time is hash-min component rounds (each a
     # tiny join + localCheckpoint + convergence count), i.e. scheduler

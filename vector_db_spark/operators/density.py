@@ -117,6 +117,10 @@ def dbscan_from_pairs(
 ) -> DataFrame:
     """(id, cluster_label, role) — DBSCAN given the ε-pair list.
 
+    Precondition: ``pairs`` rows are unique with ``va < vb`` and no
+    self-pairs (both bundled pair sources guarantee it) — duplicates
+    would inflate degrees and mint spurious cores.
+
     - **core**: |closed ε-neighborhood| ≥ min_pts (degree + self);
     - clusters: connected components of the core-core subgraph, labelled
       by min member id (:func:`components_from_edges`, hash-min rounds

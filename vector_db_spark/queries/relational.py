@@ -2230,3 +2230,60 @@ def udaf_event_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.join(F.broadcast(med), "event_type").select(
         "event_type", "n", "median_value"
     )
+
+
+@register(
+    "frequent_event_itemsets",
+    extra=True,
+    oracle="""
+WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+nb AS (SELECT count(DISTINCT user_id) AS n FROM b),
+s1 AS (
+  SELECT event_type AS itemset, 1 AS sz, count(*) AS freq
+  FROM b GROUP BY event_type),
+s2 AS (
+  SELECT x.event_type || ',' || y.event_type AS itemset, 2 AS sz, count(*) AS freq
+  FROM b x JOIN b y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1),
+s3 AS (
+  SELECT x.event_type || ',' || y.event_type || ',' || z.event_type AS itemset,
+         3 AS sz, count(*) AS freq
+  FROM b x
+  JOIN b y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  JOIN b z ON y.user_id = z.user_id AND y.event_type < z.event_type
+  GROUP BY 1)
+SELECT itemset, sz::INTEGER AS sz, freq::BIGINT AS freq
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+WHERE freq >= 0.2 * (SELECT n FROM nb)
+""",
+)
+def frequent_event_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining with pyspark.ml.fpm FPGrowth — the
+    distributed FP-tree algorithm (Han et al. '00; Spark parallelizes as
+    PFP) over per-user event-type baskets. FPGrowth is deterministic
+    (no RNG), so unlike the k-means/ALS audits this ml query carries a
+    FULL value-exact oracle: DuckDB enumerates every itemset of size
+    ≤ 3 by self-joins and both engines must agree on the complete
+    (itemset, frequency) table at 20% support. Itemsets are emitted as
+    comma-joined sorted strings (scalar-typed driver contract)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    ev = load_table(spark, sf_dir, "events")
+    baskets = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=0.2, minConfidence=0.5
+    ).fit(baskets)
+    return (
+        model.freqItemsets.withColumn("sz", F.size("items").cast("int"))
+        .filter(F.col("sz") <= 3)
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            "sz",
+            F.col("freq").cast("long").alias("freq"),
+        )
+    )
