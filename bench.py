@@ -157,6 +157,7 @@ HEADLINE = [
     "rendezvous_shard_stability",
     "copurchase_als_recs",
     "frequent_event_itemsets",
+    "sequential_event_patterns",
     # dbscan_embedding_clusters is registry-tested but not benched: like
     # knn_pagerank, its wall time is hash-min component rounds (each a
     # tiny join + localCheckpoint + convergence count), i.e. scheduler

@@ -2287,3 +2287,62 @@ def frequent_event_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq").cast("long").alias("freq"),
         )
     )
+
+
+@register(
+    "sequential_event_patterns",
+    extra=True,
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_type AS typ,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events QUALIFY pos <= 5),
+n AS (SELECT count(DISTINCT user_id) AS nu FROM p),
+s1 AS (SELECT typ AS pat, count(DISTINCT user_id) AS freq FROM p GROUP BY typ),
+s2 AS (
+  SELECT a.typ || ',' || b.typ AS pat, count(DISTINCT a.user_id) AS freq
+  FROM p a JOIN p b ON a.user_id = b.user_id AND a.pos < b.pos
+  GROUP BY 1),
+s3 AS (
+  SELECT a.typ || ',' || b.typ || ',' || c.typ AS pat,
+         count(DISTINCT a.user_id) AS freq
+  FROM p a
+  JOIN p b ON a.user_id = b.user_id AND a.pos < b.pos
+  JOIN p c ON b.user_id = c.user_id AND b.pos < c.pos
+  GROUP BY 1)
+SELECT pat, freq::BIGINT AS freq
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+WHERE freq >= ceil(0.15 * (SELECT nu FROM n))
+""",
+)
+def sequential_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining with pyspark.ml.fpm PrefixSpan (Pei et
+    al. '01 — projected-database recursion, distributed) over each
+    user's first five events: order-sensitive where FP-Growth itemsets
+    are not (click→purchase ≠ purchase→click), the funnel-mining
+    primitive. PrefixSpan is deterministic, so the oracle is FULLY
+    value-exact: DuckDB enumerates gap-allowed subsequence containment
+    for every pattern of length ≤ 3 by position-ordered self-joins, and
+    the complete (pattern, support) table must agree at 15% support.
+    First-five truncation (ts, event_id tiebreak) keeps supports
+    informative — over full ~100-event histories every short pattern is
+    contained by every user and the table degenerates to 'all patterns,
+    full support'."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    seqs = first5.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+            lambda s: F.array(s.event_type),
+        ).alias("sequence")
+    )
+    res = PrefixSpan(
+        minSupport=0.15, maxPatternLength=3
+    ).findFrequentSequentialPatterns(seqs)
+    return res.select(
+        F.array_join(F.flatten("sequence"), ",").alias("pat"),
+        F.col("freq").cast("long").alias("freq"),
+    )
