@@ -158,6 +158,7 @@ HEADLINE = [
     "copurchase_als_recs",
     "frequent_event_itemsets",
     "sequential_event_patterns",
+    "cusum_level_shifts",
     # dbscan_embedding_clusters is registry-tested but not benched: like
     # knn_pagerank, its wall time is hash-min component rounds (each a
     # tiny join + localCheckpoint + convergence count), i.e. scheduler

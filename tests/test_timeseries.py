@@ -293,3 +293,43 @@ def test_lagged_crosscorr_detects_exact_shift(spark):
     out = {r.lag: r.corr for r in lagged_cross_correlation(df, max_lag=4).collect()}
     assert out[2] == 1.0
     assert all(out[l] < 1.0 for l in out if l != 2)
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """S_t = P_t - min(0, running_min P) must equal the textbook
+    recursion S_t = max(0, S_{t-1} + d_t) — including resets to zero —
+    on a planted series with a level shift."""
+    import datetime
+
+    from vector_db_spark.operators.timeseries import cusum_changepoints
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # 12 baseline-ish hours then a level shift; one event row per count
+    # trailing hour has an event so the data-driven grid covers the
+    # full series (empty hours beyond max(ts) don't exist to the engine)
+    xs = [2, 1, 3, 2, 1, 2, 3, 1, 2, 2, 1, 2, 9, 8, 10, 9, 0, 1]
+    rows = []
+    eid = 0
+    for h, x in enumerate(xs):
+        for _ in range(x):
+            rows.append((eid, t0 + datetime.timedelta(hours=h, minutes=1), "a"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    b, mult = 12, 3
+    out = {
+        r.window_start: r.cusum_scaled
+        for r in cusum_changepoints(
+            df, baseline_buckets=b, threshold_mult=mult
+        ).collect()
+    }
+
+    sb = sum(xs[:b])
+    s, want = 0, {}
+    for h, x in enumerate(xs):
+        s = max(0, s + 4 * b * x - 5 * sb)
+        if s > mult * sb:
+            want[t0 + datetime.timedelta(hours=h)] = s
+    assert out == want
+    assert want  # the planted shift must actually alarm
+    # and the alarm hours start at the shift, not inside the baseline
+    assert min(want) >= t0 + datetime.timedelta(hours=b)

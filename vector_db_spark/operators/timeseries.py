@@ -421,3 +421,77 @@ def lagged_cross_correlation(
             num.cast("double") / F.sqrt(var_a.cast("double") * var_b.cast("double")), 6
         ).alias("corr"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    baseline_buckets: int = 168,
+    threshold_mult: int = 12,
+) -> DataFrame:
+    """(series, window_start, cusum_scaled): hours where a one-sided
+    CUSUM of hourly counts exceeds ``threshold_mult`` baseline-sums —
+    upward level-shift (changepoint) detection, Page '54.
+
+    The CUSUM recursion S_t = max(0, S_{t-1} + x_t − μ − k) looks
+    inherently sequential, but has the windowed closed form
+    ``S_t = P_t − min(0, running_min(P_t))`` over the drift prefix sum
+    P — two window functions per series, no per-row recursion, no UDF,
+    and the same two windows at any scale (series are the natural
+    partition key; each window is one shuffle on the series column).
+
+    Exactness contract: with μ = baseline mean over the first
+    ``baseline_buckets`` hours and slack k = μ/4, scaling the drift by
+    4·B turns every term into an INTEGER — ``d_t = 4·B·x_t − 5·Σ_base``
+    — so prefix sums, running mins, and the threshold comparison are
+    exact 64-bit arithmetic in any engine (headroom: |d| ≤ 4·B·x ≪ 2⁶³).
+    ``cusum_scaled`` is S in those units; the alarm threshold
+    ``threshold_mult·Σ_base`` is an integer knob."""
+    hours = (
+        df.select(series_col, F.date_trunc("hour", F.col(ts_col)).alias("t"))
+        .groupBy(series_col, "t")
+        .agg(F.count("*").alias("x"))
+    )
+    span = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    grid = (
+        df.select(series_col)
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            series_col,
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("t"),
+        )
+    )
+    series = grid.join(hours, [series_col, "t"], "left").select(
+        series_col, "t", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w_ord = Window.partitionBy(series_col).orderBy("t")
+    series = series.withColumn("pos", F.row_number().over(w_ord))
+    base = (
+        series.filter(F.col("pos") <= baseline_buckets)
+        .groupBy(series_col)
+        .agg(F.sum("x").alias("sb"))
+    )
+    b = baseline_buckets
+    drift = series.join(base, series_col).select(
+        series_col,
+        "t",
+        "pos",
+        "sb",
+        (F.lit(4 * b) * F.col("x") - F.lit(5) * F.col("sb")).alias("d"),
+    )
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    cusum = drift.withColumn("p", F.sum("d").over(w_run)).withColumn(
+        "cusum_scaled",
+        F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w_run)),
+    )
+    return cusum.filter(
+        F.col("cusum_scaled") > F.lit(threshold_mult) * F.col("sb")
+    ).select(series_col, F.col("t").alias("window_start"), "cusum_scaled")

@@ -364,3 +364,46 @@ def click_purchase_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     after is grid-sized."""
     ev = load_table(spark, sf_dir, "events")
     return lagged_cross_correlation(ev, max_lag=6)
+
+
+@register(
+    "cusum_level_shifts",
+    extra=True,
+    oracle="""
+WITH grid AS (
+  SELECT s.event_type, g.t
+  FROM (SELECT DISTINCT event_type FROM events) s
+  CROSS JOIN (SELECT unnest(generate_series(
+      (SELECT date_trunc('hour', min(ts)) FROM events),
+      (SELECT date_trunc('hour', max(ts)) FROM events), INTERVAL 1 HOUR)) AS t) g),
+cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS t, count(*) AS x
+  FROM events GROUP BY 1, 2),
+series AS (
+  SELECT g.event_type, g.t, coalesce(c.x, 0) AS x,
+         row_number() OVER (PARTITION BY g.event_type ORDER BY g.t) AS pos
+  FROM grid g LEFT JOIN cnt c ON g.event_type = c.event_type AND g.t = c.t),
+base AS (
+  SELECT event_type, SUM(x) AS sb FROM series WHERE pos <= 168 GROUP BY 1),
+pfx AS (
+  SELECT s.event_type, s.t, s.pos, b.sb,
+         SUM((4 * 168 * s.x - 5 * b.sb)::BIGINT)
+           OVER (PARTITION BY s.event_type ORDER BY s.pos) AS p
+  FROM series s JOIN base b USING (event_type)),
+cusum AS (
+  SELECT event_type, t, sb,
+         p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY pos)) AS s
+  FROM pfx)
+SELECT event_type, t AS window_start, s::BIGINT AS cusum_scaled
+FROM cusum WHERE s > 12 * sb
+""",
+)
+def cusum_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection over hourly event counts
+    (operators/timeseries.cusum_changepoints): the sequential-looking
+    recursion evaluated as two window functions via the prefix-sum
+    closed form, with 4·B-scaled INTEGER drift so every engine computes
+    the identical alarm set — value-exact down to the scaled statistic."""
+    from vector_db_spark.operators.timeseries import cusum_changepoints
+
+    return cusum_changepoints(load_table(spark, sf_dir, "events"))
