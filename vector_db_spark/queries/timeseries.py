@@ -403,7 +403,11 @@ def cusum_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/timeseries.cusum_changepoints): the sequential-looking
     recursion evaluated as two window functions via the prefix-sum
     closed form, with 4·B-scaled INTEGER drift so every engine computes
-    the identical alarm set — value-exact down to the scaled statistic."""
+    the identical alarm set — value-exact down to the scaled statistic.
+    At sf0.01 the sparse counts yield a rich alarm table (~300 rows
+    hash-checked); at sf0.1 the 10× denser stream has proportionally
+    smaller relative drift and the EMPTY alarm set is the statistically
+    correct answer (the fixture plants no level shift)."""
     from vector_db_spark.operators.timeseries import cusum_changepoints
 
     return cusum_changepoints(load_table(spark, sf_dir, "events"))
