@@ -159,6 +159,7 @@ HEADLINE = [
     "frequent_event_itemsets",
     "sequential_event_patterns",
     "cusum_level_shifts",
+    "coverage_exemplar_docs",
     # dbscan_embedding_clusters is registry-tested but not benched: like
     # knn_pagerank, its wall time is hash-min component rounds (each a
     # tiny join + localCheckpoint + convergence count), i.e. scheduler

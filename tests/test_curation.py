@@ -323,3 +323,44 @@ def test_weighted_fixed_k_sample_laws(spark):
     assert heavy_frac > 0.4
     # k >= n returns every positive-weight row
     assert weighted_fixed_k_sample(docs, "w", 1000).count() == 200
+
+
+def test_greedy_max_coverage_matches_reference(spark):
+    """Exact agreement with single-node greedy (gain desc, id asc ties)
+    on random set families, including the zero-gain early stop."""
+    import random
+
+    from vector_db_spark.operators.selection import greedy_max_coverage
+
+    rng = random.Random(21)
+    sets = {i: frozenset(rng.sample(range(40), rng.randint(1, 12))) for i in range(25)}
+    inc = spark.createDataFrame(
+        [(i, g) for i, s in sets.items() for g in s], "doc_id long, g int"
+    )
+    k = 6
+    got = greedy_max_coverage(inc, k)
+
+    covered: set = set()
+    chosen: set = set()
+    want = []
+    for rank in range(1, k + 1):
+        best = max(
+            ((len(s - covered), -i) for i, s in sets.items() if i not in chosen),
+        )
+        gain, i = best[0], -best[1]
+        if gain == 0:
+            break
+        want.append((rank, i, gain))
+        covered |= sets[i]
+        chosen.add(i)
+    assert got == want
+
+
+def test_greedy_max_coverage_stops_when_exhausted(spark):
+    from vector_db_spark.operators.selection import greedy_max_coverage
+
+    inc = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")], "doc_id long, g string"
+    )
+    picks = greedy_max_coverage(inc, 3)
+    assert picks == [(1, 1, 2)]  # doc 2 adds nothing; no zero-gain pick

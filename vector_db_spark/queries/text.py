@@ -17,6 +17,7 @@ from vector_db_spark.functions.text import (
     LANG_STOPWORDS,
     doc_fingerprint,
     quality_score,
+    shingles,
     simhash64,
     tokens,
 )
@@ -1686,3 +1687,57 @@ def rendezvous_shard_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def _coverage_oracle(k: int) -> str:
+    """Generate the k-stage chained-CTE greedy max-coverage oracle: each
+    stage picks argmax marginal new-shingle coverage given all previous
+    picks — the exact greedy sequence, mechanically unrolled."""
+    ctes = [
+        f"""sh AS (
+  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS g
+  FROM (SELECT doc_id, {_TOKS} AS tok FROM documents),
+       LATERAL (SELECT unnest(range(1, len(tok) - 1)) AS i)
+  WHERE len(tok) >= 3)"""
+    ]
+    sels = []
+    for i in range(1, k + 1):
+        prev_docs = ", ".join(f"(SELECT doc_id FROM p{j})" for j in range(1, i))
+        prev_cov = " UNION ".join(
+            f"SELECT g FROM sh JOIN p{j} USING (doc_id)" for j in range(1, i)
+        )
+        cov = f"AND g NOT IN ({prev_cov})" if prev_cov else ""
+        doc = f"AND doc_id NOT IN ({prev_docs})" if prev_docs else ""
+        ctes.append(
+            f"""p{i} AS (
+  SELECT doc_id, count(*) AS new_cov FROM sh
+  WHERE TRUE {doc} {cov}
+  GROUP BY doc_id ORDER BY new_cov DESC, doc_id LIMIT 1)"""
+        )
+        sels.append(
+            f"SELECT {i} AS rank, doc_id, new_cov::BIGINT AS new_cov FROM p{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sels)
+
+
+_COVERAGE_K = 5
+
+
+@register("coverage_exemplar_docs", extra=True, oracle=_coverage_oracle(_COVERAGE_K))
+def coverage_exemplar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage exemplar selection
+    (operators/selection.greedy_max_coverage): the k=5 documents whose
+    3-gram shingle sets jointly cover the most distinct shingles — the
+    submodular diverse-subset primitive (1−1/e guarantee) behind
+    labeling-budget and eval-set curation. Deterministic (gain desc,
+    doc_id asc ties), so the oracle replays the exact pick sequence
+    through k chained CTE stages; marginal coverages are value-checked
+    per rank."""
+    from vector_db_spark.operators.selection import greedy_max_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    inc = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 3)).alias("g")
+    )
+    picks = greedy_max_coverage(inc, _COVERAGE_K)
+    return spark.createDataFrame(picks, "rank int, doc_id long, new_cov long")
