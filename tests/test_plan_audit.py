@@ -174,6 +174,9 @@ _WARN_ALLOW: dict[str, set[str]] = {
     "copurchase_ppr_expansion": {"single-partition-exchange"},
     "corpus_drift_js": {"nested-loop-join", "single-partition-exchange"},
     "corpus_governance_report": {"single-partition-exchange"},
+    # hour-grid construction: series × broadcast one-row (lo, hi) span,
+    # then the per-series windows collapse through a scalar-span exchange
+    "cusum_level_shifts": {"nested-loop-join", "single-partition-exchange"},
     # broadcast of the O(k) deterministic-centroid side (argmin routing)
     "dbscan_embedding_clusters": {"nested-loop-join"},
     "ivf_incremental_update": {"nested-loop-join"},
