@@ -160,6 +160,7 @@ HEADLINE = [
     "sequential_event_patterns",
     "cusum_level_shifts",
     "coverage_exemplar_docs",
+    "trend_mann_kendall",
     # dbscan_embedding_clusters is registry-tested but not benched: like
     # knn_pagerank, its wall time is hash-min component rounds (each a
     # tiny join + localCheckpoint + convergence count), i.e. scheduler

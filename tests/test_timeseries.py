@@ -333,3 +333,46 @@ def test_cusum_closed_form_equals_recursion(spark):
     assert want  # the planted shift must actually alarm
     # and the alarm hours start at the shift, not inside the baseline
     assert min(want) >= t0 + datetime.timedelta(hours=b)
+
+
+def test_mann_kendall_sen_hand_computed(spark):
+    """Known series: strictly increasing → S = C(n,2), slope exact;
+    plus a flat series → S = 0, slope 0."""
+    import datetime
+
+    from vector_db_spark.operators.timeseries import trend_mann_kendall_sen
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, x in enumerate([1, 2, 3, 4]):  # series "up": x = h+1 per hour
+        for _ in range(x):
+            rows.append((eid, t0 + datetime.timedelta(hours=h), "up")); eid += 1
+    for h in range(4):  # series "flat": 2 events every hour
+        for _ in range(2):
+            rows.append((eid, t0 + datetime.timedelta(hours=h), "flat")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {r.event_type: (r.mk_s, r.n_pairs, r.sen_slope) for r in
+           trend_mann_kendall_sen(df).collect()}
+    assert got["up"] == (6, 6, 1.0)     # all 6 pairs increasing, unit slope
+    assert got["flat"] == (0, 6, 0.0)
+
+
+def test_mann_kendall_even_pair_median(spark):
+    """Even pair count: Sen slope = mean of the two middle-ranked
+    slopes — the deterministic interpolation both engines share."""
+    import datetime
+
+    from vector_db_spark.operators.timeseries import trend_mann_kendall_sen
+
+    t0 = datetime.datetime(2024, 1, 1)
+    xs = [1, 3, 2, 5]  # slopes: 2,.5,4/3,-1,1,3 -> sorted middle two: 1, 4/3
+    rows = []
+    eid = 0
+    for h, x in enumerate(xs):
+        for _ in range(x):
+            rows.append((eid, t0 + datetime.timedelta(hours=h), "a")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = trend_mann_kendall_sen(df).collect()[0]
+    assert r.n_pairs == 6
+    assert abs(r.sen_slope - round((1.0 + round(4 / 3, 6)) / 2, 6)) < 1e-9

@@ -495,3 +495,64 @@ def cusum_changepoints(
     return cusum.filter(
         F.col("cusum_scaled") > F.lit(threshold_mult) * F.col("sb")
     ).select(series_col, F.col("t").alias("window_start"), "cusum_scaled")
+
+
+def trend_mann_kendall_sen(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+) -> DataFrame:
+    """(series, mk_s, n_pairs, sen_slope): Mann-Kendall trend statistic
+    and Theil-Sen slope over hourly counts — the robust (outlier-immune,
+    distribution-free) trend pair: S = Σ sign(x_j − x_i) over ordered
+    pairs is EXACT integer arithmetic, and the Sen slope is the median
+    pairwise slope selected by rank, so both engines pick identical
+    values (rank ties share a slope value, making the middle-rank
+    average permutation-invariant).
+
+    Pairs are over observed hours (grid-free; zero-fill first via
+    ``resample_ffill`` if silent hours should count). Spark shape: the
+    corpus collapses to O(hours) counts in one aggregation, then ONE
+    position-ordered self-join per series — pair volume C(hours, 2) per
+    series is the inherent cost of the exact statistic; for month+
+    spans the scale form is per-window trend over bounded buckets (the
+    statistic is meaningful per window anyway)."""
+    cnt = (
+        df.select(series_col, F.date_trunc("hour", F.col(ts_col)).alias("t"))
+        .groupBy(series_col, "t")
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.partitionBy(series_col).orderBy("t")
+    pos = cnt.withColumn("pos", F.row_number().over(w)).select(series_col, "x", "pos")
+    a = pos.select(series_col, F.col("x").alias("xa"), F.col("pos").alias("pa"))
+    b = pos.select(series_col, F.col("x").alias("xb"), F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, series_col)
+        .filter(F.col("pa") < F.col("pb"))
+        .select(
+            series_col,
+            F.signum(F.col("xb") - F.col("xa")).cast("long").alias("sgn"),
+            F.round(
+                (F.col("xb") - F.col("xa")) / (F.col("pb") - F.col("pa")), 6
+            ).alias("slope"),
+        )
+    )
+    mk = pairs.groupBy(series_col).agg(
+        F.sum("sgn").alias("mk_s"), F.count("*").alias("n_pairs")
+    )
+    wr = Window.partitionBy(series_col).orderBy("slope")
+    wn = Window.partitionBy(series_col)
+    ranked = (
+        pairs.withColumn("r", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    sen = (
+        ranked.filter(
+            (F.col("r") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("r") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy(series_col)
+        .agg(F.round(F.avg("slope"), 6).alias("sen_slope"))
+    )
+    return mk.join(sen, series_col)

@@ -62,11 +62,19 @@ def audit_plan(df: DataFrame, *, allow: tuple[str, ...] = ()) -> list[Finding]:
         add("warn", "single-partition-exchange", "a stage runs as ONE task (global sort/window/aggregate without a partial phase)")
     for line in plan.splitlines():
         ls = line.strip()
-        # WindowExec prints "Window [fns], [partition spec], [order spec]";
-        # with an empty partition spec the middle list is absent
-        if ls.startswith(("Window ", "+- Window ", ":- Window ")) and ls.count("], [") == 1:
-            add("warn", "unpartitioned-window", "window function without PARTITION BY: all rows through one task")
-            break
+        # WindowExec prints "Window [fns], [partition spec], [order spec]",
+        # omitting whichever spec is empty. ONE separator is therefore
+        # ambiguous: an order-only window (global sort — the bad shape) and
+        # a partition-only window (count/sum over groups, no order — fine)
+        # both print two lists. Disambiguate by the trailing list's content:
+        # an order spec carries ASC/DESC direction markers, a partition
+        # spec never does.
+        if ls.startswith(("Window ", "+- Window ", ":- Window ")):
+            n_sep = ls.count("], [")
+            tail = ls.rsplit("], [", 1)[-1] if n_sep else ""
+            if n_sep == 0 or (n_sep == 1 and (" ASC" in tail or " DESC" in tail)):
+                add("warn", "unpartitioned-window", "window function without PARTITION BY: all rows through one task")
+                break
     if "Filter " in plan and "PushedFilters: []" in plan:
         add("info", "no-pushed-filters", "a Parquet scan has no pushed predicates while the plan filters above it")
 

@@ -411,3 +411,47 @@ def cusum_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_spark.operators.timeseries import cusum_changepoints
 
     return cusum_changepoints(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "trend_mann_kendall",
+    extra=True,
+    oracle="""
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS t, count(*) AS x
+  FROM events GROUP BY 1, 2),
+pos AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) AS pos
+  FROM cnt),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+         round((b.x - a.x) * 1.0 / (b.pos - a.pos), 6) AS slope
+  FROM pos a JOIN pos b ON a.event_type = b.event_type AND a.pos < b.pos),
+mk AS (
+  SELECT event_type, SUM(sgn)::BIGINT AS mk_s, count(*)::BIGINT AS n_pairs
+  FROM pairs GROUP BY 1),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs),
+sen AS (
+  SELECT event_type, round(avg(slope), 6) AS sen_slope
+  FROM ranked WHERE r IN ((n + 1) // 2, (n + 2) // 2)
+  GROUP BY event_type)
+SELECT m.event_type, m.mk_s, m.n_pairs, s.sen_slope
+FROM mk m JOIN sen s USING (event_type)
+""",
+)
+def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope per event-type hourly
+    series (operators/timeseries.trend_mann_kendall_sen) — robust trend
+    detection with an integer-exact S statistic and a rank-selected
+    median slope, reproduced value-exactly by the oracle. The fixture
+    stream is stationary, so near-zero S and a 0.0 Sen slope are the
+    statistically correct answers the hash check pins."""
+    from vector_db_spark.operators.timeseries import trend_mann_kendall_sen
+
+    return trend_mann_kendall_sen(load_table(spark, sf_dir, "events"))
