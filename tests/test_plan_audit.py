@@ -161,7 +161,6 @@ def test_no_scale_errors_in_any_registered_query(registry_findings):
 # query) that introduces one of these shapes fails the subset check below
 # until it is consciously allow-listed.
 _WARN_ALLOW: dict[str, set[str]] = {
-    "adaptive_quality_cut": {"unpartitioned-window"},
     "approx_stats": {"single-partition-exchange"},
     "bigram_lm_score": {"nested-loop-join", "single-partition-exchange"},
     "bpe_tokenize_audit": {"single-partition-exchange"},
@@ -182,7 +181,6 @@ _WARN_ALLOW: dict[str, set[str]] = {
     "ivf_incremental_update": {"nested-loop-join"},
     # crossJoin of two ONE-ROW aggregates + scalar finish
     "rendezvous_shard_stability": {"nested-loop-join", "single-partition-exchange"},
-    "dedup_retain_best": {"unpartitioned-window"},
     "digest_price_quantiles": {"nested-loop-join"},
     "embedding_isotropy": {"nested-loop-join", "single-partition-exchange"},
     "embedding_near_dup_brute": {"nested-loop-join"},
@@ -213,7 +211,6 @@ _WARN_ALLOW: dict[str, set[str]] = {
     "knn_pagerank": {"single-partition-exchange"},
     "knn_personalized_pagerank": {"single-partition-exchange"},
     "late_interaction_search": {"nested-loop-join"},
-    "node2vec_biased_walks": {"unpartitioned-window"},
     "opq_adc_recall": {"nested-loop-join", "single-partition-exchange"},
     "part_cooccurrence_triangles": {"nested-loop-join", "single-partition-exchange"},
     "pq_adc_kmeans": {"nested-loop-join", "single-partition-exchange"},
