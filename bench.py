@@ -257,6 +257,9 @@ def main() -> None:
             }
         )
     )
+    from vector_db_spark.caching import release_caches
+
+    release_caches()
     spark.stop()
 
 

@@ -17,6 +17,9 @@ SF_CORRECTNESS = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.0
 def spark():
     spark = get_spark("tests", cpus=8)
     yield spark
+    from vector_db_spark.caching import release_caches
+
+    release_caches()
 
 
 @pytest.fixture(scope="session")

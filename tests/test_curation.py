@@ -364,3 +364,93 @@ def test_greedy_max_coverage_stops_when_exhausted(spark):
     )
     picks = greedy_max_coverage(inc, 3)
     assert picks == [(1, 1, 2)]  # doc 2 adds nothing; no zero-gain pick
+
+
+def _sg_reference(sets, k, eps, salt):
+    """Single-node replay of stochastic-greedy: md5 sample per round,
+    in-sample argmax (gain desc, id asc), zero-gain rounds skipped."""
+    import hashlib
+
+    from vector_db_spark.operators.selection import stochastic_sample_size
+
+    s = stochastic_sample_size(len(sets), k, eps)
+    covered: set = set()
+    chosen: set = set()
+    want = []
+    for rnd in range(1, k + 1):
+        cands = sorted(
+            (i for i in sets if i not in chosen),
+            key=lambda i: (
+                hashlib.md5(f"{i}|{salt}|{rnd}".encode()).hexdigest(),
+                i,
+            ),
+        )[:s]
+        scored = [(len(sets[i] - covered), -i) for i in cands]
+        if not scored or max(scored)[0] == 0:
+            continue
+        gain, neg_i = max(scored)
+        i = -neg_i
+        want.append((rnd, i, gain))
+        covered |= sets[i]
+        chosen.add(i)
+    return want, covered
+
+
+def test_stochastic_greedy_matches_reference(spark):
+    """Exact decision-for-decision agreement with the single-node replay
+    (md5 sample per round, in-sample argmax) on random set families."""
+    import random
+
+    from vector_db_spark.operators.selection import stochastic_greedy_max_coverage
+
+    rng = random.Random(33)
+    sets = {i: frozenset(rng.sample(range(60), rng.randint(1, 15))) for i in range(40)}
+    inc = spark.createDataFrame(
+        [(i, g) for i, s in sets.items() for g in s], "doc_id long, g int"
+    )
+    for eps, salt in ((0.1, "sg-v1"), (0.25, "alt-salt")):
+        got = stochastic_greedy_max_coverage(inc, 6, eps=eps, salt=salt)
+        want, _ = _sg_reference(sets, 6, eps, salt)
+        assert got == want
+
+
+def test_stochastic_greedy_coverage_bound_on_planted_family(spark):
+    """On a planted family (5 disjoint 30-element stars + 45 small
+    overlapping sets) the stochastic picks' total coverage meets the
+    Mirzasoleiman 1−1/e−ε bound vs the exact greedy's coverage."""
+    import math
+
+    from vector_db_spark.operators.selection import (
+        greedy_max_coverage,
+        stochastic_greedy_max_coverage,
+    )
+
+    k, eps = 5, 0.1
+    sets = {i: frozenset(range(i * 30, (i + 1) * 30)) for i in range(k)}
+    for i in range(k, 50):
+        sets[i] = frozenset((i % 7, 1000 + i % 5, 2000 + i % 3))
+    inc = spark.createDataFrame(
+        [(i, g) for i, s in sets.items() for g in s], "doc_id long, g int"
+    )
+    exact_cov = sum(p[2] for p in greedy_max_coverage(inc, k))
+    stoch = stochastic_greedy_max_coverage(inc, k, eps=eps)
+    stoch_cov = sum(p[2] for p in stoch)
+    assert stoch_cov >= (1 - 1 / math.e - eps) * exact_cov
+    # marginal gains recompute exactly from the pick sequence
+    covered: set = set()
+    for _, i, gain in stoch:
+        assert gain == len(sets[i] - covered)
+        covered |= sets[i]
+
+
+def test_stochastic_greedy_zero_gain_round_skipped(spark):
+    """A round whose whole sample is already covered makes no pick but
+    later rounds (fresh sample) still can."""
+    from vector_db_spark.operators.selection import stochastic_greedy_max_coverage
+
+    inc = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "c")], "doc_id long, g string"
+    )
+    picks = stochastic_greedy_max_coverage(inc, 3, eps=0.5)
+    assert {p[1] for p in picks} == {1, 3}
+    assert sum(p[2] for p in picks) == 3

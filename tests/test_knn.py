@@ -138,3 +138,41 @@ def test_isotropy_identity_matches_brute_pairs(spark):
     assert got["n_vectors"] == n
     assert abs(got["mean_pairwise_dot"] - round(float(brute), 4)) <= 1e-4
     assert abs(got["mean_norm_sq"] - round(float(np.trace(G) / n), 4)) <= 1e-4
+
+
+def test_big_query_side_routes_to_join_path(spark):
+    """A query table past max_batch_queries must NOT be collected: the
+    plan is the distributed join (no Python map stage, no broadcast of
+    the corpus-shaped side). Plan-pinned; never executed at this size."""
+    rng = np.random.default_rng(11)
+    corpus = _vec_df(spark, [(i, rng.standard_normal(8)) for i in range(50)])
+    big_queries = (
+        spark.range(100_000)
+        .select(
+            F.col("id").alias("query_id"),
+            F.array(*[F.rand(seed=s) for s in range(8)]).alias("query_vec"),
+        )
+    )
+    res = knn_join(big_queries, corpus, 3, impl="batch", max_batch_queries=10_000)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # not collected: no Python scoring stage anywhere in the plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" in plan or "CartesianProduct" in plan
+    # and no broadcast FORCED by the operator: ResolvedHint must be absent
+    # from the logical plan (Catalyst may still choose broadcast from its
+    # own size stats — that is its call, made with real statistics)
+    logical = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "hints=" not in logical or "strategy=broadcast" not in logical
+
+
+def test_batch_fallback_matches_batch_results(spark):
+    """With a tiny threshold the auto-fallback (join path, no broadcast
+    hint) returns the identical result set as the collected-batch path."""
+    rng = np.random.default_rng(13)
+    corpus = _vec_df(spark, [(i, rng.standard_normal(12)) for i in range(120)])
+    queries = corpus.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 8)
+    fast = knn_join(queries, corpus, 5, impl="batch")
+    routed = knn_join(queries, corpus, 5, impl="batch", max_batch_queries=3)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, routed.collect()))

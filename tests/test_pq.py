@@ -89,3 +89,35 @@ def test_adc_recall_vs_exact(spark, sf_smoke, model):
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(truth[q] & got.get(q, set())) / 10 for q in truth]
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_adc_big_query_side_routes_to_join_path(spark, sf_smoke, model):
+    """A query table past max_batch_queries is never collected: the ADC
+    falls back to the distributed LUT-join (the only Python stage is the
+    per-QUERY-row LUT UDF; the corpus scan gathers JVM-side)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    codes = model.encode(emb)
+    big_queries = spark.range(100_000).select(
+        F.col("id").alias("query_id"),
+        F.array(*[F.rand(seed=s) for s in range(64)]).alias("query_vec"),
+    )
+    res = model.adc_search(big_queries, codes, 3, max_batch_queries=10_000)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the collected-LUT kernel ("score") must be absent; the only Python
+    # stages are the upstream encoder and the per-query-row LUT UDF
+    assert "score(" not in plan
+    assert "lut_flat" in plan
+    assert "Join" in plan or "CartesianProduct" in plan
+
+
+def test_adc_join_fallback_matches_batch_results(spark, sf_smoke, model):
+    """With a tiny threshold the distributed LUT-join returns the exact
+    same (query, neighbor, dist, rank) rows as the collected fast path."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    codes = model.encode(emb)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 6)
+    fast = model.adc_search(queries, codes, 5)
+    routed = model.adc_search(queries, codes, 5, max_batch_queries=2)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, routed.collect()))

@@ -298,3 +298,37 @@ def test_replay_source_drives_ivf_ingest(spark, tmp_path):
         for r in assign_to_centroids(emb.select("vec_id", "embedding"), cents).collect()
     )
     assert got == want and len(got) == emb.count()
+
+
+def test_jsonl_typed_roundtrip_timestamp_decimal_date(spark, tmp_path):
+    """Non-JSON-native scalar types round-trip through canonical string
+    forms (ADVICE r4: default=str silently corrupted these)."""
+    ensure_registered(spark)
+    path = str(tmp_path / "typed")
+    src = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1L, TIMESTAMP '2024-03-01 12:34:56.789', DATE '2024-03-01',
+           CAST('12345.6789' AS DECIMAL(18,4))),
+          (2L, TIMESTAMP '1999-12-31 23:59:59',     DATE '1999-12-31',
+           CAST('-0.0001' AS DECIMAL(18,4))),
+          (3L, CAST(NULL AS TIMESTAMP), CAST(NULL AS DATE),
+           CAST(NULL AS DECIMAL(18,4)))
+        AS t(id, ts, d, amt)
+        """
+    )
+    src.write.format("vdb_jsonl").option("path", path).mode("overwrite").save()
+    back = spark.read.format("vdb_jsonl").schema(src.schema).option("path", path).load()
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_jsonl_rejects_binary_columns(spark, tmp_path):
+    """Binary columns fail at plan time with a clear error, not a silent
+    b'...'-repr corruption."""
+    ensure_registered(spark)
+    src = spark.sql("SELECT 1L AS id, CAST('ab' AS BINARY) AS payload")
+    with pytest.raises(Exception, match="binary column 'payload'"):
+        src.write.format("vdb_jsonl").option("path", str(tmp_path / "bin")).mode(
+            "overwrite"
+        ).save()

@@ -1,0 +1,53 @@
+"""Bounded per-process DataFrame caching.
+
+Several operators cache an intermediate that feeds multiple branches of
+the *returned lazy plan* (e.g. the tf table in
+:func:`~vector_db_spark.operators.similarity.sparse_cosine_pairs`, the
+ranked-set table in the prefix-filter dedups). A bare ``.cache()`` there
+is a process-lifetime leak: over a 200-query registry sweep or a bench
+loop the cached blocks accumulate in executor/driver storage memory and
+are never released.
+
+:func:`tracked_cache` bounds that footprint to **one live block per
+call-site**: caching under a key unpersists whatever previous DataFrame
+was cached under the same key. Unpersisting a still-referenced plan is
+safe — Spark recomputes from lineage; the cache is purely a
+materialize-once optimization — so the worst case for an old plan that
+is re-executed later is a recompute, never a wrong answer.
+
+:func:`release_caches` drops everything (harness/bench teardown hook).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: dict[str, DataFrame] = {}
+
+
+def tracked_cache(df: DataFrame, key: str) -> DataFrame:
+    """Cache ``df``, evicting the previous block cached under ``key``."""
+    prev = _TRACKED.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session gone / already unpersisted — nothing to free
+    df = df.cache()
+    _TRACKED[key] = df
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every tracked block (bench / test-session teardown)."""
+    for key in list(_TRACKED):
+        prev = _TRACKED.pop(key)
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+
+
+def tracked_count() -> int:
+    """Number of live tracked blocks (for tests)."""
+    return len(_TRACKED)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_db_spark.caching import tracked_cache
 from vector_db_spark.functions.distance import cosine_similarity
 from vector_db_spark.functions.text import (
     doc_fingerprint,
@@ -150,8 +151,8 @@ def lsh_candidate_pairs(
     the band digest, emit same-bucket pairs (a < b). Docs agreeing on ALL
     hashes of any band become candidates — the standard LSH guarantee. The
     only shuffle is the (band, band_key) equi-join itself."""
-    banded = band_keys(wide, id_col, n_bands).cache()  # self-joined below:
-    # without the cache the minhash lineage runs twice
+    # self-joined below: without the cache the minhash lineage runs twice
+    banded = tracked_cache(band_keys(wide, id_col, n_bands), "dedup.lsh.banded")
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
@@ -224,10 +225,12 @@ def near_dup_pairs_minhash(
     The shingle table feeds the signatures AND both sides of the verify
     join — cached so it materializes once (at cluster scale: persist to
     Parquet instead; same plan shape)."""
-    sh = shingle_table(df, text_col, id_col, n).cache()
+    sh = tracked_cache(shingle_table(df, text_col, id_col, n), "dedup.neardup.sh")
     wide = minhash_wide(sh, id_col, n_hashes)
     # candidates are consumed twice by the verify (doc cut + pair join)
-    cands = lsh_candidate_pairs(wide, id_col, n_bands).cache()
+    cands = tracked_cache(
+        lsh_candidate_pairs(wide, id_col, n_bands), "dedup.neardup.cands"
+    )
     return jaccard_verify(sh, cands, id_col, threshold)
 
 
@@ -332,7 +335,9 @@ def incremental_dedup(
         .agg(F.min("__ex_id").alias("dup_exact_of"))
     )
 
-    in_sh = shingle_table(incoming, text_col, id_col, n).cache()
+    in_sh = tracked_cache(
+        shingle_table(incoming, text_col, id_col, n), "dedup.incremental.in_sh"
+    )
     # the corpus shingle stream feeds its band keys AND the Jaccard verify
     # and is deliberately NOT cached: recomputing the map-side explode
     # pipelines straight into each consumer, while materializing it costs
@@ -425,7 +430,7 @@ def winnow_candidate_pairs(
         .select("fp")
     )
     # cache: the cut table feeds both sides of the self-join
-    fps = fps.join(rare, "fp", "left_semi").cache()
+    fps = tracked_cache(fps.join(rare, "fp", "left_semi"), "dedup.winnow.fps")
     a = fps.select(F.col(id_col).alias("doc_a"), "fp")
     b = fps.select(F.col(id_col).alias("doc_b"), "fp")
     return (
@@ -802,7 +807,8 @@ def prefix_filter_jaccard_pairs(
             F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int") + 1,
         )
     )
-    ranked = ranked.cache()  # feeds the prefix explode AND both set lookups
+    # feeds the prefix explode AND both set lookups
+    ranked = tracked_cache(ranked, "dedup.prefix_filter.ranked")
     # candidate generation joins BARE ids + sizes — the full set arrays
     # never ride the exploded prefix shuffle
     pref = ranked.select(
@@ -892,7 +898,8 @@ def containment_pairs(
             F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int") + 1,
         )
     )
-    ranked = ranked.cache()  # feeds the prefix explode, full postings, both set lookups
+    # feeds the prefix explode, full postings, both set lookups
+    ranked = tracked_cache(ranked, "dedup.containment.ranked")
     pref_a = ranked.select(
         F.col(id_col).alias("doc_a"),
         F.col("__sz").alias("__za"),

@@ -134,7 +134,13 @@ def rendezvous_shard(
     of the corpus instead of (N-1)/N of it. Weights are the first 15 md5
     nibbles (the repo's cross-engine integer idiom), so placement is a
     pure deterministic function of (key, salt, N) any engine reproduces.
-    Map-only: N weight expressions per row, no shuffle."""
+    Map-only: N weight expressions per row, no shuffle.
+
+    Weight ties break toward the SMALLEST shard id (the struct stores
+    ``-s`` so ``array_max`` prefers the lowest id at equal weight),
+    matching the DuckDB oracle's ``ORDER BY wt DESC, s LIMIT 1`` —
+    astronomically rare on 60-bit weights, but the parity contract is
+    bit-exact."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     weights = F.array(
@@ -151,9 +157,9 @@ def rendezvous_shard(
                 )
                 .cast("long")
                 .alias("w"),
-                F.lit(s).alias("s"),
+                F.lit(-s).alias("neg_s"),
             )
             for s in range(n_shards)
         ]
     )
-    return df.withColumn(out_col, F.array_max(weights)["s"])
+    return df.withColumn(out_col, -F.array_max(weights)["neg_s"])

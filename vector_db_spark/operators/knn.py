@@ -77,24 +77,33 @@ def knn_join(
     vec_col: str = "embedding",
     impl: str = "batch",
     round_to: int | None = 6,
+    max_batch_queries: int = 10_000,
 ) -> DataFrame:
     """Exact k nearest corpus rows per query row.
 
-    Returns columns ``(query_id, neighbor_id, dist, rank)``. The query side
-    must be the small side (it is broadcast / collected); the corpus side is
-    never collected and may be arbitrarily large.
+    Returns columns ``(query_id, neighbor_id, dist, rank)``. The corpus
+    side is never collected and may be arbitrarily large. The query side
+    is *expected* to be the small (serving-shaped) side, but that
+    assumption is enforced, not trusted: ``impl="batch"`` first counts
+    the query table and, past ``max_batch_queries`` rows, routes to the
+    distributed join path WITHOUT a broadcast hint (Catalyst/AQE pick
+    the strategy) — a corpus-shaped query side degrades to a longer
+    distributed job instead of silently OOMing the driver collect.
     """
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}; choose from {sorted(METRICS)}")
+    hint_broadcast = True
+    if impl == "batch" and queries.limit(max_batch_queries + 1).count() > max_batch_queries:
+        impl = "sql"  # query side too big to collect: stay distributed
+        hint_broadcast = False
     if impl == "sql":
-        scored = corpus.crossJoin(
-            F.broadcast(
-                queries.select(
-                    F.col(query_id_col).alias("query_id"),
-                    F.col(query_vec_col).alias("__qv"),
-                )
-            )
-        ).select(
+        qside = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qv"),
+        )
+        if hint_broadcast:
+            qside = F.broadcast(qside)
+        scored = corpus.crossJoin(qside).select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             METRICS[metric](F.col("__qv"), F.col(vec_col)).alias("dist"),

@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from vector_db_spark.operators.topk import top_k_per_group
 
@@ -196,11 +197,31 @@ class PQModel:
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
         round_to: int | None = 6,
+        max_batch_queries: int = 10_000,
     ) -> DataFrame:
         """Asymmetric-distance k-NN over PQ codes: per query an (m,k) LUT of
         subspace squared distances, then each corpus row costs m gathers —
         the scan touches only ids+codes (m*4 bytes/vector instead of dim*4),
-        which is the point of PQ at 100 TB."""
+        which is the point of PQ at 100 TB.
+
+        The query side is expected serving-shaped (it is collected and its
+        LUTs broadcast), and that assumption is enforced: past
+        ``max_batch_queries`` rows the search routes to
+        :meth:`_adc_search_join` — LUTs computed distributed per query
+        row, distances via a JVM-side gather join — so a corpus-shaped
+        query table degrades to a longer distributed job instead of
+        OOMing the driver."""
+        if (
+            queries.limit(max_batch_queries + 1).count() > max_batch_queries
+        ):
+            return self._adc_search_join(
+                queries,
+                codes_df,
+                top_k,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+                round_to=round_to,
+            )
         qrows = queries.select(query_id_col, query_vec_col).collect()
         if not qrows:
             return codes_df.sparkSession.createDataFrame(
@@ -244,6 +265,58 @@ class PQModel:
 
         scored = codes_df.select(id_col, "codes").mapInPandas(
             score, "query_id long, neighbor_id long, dist double"
+        )
+        if round_to is not None:
+            scored = scored.withColumn("dist", F.round("dist", round_to))
+        return top_k_per_group(
+            scored, ["query_id"], [F.col("dist").asc(), F.col("neighbor_id").asc()], top_k
+        )
+
+    def _adc_search_join(
+        self,
+        queries: DataFrame,
+        codes_df: DataFrame,
+        top_k: int,
+        *,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """Fully distributed ADC: the per-query (m·k) LUT is computed by a
+        vectorized Pandas UDF *on the query table* (one Arrow batch per
+        partition — never collected), and the corpus scan gathers
+        ``Σ_j lut[j·k + codes[j]]`` with a JVM-side ``aggregate`` over the
+        flat LUT array. The query×corpus pairing is a plain join with no
+        broadcast hint, so Catalyst/AQE pick the physical strategy — this
+        is the big-query-side shape the collected-LUT fast path cannot
+        serve."""
+        tensor = self._codebook_tensor()
+        m, k, sub = tensor.shape
+        bc = self.spark.sparkContext.broadcast(tensor)
+
+        @pandas_udf("array<double>")
+        def lut_flat(vecs: pd.Series) -> pd.Series:
+            t = bc.value  # (m, k, sub)
+            q = np.array(vecs.tolist(), dtype=np.float64).reshape(len(vecs), m, sub)
+            luts = ((q[:, :, None, :] - t[None, :, :, :]) ** 2).sum(axis=3)  # (n, m, k)
+            return pd.Series(list(luts.reshape(len(vecs), m * k)))
+
+        qside = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            lut_flat(F.col(query_vec_col)).alias("__lut"),
+        )
+        dist2 = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.col("__lut"), (j * F.lit(k) + F.element_at(F.col("codes"), j + 1) + 1).cast("int")
+            ),
+        )
+        scored = (
+            codes_df.select(F.col(self.id_col).alias("neighbor_id"), "codes")
+            .crossJoin(qside)
+            .select("query_id", "neighbor_id", F.sqrt(dist2).alias("dist"))
         )
         if round_to is not None:
             scored = scored.withColumn("dist", F.round("dist", round_to))

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
+from vector_db_spark.caching import tracked_cache
 from vector_db_spark.functions.distance import METRICS, dot_product
 from vector_db_spark.operators.topk import top_k_per_group
 
@@ -322,8 +323,12 @@ def sparse_cosine_pairs(
     # tf is the pivot of the whole plan (feeds df, N, weights, norms and
     # BOTH join sides): cache it so the corpus tokenization+aggregation
     # runs once, not once per consumer — it is O(docs × distinct terms)
-    # rows, the already-collapsed representation
-    tf = toks.groupBy(id_col, term_col).agg(F.count("*").alias("tf")).cache()
+    # rows, the already-collapsed representation. tracked_cache bounds
+    # the footprint to one live block across registry/bench sweeps.
+    tf = tracked_cache(
+        toks.groupBy(id_col, term_col).agg(F.count("*").alias("tf")),
+        "similarity.sparse_cosine_pairs.tf",
+    )
     dfreq = tf.groupBy(term_col).agg(F.count("*").alias("df"))
     n_docs = tf.select(id_col).distinct().count()
     max_df = max_df_frac * n_docs

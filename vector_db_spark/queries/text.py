@@ -1741,3 +1741,81 @@ def coverage_exemplar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picks = greedy_max_coverage(inc, _COVERAGE_K)
     return spark.createDataFrame(picks, "rank int, doc_id long, new_cov long")
+
+
+def _coverage_stochastic_oracle(k: int, eps: float, salt: str) -> str:
+    """Generate the k-stage stochastic-greedy oracle: stage i samples the
+    ⌈n·ln(1/ε)/k⌉ unpicked docs with the smallest md5(doc|salt|i), then
+    picks the sample's argmax marginal coverage — replaying
+    operators/selection.stochastic_greedy_max_coverage decision-for-
+    decision (fixed-point sample size, identical md5 sort keys)."""
+    import math
+
+    c_fp = int(round(math.log(1.0 / eps) * 1_000_000_000))
+    denom = k * 1_000_000_000
+    ctes = [
+        f"""sh AS (
+  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS g
+  FROM (SELECT doc_id, {_TOKS} AS tok FROM documents),
+       LATERAL (SELECT unnest(range(1, len(tok) - 1)) AS i)
+  WHERE len(tok) >= 3)""",
+        "ids AS (SELECT DISTINCT doc_id FROM sh)",
+        f"""sz AS (
+  SELECT ((count(*) * {c_fp} + {denom - 1}) // {denom})::BIGINT AS s FROM ids)""",
+    ]
+    sels = []
+    for i in range(1, k + 1):
+        prev_docs = ", ".join(f"(SELECT doc_id FROM p{j})" for j in range(1, i))
+        prev_cov = " UNION ".join(
+            f"SELECT g FROM sh JOIN p{j} USING (doc_id)" for j in range(1, i)
+        )
+        cov = f"AND g NOT IN ({prev_cov})" if prev_cov else ""
+        doc = f"WHERE doc_id NOT IN ({prev_docs})" if prev_docs else ""
+        ctes.append(
+            f"""s{i} AS (
+  SELECT doc_id FROM ids {doc}
+  ORDER BY md5(doc_id::VARCHAR || '|{salt}|{i}'), doc_id
+  LIMIT (SELECT s FROM sz))"""
+        )
+        ctes.append(
+            f"""p{i} AS (
+  SELECT doc_id, count(*) AS new_cov FROM sh JOIN s{i} USING (doc_id)
+  WHERE TRUE {cov}
+  GROUP BY doc_id ORDER BY new_cov DESC, doc_id LIMIT 1)"""
+        )
+        sels.append(
+            f"SELECT {i} AS rank, doc_id, new_cov::BIGINT AS new_cov FROM p{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sels)
+
+
+_COVERAGE_EPS = 0.1
+_COVERAGE_SALT = "sg-v1"
+
+
+@register(
+    "coverage_exemplar_stochastic",
+    extra=True,
+    oracle=_coverage_stochastic_oracle(_COVERAGE_K, _COVERAGE_EPS, _COVERAGE_SALT),
+)
+def coverage_exemplar_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic-greedy max-coverage exemplar selection
+    (operators/selection.stochastic_greedy_max_coverage, Mirzasoleiman
+    AAAI'15): k=5 exemplars by 3-gram coverage, each round's marginal
+    gains evaluated over a deterministic ⌈n·ln(1/ε)/k⌉-doc md5 sample
+    of the unpicked corpus instead of the full corpus — the 100 TB form
+    of coverage_exemplar_docs (total gain-evaluation work ~n·ln(1/ε)
+    incidence rows vs the exact form's k·n). The oracle replays the
+    sample draw AND the in-sample argmax per round, pinning the
+    Mirzasoleiman invariants (sample quota, in-sample maximality,
+    md5-determinism) value-exactly."""
+    from vector_db_spark.operators.selection import stochastic_greedy_max_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    inc = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 3)).alias("g")
+    )
+    picks = stochastic_greedy_max_coverage(
+        inc, _COVERAGE_K, eps=_COVERAGE_EPS, salt=_COVERAGE_SALT
+    )
+    return spark.createDataFrame(picks, "rank int, doc_id long, new_cov long")

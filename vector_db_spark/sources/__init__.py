@@ -28,11 +28,15 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-_REGISTERED: set[tuple[int, str]] = set()
-
-
 def ensure_registered(spark: SparkSession) -> None:
-    """Register all custom data sources on this session (idempotent)."""
+    """Register all custom data sources on this session (idempotent).
+
+    Registration is re-run unconditionally: ``dataSource.register`` is
+    idempotent (latest registration wins), and caching by ``id(spark)``
+    is unsound — a garbage-collected session's id can be reused by a new
+    session object, which would then silently skip registration and fail
+    later with DATA_SOURCE_NOT_FOUND.
+    """
     from vector_db_spark.sources.jsonl import JsonlShardDataSource
     from vector_db_spark.sources.replay import ParquetReplayDataSource
 
@@ -41,8 +45,4 @@ def ensure_registered(spark: SparkSession) -> None:
     # sources work on any caller's session, not just session.get_spark()
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     for cls in (JsonlShardDataSource, ParquetReplayDataSource):
-        key = (id(spark), cls.name())
-        if key in _REGISTERED:
-            continue
         spark.dataSource.register(cls)
-        _REGISTERED.add(key)

@@ -182,11 +182,64 @@ class JsonlShardReader(DataSourceReader):
         yield from table.to_batches()
 
 
+def _reject_unjsonable(schema: StructType) -> None:
+    """JSON has no binary representation and this layout defines no
+    encoding convention for one — fail at plan time, not with a silently
+    stringified ``b'...'`` repr that the reader's cast then corrupts."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType
+    from pyspark.sql.types import StructType as _St
+
+    def walk(dt: "Any", name: str) -> None:
+        if isinstance(dt, BinaryType):
+            raise ValueError(
+                f"vdb_jsonl cannot write binary column {name!r}: JSONL shards "
+                "have no binary encoding convention (base64-encode to a "
+                "string column first)"
+            )
+        if isinstance(dt, ArrayType):
+            walk(dt.elementType, f"{name}[]")
+        elif isinstance(dt, MapType):
+            walk(dt.keyType, f"{name}<key>")
+            walk(dt.valueType, f"{name}<value>")
+        elif isinstance(dt, _St):
+            for f in dt.fields:
+                walk(f.dataType, f"{name}.{f.name}")
+
+    for f in schema.fields:
+        walk(f.dataType, f.name)
+
+
+def _json_canonical(o: "Any") -> str:
+    """Canonical string forms for the non-JSON-native types the reader's
+    Arrow cast path is tested to accept: timestamps/dates as ISO-8601
+    (tz-aware normalized to UTC, offset dropped — Arrow's string→
+    timestamp cast treats the value as wall-clock in the target zone),
+    decimals as plain decimal strings. Anything else is a hard error —
+    ``default=str`` silently corrupted binary and exotic types."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(o, _dt.datetime):
+        # tz-aware (Spark TIMESTAMP arrives as timestamp[us, tz=UTC]):
+        # normalize to UTC and KEEP the +00:00 offset — Arrow's string→
+        # timestamp[tz] cast requires one. tz-naive (TIMESTAMP_NTZ):
+        # plain ISO, cast to offset-less timestamp[us] accepts it.
+        if o.tzinfo is not None:
+            o = o.astimezone(_dt.timezone.utc)
+        return o.isoformat()
+    if isinstance(o, _dt.date):
+        return o.isoformat()
+    if isinstance(o, _dec.Decimal):
+        return format(o, "f")
+    raise TypeError(f"vdb_jsonl cannot serialize {type(o).__name__} values")
+
+
 class JsonlShardWriter(DataSourceArrowWriter):
     def __init__(self, schema: StructType, options: dict[str, str], overwrite: bool):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("vdb_jsonl requires a 'path' option (shard directory)")
+        _reject_unjsonable(schema)
         self.overwrite = overwrite
 
     def write(self, iterator: Iterator["Any"]) -> _ShardCommit:
@@ -196,7 +249,7 @@ class JsonlShardWriter(DataSourceArrowWriter):
         with open(os.path.join(self.path, tmp_name), "w") as out:
             for batch in iterator:
                 for row in batch.to_pylist():
-                    out.write(json.dumps(row, default=str) + "\n")
+                    out.write(json.dumps(row, default=_json_canonical) + "\n")
                     n += 1
         return _ShardCommit(tmp_name=tmp_name)
 
