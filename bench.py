@@ -138,7 +138,12 @@ HEADLINE = [
     # round-4 closing additions
     "containment_near_dup",
     "ann_lsh_multiprobe",
-    "tfidf_cosine_pairs",
+    # r5: the benched family row is the df-cut (0.05) production form —
+    # the full-volume tfidf_cosine_pairs stays the correctness baseline in
+    # the oracle suite, but its sf0.1 wall time has a documented 5.6-12 s
+    # tenancy band (flat synthetic df defeats the 0.2 cut), too wide for
+    # the 2x regression gate to mean anything
+    "tfidf_cosine_pairs_cut",
     "stream_unattributed_clicks",
     "part_link_prediction_aa",
     "click_purchase_crosscorr",

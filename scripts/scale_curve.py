@@ -1,0 +1,179 @@
+"""Scale-curve validation (VERDICT r4 item 6).
+
+Synthesizes a ~10x blow-up of the sf0.1 `documents` / `embeddings` /
+`events` tables (the driver fixtures cap at sf0.1) and runs the heaviest
+registered queries at both scales, checking two things the fixtures alone
+cannot:
+
+1. wall time grows at most ~linearly in input volume (a super-linear
+   curve means a join whose candidate volume is not bounded by design);
+2. no plan flips shape between scales (the warn-grade audit shapes from
+   tests/test_plan_audit.py must be identical at 1x and 10x — the class
+   of bug the round-4 sparse-cosine AQE single-partition coalesce was).
+
+Blow-up construction — "10 disjoint shards", not "10 identical copies",
+so candidate structure replicates instead of exploding quadratically:
+
+- documents: copy i keeps doc structure but suffixes every token with
+  `_i` — shingle/term spaces are disjoint across copies, so dedup
+  clusters and posting lists replicate 10x exactly (`Σ df²` scales 10x).
+- embeddings: copy i multiplies each component by a deterministic ±1
+  pattern (distance-preserving WITHIN the copy, decorrelated ACROSS
+  copies) — near-dup cluster geometry replicates, cross-copy cosines
+  are noise.
+- events: event_id / user_id offset per copy — disjoint user universes,
+  stream-stream join volume scales linearly.
+
+Other tables are hard-linked unchanged. Usage:
+
+    python scripts/scale_curve.py [--runs 2] [--out /tmp/scale10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1 = "/root/testdata/sf0.1"
+COPIES = 10
+ID_STRIDE = 10_000_000
+
+# heavy queries over the blown-up tables (top of BENCH_DETAIL by wall
+# time, restricted to ones whose input actually scales here)
+QUERIES = [
+    "coverage_exemplar_docs",     # documents: k full greedy passes
+    "tfidf_cosine_pairs",         # documents: Σ df² posting join
+    "near_dup_jaccard",           # documents: MinHash+LSH
+    "dedup_retain_best",          # documents: LSH + connected components
+    "heavy_hitter_tokens",        # documents: Misra-Gries two-pass
+    "embedding_near_dup",         # embeddings: hyperplane-LSH blocking
+    "knn_exact_batch",            # embeddings: fixed queries x 10x corpus
+    "stream_unattributed_clicks", # events: stream-stream outer join
+]
+
+
+def build_blowup(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.io import TABLES, load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        if t in ("documents", "embeddings", "events"):
+            continue
+        src, dst = os.path.join(SF1, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+
+    docs = load_table(spark, SF1, "documents")
+    parts = []
+    for i in range(COPIES):
+        suffixed = F.array_join(
+            F.transform(F.split(F.col("text"), r"\s+"), lambda x: F.concat(x, F.lit(f"_{i}"))),
+            " ",
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
+                suffixed.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    _union_all(parts).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    emb = load_table(spark, SF1, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    parts = []
+    for i in range(COPIES):
+        signs = [
+            1.0 if int(hashlib.md5(f"{i}|{j}".encode()).hexdigest(), 16) % 2 == 0 else -1.0
+            for j in range(dim)
+        ]
+        flipped = F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(s) for s in signs]).cast("array<float>"),
+            lambda x, s: (x * s).cast("float"),
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * ID_STRIDE)).alias("vec_id"),
+                flipped.alias("embedding"),
+                "label",
+            )
+        )
+    _union_all(parts).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+    ev = load_table(spark, SF1, "events")
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * ID_STRIDE)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * ID_STRIDE)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(COPIES)
+    ]
+    _union_all(parts).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+
+def _union_all(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def warn_shapes(df) -> list[str]:
+    from vector_db_spark.plans import audit_plan
+
+    return sorted({f.code for f in audit_plan(df) if f.severity == "warn"})
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default="/tmp/scale10")
+    args = ap.parse_args()
+
+    from vector_db_spark.queries import all_queries
+    from vector_db_spark.session import get_spark
+
+    spark = get_spark("scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    build_blowup(spark, args.out)
+    print(f"# blow-up built in {time.perf_counter() - t0:.1f}s")
+
+    qs = all_queries()
+    results = {}
+    for name in QUERIES:
+        row = {}
+        for label, sf_dir in (("x1", SF1), ("x10", args.out)):
+            df = qs[name](spark, sf_dir)
+            shapes = warn_shapes(df)
+            best, n = float("inf"), 0
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                n = qs[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            row[label] = {"sec": round(best, 2), "rows": n, "warn_shapes": shapes}
+            print(f"# {name} {label}: {best:.2f}s rows={n} shapes={shapes}")
+        row["ratio"] = round(row["x10"]["sec"] / max(row["x1"]["sec"], 1e-9), 2)
+        row["shape_flip"] = row["x1"]["warn_shapes"] != row["x10"]["warn_shapes"]
+        results[name] = row
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

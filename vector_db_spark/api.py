@@ -75,10 +75,18 @@ class VectorDBService:
         (indexing_service.py:77-89). Returns the number inserted."""
         embedded = docs.withColumn("embedding", self.embedder(F.col("content")))
         n = embedded.count()
+        core = [f.name for f in NODE_SCHEMA.fields]
+        # evolved metadata columns beyond the core schema ride along — the
+        # storage layer reads with mergeSchema, so nothing is dropped
+        extras = [c for c in embedded.columns if c not in core]
         if self._has_corpus():
             self.nodes.append_with_ids(
                 embedded.select(
-                    F.lit(None).cast("long").alias("id"), "embedding", "content", "metadata"
+                    F.lit(None).cast("long").alias("id"),
+                    "embedding",
+                    "content",
+                    "metadata",
+                    *extras,
                 )
             )
         else:
@@ -91,7 +99,8 @@ class VectorDBService:
                     "embedding",
                     "content",
                     "metadata",
-                ).select([f.name for f in NODE_SCHEMA.fields])
+                    *extras,
+                )
             )
         idx = self._index()
         if idx is not None:

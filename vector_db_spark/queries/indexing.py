@@ -471,7 +471,6 @@ def semantic_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_pagerank",
-    extra=True,
     oracle="SELECT count(*)::BIGINT AS n_nodes, true AS rank_sum_ok, "
     "true AS positive_ok FROM embeddings",
 )
@@ -809,6 +808,7 @@ _DBSCAN_N_PROBE = 2
 
 @register(
     "dbscan_embedding_clusters",
+    extra=True,
     # promoted r4 closing: first driver row for the density-clustering family
     oracle=f"""
 WITH RECURSIVE
@@ -974,7 +974,6 @@ def _als_model(spark: SparkSession, sf_dir: str):
 
 @register(
     "copurchase_als_recs",
-    extra=True,
     oracle="""
 SELECT (SELECT count(DISTINCT o_custkey)
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey)::BIGINT AS n_users,

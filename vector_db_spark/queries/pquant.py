@@ -245,7 +245,6 @@ def _opq_model(spark: SparkSession, sf_dir: str) -> tuple:
 SELECT COUNT(*)::BIGINT AS n_queries, TRUE AS norm_ok, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < {N_QUERIES}
 """,
-    extra=True,
 )
 def opq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ end-to-end invariant projection (operators/opq.py): the learned

@@ -72,6 +72,7 @@ def pyds_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pyds_stream_replay",
+    extra=True,
     # promoted r4 closing: first driver row for the Python-DataSource connector family
     oracle="""
 SELECT event_type,

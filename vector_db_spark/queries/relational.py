@@ -79,6 +79,7 @@ def events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_variant_stats",
+    extra=True,
     # promoted r4 closing: first driver row for the VARIANT semi-structured family
     oracle="""
 SELECT event_type,
@@ -2234,7 +2235,6 @@ def udaf_event_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "frequent_event_itemsets",
-    extra=True,
     oracle="""
 WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
 nb AS (SELECT count(DISTINCT user_id) AS n FROM b),
@@ -2291,7 +2291,6 @@ def frequent_event_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sequential_event_patterns",
-    extra=True,
     oracle="""
 WITH p AS (
   SELECT user_id, event_type AS typ,

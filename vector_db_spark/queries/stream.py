@@ -575,7 +575,8 @@ def stream_hourly_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_unattributed_clicks",  # promoted r4: stream-stream OUTER join shape, first driver row
+    "stream_unattributed_clicks",  # promoted r4 (green), rotated to extra r5
+    extra=True,
     oracle="""
 WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
            FROM events WHERE event_type = 'click'),

@@ -718,7 +718,6 @@ _HH_FRAC = 0.004
 
 @register(
     "heavy_hitter_tokens",
-    extra=True,
     oracle=f"""
 WITH toks AS (SELECT unnest({_TOKS}) AS item FROM documents)
 SELECT item, count(*)::BIGINT AS cnt
@@ -750,7 +749,6 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_merges",
-    extra=True,
     oracle="""
 WITH words AS (
   SELECT word, count(*) AS freq FROM (
@@ -940,6 +938,7 @@ def curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup",
+    extra=True,
     oracle=f"""
 WITH buckets AS ({_LSH_BUCKETS_SQL}),
 cand AS (
@@ -1263,6 +1262,7 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_dup",
+    extra=True,
     oracle="""
 WITH toks AS (
   SELECT doc_id, tok FROM (
@@ -1310,7 +1310,8 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round-4 closing additions: containment / multi-probe / sparse cosine ------
 
 @register(
-    "containment_near_dup",  # promoted r4: asymmetric-containment dedup, first driver row for the family
+    "containment_near_dup",  # promoted r4 (green), rotated to extra r5
+    extra=True,
     oracle="""
 WITH t AS (
   SELECT doc_id,
@@ -1387,7 +1388,8 @@ def ann_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tfidf_cosine_pairs",  # promoted r4: sparse-term similarity family, first driver row
+    "tfidf_cosine_pairs",  # promoted r4 (green), rotated to extra r5
+    extra=True,
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 big AS (
@@ -1437,7 +1439,57 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "quality_dup_auc",  # promoted r4: evaluation-metric family, first driver row
+    "tfidf_cosine_pairs_cut",
+    extra=True,
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+big AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS tok
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM big GROUP BY 1, 2),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+w AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln((1.0 + nd) / (1.0 + df.df)), 6) AS w
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+  WHERE df.df <= 0.05 * nd),
+norms AS (
+  SELECT doc_id,
+         sqrt(SUM(CAST(round(w * w * 1e12) AS BIGINT))::DOUBLE / 1e12) AS norm
+  FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         SUM(CAST(round(a.w * b.w * 1e12) AS BIGINT)) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, cos_sim FROM (
+  SELECT doc_a, doc_b,
+         round((dot::DOUBLE / 1e12) / (x.norm * y.norm), 6) AS cos_sim
+  FROM dots JOIN norms x ON x.doc_id = doc_a JOIN norms y ON y.doc_id = doc_b)
+WHERE cos_sim >= 0.6
+""",
+)
+def tfidf_cosine_pairs_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-tuned form of tfidf_cosine_pairs: df ≤ 0.05·N.
+    On this synthetic corpus the flat bigram df distribution defeats the
+    0.2 cut (Σ df² ≈ 73 M rows at sf0.1, a 5.6–12 s tenancy-variance
+    band, PERF.md round-4), so the 0.05 cut is the steady-signal entry
+    the bench regression gate tracks; the full-volume form above stays
+    the correctness baseline. Same plan, same oracle shape — only the
+    df throttle differs."""
+    from vector_db_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 2)).alias("term")
+    )
+    return sparse_cosine_pairs(toks, threshold=0.6, max_df_frac=0.05)
+
+
+@register(
+    "quality_dup_auc",  # promoted r4 (green), rotated to extra r5
+    extra=True,
     oracle=f"""
 WITH s AS (
   SELECT round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
@@ -1795,7 +1847,6 @@ _COVERAGE_SALT = "sg-v1"
 
 @register(
     "coverage_exemplar_stochastic",
-    extra=True,
     oracle=_coverage_stochastic_oracle(_COVERAGE_K, _COVERAGE_EPS, _COVERAGE_SALT),
 )
 def coverage_exemplar_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,6 +26,7 @@ from vector_db_spark.queries import register
 
 @register(
     "ohlc_daily_bars",
+    extra=True,
     oracle="""
 WITH b AS (
   SELECT event_type, date_trunc('day', ts) AS bucket_ts, value, ts, event_id,
@@ -415,7 +416,6 @@ def cusum_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "trend_mann_kendall",
-    extra=True,
     oracle="""
 WITH cnt AS (
   SELECT event_type, date_trunc('hour', ts) AS t, count(*) AS x

@@ -57,7 +57,11 @@ class NodeTable:
     # -- reads ---------------------------------------------------------------
 
     def df(self) -> DataFrame:
-        return self.spark.read.schema(NODE_SCHEMA).parquet(self.path)
+        # mergeSchema: batches may carry EVOLVED columns beyond NODE_SCHEMA
+        # (appended after the table was created); the union schema surfaces
+        # them with nulls for pre-evolution files. Core column types stay
+        # stable because every write path normalizes them via _validate.
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def get(self, node_id: int) -> DataFrame:
         """Point lookup (reference storage.py:232-252)."""
@@ -85,7 +89,16 @@ class NodeTable:
     # -- writes --------------------------------------------------------------
 
     def _validate(self, nodes: DataFrame) -> DataFrame:
-        """Dimension check on write (reference mmap_vector_store.py:100-107)."""
+        """Dimension check on write (reference mmap_vector_store.py:100-107),
+        plus core-schema normalization: the four NODE_SCHEMA columns must be
+        present and are cast to their canonical types (so mergeSchema reads
+        never see type drift); EVOLVED extra columns pass through intact."""
+        missing = [f.name for f in NODE_SCHEMA.fields if f.name not in nodes.columns]
+        if missing:
+            raise ValueError(f"nodes batch is missing core columns {missing}")
+        nodes = nodes.withColumns(
+            {f.name: F.col(f.name).cast(f.dataType) for f in NODE_SCHEMA.fields}
+        )
         if self.dim is not None:
             nodes = nodes.withColumn(
                 "__dim_ok",
@@ -114,7 +127,9 @@ class NodeTable:
         start = (self.df().agg(F.max("id")).collect()[0][0] or -1) + 1
         w = Window.orderBy(F.monotonically_increasing_id())
         withids = nodes.withColumn("id", F.row_number().over(w) + F.lit(start - 1))
-        self.append(withids.select([f.name for f in NODE_SCHEMA.fields]))
+        core = [f.name for f in NODE_SCHEMA.fields]
+        extras = [c for c in withids.columns if c not in core]
+        self.append(withids.select(core + extras))
 
     def upsert(self, nodes: DataFrame) -> None:
         """INSERT OR REPLACE (reference storage.py:377-400 SQLite path; L4
@@ -123,7 +138,11 @@ class NodeTable:
         a MERGE; on plain Parquet it is a rewrite."""
         nodes = self._validate(nodes)
         existing = self.df()
-        merged = existing.join(nodes.select("id"), "id", "left_anti").unionByName(nodes)
+        # allowMissingColumns: either side may carry evolved columns the
+        # other predates — absent cells become null, nothing is dropped
+        merged = existing.join(nodes.select("id"), "id", "left_anti").unionByName(
+            nodes, allowMissingColumns=True
+        )
         self._rewrite(merged)
 
     def delete(self, node_ids: list[int]) -> None:
@@ -134,7 +153,7 @@ class NodeTable:
     def _rewrite(self, df: DataFrame) -> None:
         tmp = self.path.rstrip("/") + ".tmp"
         df.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.schema(NODE_SCHEMA).parquet(tmp)
+        final = self.spark.read.option("mergeSchema", "true").parquet(tmp)
         final.write.mode("overwrite").parquet(self.path)
         # best-effort cleanup of the staging dir
         try:
