@@ -165,6 +165,7 @@ HEADLINE = [
     "sequential_event_patterns",
     "cusum_level_shifts",
     "coverage_exemplar_docs",
+    "coverage_exemplar_stochastic",  # r5: the n·ln(1/eps) production form
     "trend_mann_kendall",
     # dbscan_embedding_clusters is registry-tested but not benched: like
     # knn_pagerank, its wall time is hash-min component rounds (each a

@@ -122,3 +122,39 @@ def test_sparse_cosine_df_cut_drops_stopwords_from_norms_and_dots(spark):
     }
     # docs 3,4 share only "the" (df=4 > 0.6*4) → no pair; 1,2 identical → pair
     assert (1, 2) in got and (3, 4) not in got
+
+
+def test_lsh_bucket_scale_knobs(spark, sf_smoke):
+    """n_bits/n_tables overrides (the corpus-growth knobs from the r5
+    scale-curve run) produce well-formed buckets; defaults stay pinned
+    to the oracle plane literals (kernel==expr tested above)."""
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.similarity import hyperplane_lsh_buckets
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(50)
+    rows = hyperplane_lsh_buckets(emb, n_tables=2, n_bits=6).collect()
+    assert {r.table_idx for r in rows} == {0, 1}
+    assert all(len(r.bucket) == 6 and set(r.bucket) <= {"0", "1"} for r in rows)
+    assert len(rows) == 50 * 2
+    # kernel and expr agree under overridden shapes too
+    expr_rows = hyperplane_lsh_buckets(
+        emb, impl="expr", n_tables=2, n_bits=6
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expr_rows))
+
+
+def test_embedding_near_dup_blocked_higher_h_is_subset_structure(spark, sf_smoke):
+    """Higher h can only REMOVE candidate pairs (fewer collisions), never
+    invent them: every pair found at h=8 within the same L that also
+    collides at h=4 must carry the identical verified cosine."""
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.dedup import embedding_near_dup_blocked
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    lo = {(r.id_a, r.id_b): r.cos_sim
+          for r in embedding_near_dup_blocked(emb, threshold=0.45).collect()}
+    hi = {(r.id_a, r.id_b): r.cos_sim
+          for r in embedding_near_dup_blocked(
+              emb, threshold=0.45, n_bits=8).collect()}
+    shared = set(lo) & set(hi)
+    assert all(lo[p] == hi[p] for p in shared)

@@ -447,6 +447,9 @@ def embedding_near_dup_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    *,
+    n_tables: int | None = None,
+    n_bits: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs with hyperplane-LSH blocking — the 100 TB
     path. Candidate pairs are ids sharing a bucket in any of the L seeded
@@ -456,9 +459,18 @@ def embedding_near_dup_blocked(
     1-(1-p(s)^h)^L with p(s)=1-acos(s)/π — near-1 for true near-dups
     (s ≥ 0.9), deliberately lossy for weak similarities. The exact
     ``embedding_near_dup_pairs`` below is the recall baseline."""
+    from vector_db_spark.operators import similarity as _sim
     from vector_db_spark.operators.similarity import hyperplane_lsh_buckets
 
-    buckets = hyperplane_lsh_buckets(df, vec_col, id_col)
+    # n_bits is the corpus-growth knob (~log2 n); defaults stay pinned to
+    # the oracle's plane literals — see hyperplane_lsh_buckets docstring
+    buckets = hyperplane_lsh_buckets(
+        df,
+        vec_col,
+        id_col,
+        n_tables=n_tables if n_tables is not None else _sim.N_TABLES,
+        n_bits=n_bits if n_bits is not None else _sim.N_BITS,
+    )
     a = buckets.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
     cand = (

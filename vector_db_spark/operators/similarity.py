@@ -31,15 +31,27 @@ from vector_db_spark.operators.topk import top_k_per_group
 DIM = 64
 N_TABLES = 4
 N_BITS = 4
-_rng = np.random.default_rng(42)
-# (L, h, dim) rounded so SQL literals are compact and bit-exact everywhere
-HYPERPLANES: list[list[list[float]]] = [
-    [[round(float(x), 6) for x in plane] for plane in table]
-    for table in _rng.standard_normal((N_TABLES, N_BITS, DIM))
-]
 
 
-def _bucket_expr(vec_col: str, table_idx: int) -> Column:
+def make_hyperplanes(
+    n_tables: int, n_bits: int, *, dim: int = DIM, seed: int = 42
+) -> list[list[list[float]]]:
+    """(L, h, dim) hyperplanes, 6dp-rounded so SQL literals are compact
+    and bit-exact everywhere. Deterministic in (shape, seed); the module
+    defaults reproduce the oracle-pinned ``HYPERPLANES`` exactly."""
+    rng = np.random.default_rng(seed)
+    return [
+        [[round(float(x), 6) for x in plane] for plane in table]
+        for table in rng.standard_normal((n_tables, n_bits, dim))
+    ]
+
+
+HYPERPLANES: list[list[list[float]]] = make_hyperplanes(N_TABLES, N_BITS)
+
+
+def _bucket_expr(
+    vec_col: str, table_idx: int, planes: list[list[list[float]]] | None = None
+) -> Column:
     """Bit string, one sign bit per hyperplane: e.g. '101100'."""
     bits = [
         F.when(
@@ -49,30 +61,37 @@ def _bucket_expr(vec_col: str, table_idx: int) -> Column:
             >= 0,
             F.lit("1"),
         ).otherwise(F.lit("0"))
-        for plane in HYPERPLANES[table_idx]
+        for plane in (planes or HYPERPLANES)[table_idx]
     ]
     return F.concat(*bits)
 
 
-_PLANE_MAT = np.array(HYPERPLANES, dtype=np.float64).reshape(
-    N_TABLES * N_BITS, DIM
-).T  # (dim, L·h): one matmul buckets every table at once
+def _make_bucket_kernel(planes: list[list[list[float]]]):
+    n_tables, n_bits = len(planes), len(planes[0])
+    plane_mat = np.array(planes, dtype=np.float64).reshape(
+        n_tables * n_bits, len(planes[0][0])
+    ).T  # (dim, L·h): one matmul buckets every table at once
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def kern(s):  # pragma: no cover - exercised via queries/tests
+        import pandas as pd
+
+        if s.empty:
+            return pd.Series([], dtype=object)
+        X = np.array(s.tolist(), dtype=np.float64)  # (batch, dim)
+        chars = np.where(X @ plane_mat >= 0, "1", "0")  # (batch, L·h)
+        return pd.Series(
+            [
+                ["".join(row[t * n_bits : (t + 1) * n_bits]) for t in range(n_tables)]
+                for row in chars
+            ]
+        )
+
+    return kern
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def _bucket_kernel(s):  # pragma: no cover - exercised via queries/tests
-    import pandas as pd
-
-    if s.empty:
-        return pd.Series([], dtype=object)
-    X = np.array(s.tolist(), dtype=np.float64)  # (batch, dim)
-    chars = np.where(X @ _PLANE_MAT >= 0, "1", "0")  # (batch, L·h)
-    return pd.Series(
-        [
-            ["".join(row[t * N_BITS : (t + 1) * N_BITS]) for t in range(N_TABLES)]
-            for row in chars
-        ]
-    )
+_bucket_kernel = _make_bucket_kernel(HYPERPLANES)
+_KERNEL_CACHE: dict[tuple[int, int], object] = {(N_TABLES, N_BITS): _bucket_kernel}
 
 
 def hyperplane_lsh_buckets(
@@ -81,8 +100,18 @@ def hyperplane_lsh_buckets(
     id_col: str = "vec_id",
     *,
     impl: str = "kernel",
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
 ) -> DataFrame:
     """(id, table_idx, bucket): L bucket assignments per vector.
+
+    ``n_bits`` is the SCALE knob: in-bucket candidate volume is
+    Σ bucket_size² ≈ n²/2^h per table, so h must grow ~log₂(n) as the
+    corpus grows (the 10× scale-curve run measured 11.5× wall on the
+    near-dup join at fixed h=4 — the expected fixed-bucket-count
+    quadratic creep; h=8 restores ~linear). The defaults are pinned by
+    the DuckDB oracle's plane literals; overrides draw fresh seeded
+    planes via :func:`make_hyperplanes`.
 
     One scan: all L·h sign bits are computed in a single pass and exploded
     to L rows (a per-table union would re-scan the corpus L times).
@@ -101,21 +130,28 @@ def hyperplane_lsh_buckets(
     |dot| below ~1e-12, vanishingly unlikely for 6dp-rounded hyperplanes
     against real embeddings. ``tests/test_text_ops.py`` pins kernel==expr
     on the fixture corpus."""
+    custom = (n_tables, n_bits) != (N_TABLES, N_BITS)
     if impl == "kernel":
+        kern = _KERNEL_CACHE.get((n_tables, n_bits))
+        if kern is None:
+            kern = _make_bucket_kernel(make_hyperplanes(n_tables, n_bits))
+            _KERNEL_CACHE[(n_tables, n_bits)] = kern
         return df.select(
             F.col(id_col),
-            F.posexplode(_bucket_kernel(F.col(vec_col).cast("array<double>"))).alias(
+            F.posexplode(kern(F.col(vec_col).cast("array<double>"))).alias(
                 "table_idx", "bucket"
             ),
         )
     if impl != "expr":
         raise ValueError(f"unknown impl {impl!r}; choose 'kernel' or 'expr'")
+    planes = make_hyperplanes(n_tables, n_bits) if custom else HYPERPLANES
     entries = F.array(
         *[
             F.struct(
-                F.lit(t).alias("table_idx"), _bucket_expr(vec_col, t).alias("bucket")
+                F.lit(t).alias("table_idx"),
+                _bucket_expr(vec_col, t, planes).alias("bucket"),
             )
-            for t in range(N_TABLES)
+            for t in range(n_tables)
         ]
     )
     return df.select(F.col(id_col), F.explode(entries).alias("__e")).select(
