@@ -24,8 +24,8 @@ guarantee at a factor-k smaller per-round join. Sampling is
 deterministic (order by md5(id|salt|round)), so the pick sequence is a
 pure function of the data that a SQL oracle replays exactly. The exact
 form is the correctness baseline the stochastic variant is measured
-against (tests/test_selection.py pins the coverage ratio on a planted
-family).
+against (tests/test_curation.py pins the coverage ratio on a planted
+family and exact decision agreement with a single-node replay).
 """
 
 from __future__ import annotations

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from vector_db_spark.functions.distance import euclidean
 from vector_db_spark.functions.text import tokens
+from vector_db_spark.caching import tracked_cache
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.ivf import IVFIndex
 from vector_db_spark.operators.topk import top_k_per_group
@@ -634,7 +635,7 @@ def hnsw_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "cluster_id"
     )
     g = export_partition_hnsw(emb, m=m, ef_construction=50)
-    g = g.persist()
+    g = tracked_cache(g, "q.indexing.hnsw_export.g")
     l0 = g.filter(F.col("level") == 0)
 
     sizes = emb.groupBy("cluster_id").agg(F.count("*").alias("n_nodes"))

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_db_spark.caching import tracked_cache
 from vector_db_spark.io import load_table, register_views
 from vector_db_spark.queries import register
 
@@ -1634,8 +1635,8 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_partkey") % 5 == 0)
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .cache()
     )
+    li = tracked_cache(li, "q.relational.itemsets.li")
     n_baskets = li.select("l_orderkey").distinct().count()
     item = li.groupBy(F.col("l_partkey").alias("p")).agg(F.count("*").alias("sup"))
     pair = (
@@ -1704,10 +1705,10 @@ def copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
-        .cache()
     )
+    edges = tracked_cache(edges, "q.relational.ktruss.edges")
     n_before = edges.count()
-    truss = k_truss(edges, 4).cache()
+    truss = tracked_cache(k_truss(edges, 4), "q.relational.ktruss.truss")
     n_after = truss.count()
     contained = (
         truss.join(edges, ["src", "dst"], "left_anti").count() == 0

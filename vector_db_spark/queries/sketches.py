@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vector_db_spark.caching import tracked_cache
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.sketches import (
     digest_quantiles,
@@ -164,7 +165,9 @@ def kmv_orderkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("A", "R")
     )
-    sk = kmv_sketch(li, "l_orderkey", ["l_returnflag"], k=K).cache()
+    sk = tracked_cache(
+        kmv_sketch(li, "l_orderkey", ["l_returnflag"], k=K), "q.sketches.kmv.sk"
+    )
     est = kmv_distinct_estimate(sk, ["l_returnflag"], k=K)
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_distinct")
@@ -411,10 +414,14 @@ def kmv_orderkey_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("A", "R")
     )
-    sk = kmv_sketch(li, "l_orderkey", ["l_returnflag"], k=K).cache()
+    sk = tracked_cache(
+        kmv_sketch(li, "l_orderkey", ["l_returnflag"], k=K), "q.sketches.kmv.sk"
+    )
     a = sk.filter(F.col("l_returnflag") == "A")
     r = sk.filter(F.col("l_returnflag") == "R")
-    keys = li.select("l_returnflag", "l_orderkey").distinct().cache()
+    keys = tracked_cache(
+        li.select("l_returnflag", "l_orderkey").distinct(), "q.sketches.kmv.keys"
+    )
     ka = keys.filter(F.col("l_returnflag") == "A").select("l_orderkey")
     kr = keys.filter(F.col("l_returnflag") == "R").select("l_orderkey")
     out = []

@@ -14,6 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_db_spark.caching import tracked_cache
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.ivf import assign_to_centroids
 from vector_db_spark.queries import register
@@ -198,7 +199,7 @@ def stream_ingest_cluster_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (k × dim) centroid table once — foreachBatch re-executes
     # referenced lineage per micro-batch, and the index state is loaded once
     # in the path this models (reference indexing_service.py:56-67)
-    cents = _centroids_arrays(spark, sf_dir).cache()
+    cents = tracked_cache(_centroids_arrays(spark, sf_dir), "q.stream.ingest.cents")
     cents.count()
     work = tempfile.mkdtemp(prefix="ingest_")
     src, sink, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
@@ -288,8 +289,8 @@ def stream_query_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # static index state, materialized once (foreachBatch re-executes
     # referenced lineage per micro-batch otherwise)
-    cents = _centroids_arrays(spark, sf_dir).cache()
-    assign = _assign(spark, sf_dir).cache()
+    cents = tracked_cache(_centroids_arrays(spark, sf_dir), "q.stream.serve.cents")
+    assign = tracked_cache(_assign(spark, sf_dir), "q.stream.serve.assign")
     cents.count(), assign.count()
 
     work = tempfile.mkdtemp(prefix="serve_")

@@ -21,6 +21,7 @@ from vector_db_spark.functions.text import (
     simhash64,
     tokens,
 )
+from vector_db_spark.caching import tracked_cache
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.dedup import (
     dedup_retain_best,
@@ -1127,9 +1128,12 @@ def training_data_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_spark.operators.pipeline import clean_corpus
 
     docs = load_table(spark, sf_dir, "documents")
-    cleaned = clean_corpus(
-        docs, lang="en", min_tokens=25, quality_floor=0.48, jaccard_threshold=0.5
-    ).cache()
+    cleaned = tracked_cache(
+        clean_corpus(
+            docs, lang="en", min_tokens=25, quality_floor=0.48, jaccard_threshold=0.5
+        ),
+        "q.text.pipeline.cleaned",
+    )
     chunks = chunk_documents(cleaned, size=_TDP_CHUNK, overlap=_TDP_OVERLAP)
     embedded = embed_column(chunks, "chunk_text", dim=64)
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vector_db_spark.caching import tracked_cache
 from vector_db_spark.io import load_table
 from vector_db_spark.operators.knn import knn_join, knn_self
 from vector_db_spark.queries import register
@@ -904,10 +905,13 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     knn = knn_join(sub_q, emb, 6, impl="batch")
-    edges = knn.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    ).cache()
-    neg = sample_non_edges(edges, n_per_node=5).cache()
+    edges = tracked_cache(
+        knn.filter(F.col("neighbor_id") != F.col("query_id")).select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        ),
+        "q.vector.negsamp.edges",
+    )
+    neg = tracked_cache(sample_non_edges(edges, n_per_node=5), "q.vector.negsamp.neg")
     n_pairs = neg.count()
     n_srcs = edges.select("src").distinct().count()
     quota_ok = (
