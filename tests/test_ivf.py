@@ -230,3 +230,31 @@ def test_split_cluster_rejects_bad_args(spark, sf_smoke, tmp_path):
         idx.split_cluster(0, 1)
     with pytest.raises(ValueError, match="unknown cluster_id"):
         idx.split_cluster(999, 2)
+
+
+def test_ivf_search_big_query_side_drops_broadcast_hint(spark, sf_smoke, tmp_path):
+    """Past max_broadcast_queries the probe join must carry no forced
+    broadcast hint (Catalyst decides from real stats); results at a tiny
+    threshold match the hinted fast path exactly."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.ivf import IVFIndex
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = IVFIndex.build(spark, emb, 8, str(tmp_path / "ivf"), seed=7, max_iter=4)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") < 6)
+    fast = idx.search(queries, k=5, n_probe=3)
+    routed = idx.search(queries, k=5, n_probe=3, max_broadcast_queries=2)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, routed.collect()))
+    # the centroid-side broadcast (O(k x dim), intentional) remains; the
+    # PROBE-side hint must be gone — one hint in the routed plan, two in
+    # the serving-shaped fast path
+    routed_logical = routed._jdf.queryExecution().optimizedPlan().toString()
+    fast_logical = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert routed_logical.count("strategy=broadcast") < fast_logical.count(
+        "strategy=broadcast"
+    )
+    assert routed_logical.count("strategy=broadcast") >= 1  # centroids stay hinted

@@ -463,6 +463,7 @@ class IVFIndex:
         query_vec_col: str = "query_vec",
         round_to: int | None = 6,
         allowed_ids: DataFrame | None = None,
+        max_broadcast_queries: int = 10_000,
     ) -> DataFrame:
         """n_probe search: rank centroids per query (ivf.py:170-171's argsort
         as a windowed top-n_probe over the broadcast centroid join), then an
@@ -474,7 +475,13 @@ class IVFIndex:
         ``allowed_ids`` (one column named like ``id_col``) pre-filters the
         candidate set — metadata-filtered search (reference F2,
         app.py:184-199) as a semi-join BEFORE distances and top-k, so a
-        filtered search still returns k results when k matches exist."""
+        filtered search still returns k results when k matches exist.
+
+        The probe-side broadcast hint is guarded like the batch-kNN
+        collect: past ``max_broadcast_queries`` query rows the probe join
+        runs un-hinted (shuffle on ``cluster_id``, the standard
+        co-partition exchange against the cluster-partitioned corpus)
+        instead of shipping a corpus-shaped probe table to every task."""
         probes = top_k_per_group(
             queries.crossJoin(F.broadcast(self.centroids())).withColumn(
                 "__cdist", euclidean(query_vec_col, "centroid")
@@ -487,7 +494,10 @@ class IVFIndex:
         corpus = self.corpus()
         if allowed_ids is not None:
             corpus = corpus.join(allowed_ids, self.id_col, "left_semi")
-        cand = F.broadcast(probes).join(corpus, "cluster_id")
+        small = (
+            queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+        )
+        cand = (F.broadcast(probes) if small else probes).join(corpus, "cluster_id")
         scored = cand.select(
             F.col(query_id_col).alias("query_id"),
             F.col(self.id_col).alias("neighbor_id"),

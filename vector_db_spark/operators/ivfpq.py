@@ -332,11 +332,18 @@ class IVFPQIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
         round_to: int | None = 6,
+        max_broadcast_queries: int = 10_000,
     ) -> DataFrame:
         """ADC n_probe search; with ``refine`` set, the ADC pass returns
         ``refine × k`` candidates per query and a raw-vector join re-ranks
         them exactly (distances then match brute force on the recalled set).
-        """
+
+        The probe-side broadcast hint is guarded: past
+        ``max_broadcast_queries`` query rows the probe join runs un-hinted
+        (the per-batch (query, cluster) grouping in the ADC kernel is
+        partition-layout-independent — partial per-batch cuts are fixed by
+        the global top-k), so a corpus-shaped query table degrades to a
+        shuffle join instead of a broadcast blow-up."""
         fetch = k * refine if refine else k
         probes = top_k_per_group(
             queries.crossJoin(F.broadcast(self.centroids())).withColumn(
@@ -353,8 +360,12 @@ class IVFPQIndex:
         id_col, qid, qvec, kk = self.id_col, query_id_col, query_vec_col, fetch
 
         # broadcast the (tiny) probe table into every codes partition —
-        # no shuffle of the codes side; DPP prunes unprobed clusters
-        cand = F.broadcast(probes).join(self.codes(), "cluster_id")
+        # no shuffle of the codes side; DPP prunes unprobed clusters.
+        # Guarded: a corpus-shaped query table joins un-hinted instead.
+        small = (
+            queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+        )
+        cand = (F.broadcast(probes) if small else probes).join(self.codes(), "cluster_id")
 
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cents, t = bc.value
