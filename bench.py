@@ -220,12 +220,16 @@ def main() -> None:
     _time_builds(spark, timings)
     # two timed runs per query, min reported: the machine shares CPU with
     # other tenants and a single sample regularly inflates 1.5-3×; min-of-2
-    # is the steady-state number the regression gate should track
+    # is the steady-state number the regression gate should track.
+    # Entries with a PERF.md-documented wide band get a third sample —
+    # their min-of-2 still spanned >1.5× across passes.
+    min3 = {"tfidf_cosine_pairs_cut", "coverage_exemplar_docs",
+            "coverage_exemplar_stochastic", "copurchase_ppr_expansion"}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3 if name in min3 else 2):
             t0 = time.perf_counter()
             n = QUERIES[name](spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)

@@ -1800,11 +1800,13 @@ def coverage_exemplar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _coverage_stochastic_oracle(k: int, eps: float, salt: str) -> str:
-    """Generate the k-stage stochastic-greedy oracle: stage i samples the
-    ⌈n·ln(1/ε)/k⌉ unpicked docs with the smallest md5(doc|salt|i), then
-    picks the sample's argmax marginal coverage — replaying
-    operators/selection.stochastic_greedy_max_coverage decision-for-
-    decision (fixed-point sample size, identical md5 sort keys)."""
+    """Generate the k-stage stochastic-greedy oracle: ids land in
+    ``B = max(1, n // s)`` md5 hash buckets (``s = ⌈n·ln(1/ε)/k⌉``,
+    fixed-point); stage i's sample is the unpicked ids of bucket
+    ``(i-1) mod B`` and the pick is that sample's argmax marginal
+    coverage — replaying operators/selection.stochastic_greedy_max_
+    coverage decision-for-decision (identical bucket hashing, identical
+    integer arithmetic)."""
     import math
 
     c_fp = int(round(math.log(1.0 / eps) * 1_000_000_000))
@@ -1815,9 +1817,17 @@ def _coverage_stochastic_oracle(k: int, eps: float, salt: str) -> str:
   FROM (SELECT doc_id, {_TOKS} AS tok FROM documents),
        LATERAL (SELECT unnest(range(1, len(tok) - 1)) AS i)
   WHERE len(tok) >= 3)""",
-        "ids AS (SELECT DISTINCT doc_id FROM sh)",
-        f"""sz AS (
-  SELECT ((count(*) * {c_fp} + {denom - 1}) // {denom})::BIGINT AS s FROM ids)""",
+        f"""ids AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR || '|{salt}'), 1, 15))::UBIGINT
+          % (SELECT greatest(1, count(DISTINCT doc_id)
+               // ((count(DISTINCT doc_id) * {c_fp} + {denom - 1}) // {denom}))
+             FROM sh))::BIGINT AS b
+  FROM (SELECT DISTINCT doc_id FROM sh))""",
+        f"""bk AS (
+  SELECT greatest(1, count(DISTINCT doc_id)
+           // ((count(DISTINCT doc_id) * {c_fp} + {denom - 1}) // {denom}))::BIGINT AS b
+  FROM sh)""",
     ]
     sels = []
     for i in range(1, k + 1):
@@ -1826,12 +1836,11 @@ def _coverage_stochastic_oracle(k: int, eps: float, salt: str) -> str:
             f"SELECT g FROM sh JOIN p{j} USING (doc_id)" for j in range(1, i)
         )
         cov = f"AND g NOT IN ({prev_cov})" if prev_cov else ""
-        doc = f"WHERE doc_id NOT IN ({prev_docs})" if prev_docs else ""
+        doc = f"AND doc_id NOT IN ({prev_docs})" if prev_docs else ""
         ctes.append(
             f"""s{i} AS (
-  SELECT doc_id FROM ids {doc}
-  ORDER BY md5(doc_id::VARCHAR || '|{salt}|{i}'), doc_id
-  LIMIT (SELECT s FROM sz))"""
+  SELECT doc_id FROM ids
+  WHERE b = ({i - 1} % (SELECT b FROM bk)) {doc})"""
         )
         ctes.append(
             f"""p{i} AS (
@@ -1857,13 +1866,15 @@ def coverage_exemplar_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stochastic-greedy max-coverage exemplar selection
     (operators/selection.stochastic_greedy_max_coverage, Mirzasoleiman
     AAAI'15): k=5 exemplars by 3-gram coverage, each round's marginal
-    gains evaluated over a deterministic ⌈n·ln(1/ε)/k⌉-doc md5 sample
-    of the unpicked corpus instead of the full corpus — the 100 TB form
-    of coverage_exemplar_docs (total gain-evaluation work ~n·ln(1/ε)
-    incidence rows vs the exact form's k·n). The oracle replays the
-    sample draw AND the in-sample argmax per round, pinning the
-    Mirzasoleiman invariants (sample quota, in-sample maximality,
-    md5-determinism) value-exactly."""
+    gains evaluated over one deterministic md5 HASH BUCKET of the
+    unpicked id space (~⌈n·ln(1/ε)/k⌉ docs in expectation) instead of
+    the full corpus — the 100 TB form of coverage_exemplar_docs: the
+    bucket is a prunable predicate, so each round scans ~1/B of the
+    incidence (batch-stat pruning on the cache; file-level partition
+    pruning when written partitioned by bucket). The oracle replays the
+    bucket assignment AND the in-sample argmax per round, pinning the
+    Mirzasoleiman invariants (expected sample quota, in-sample
+    maximality, md5-determinism) value-exactly."""
     from vector_db_spark.operators.selection import stochastic_greedy_max_coverage
 
     docs = load_table(spark, sf_dir, "documents")
