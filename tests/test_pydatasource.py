@@ -313,7 +313,13 @@ def test_jsonl_typed_roundtrip_timestamp_decimal_date(spark, tmp_path):
           (2L, TIMESTAMP '1999-12-31 23:59:59',     DATE '1999-12-31',
            CAST('-0.0001' AS DECIMAL(18,4))),
           (3L, CAST(NULL AS TIMESTAMP), CAST(NULL AS DATE),
-           CAST(NULL AS DECIMAL(18,4)))
+           CAST(NULL AS DECIMAL(18,4))),
+          (4L, TIMESTAMP '1900-01-01 00:00:00', DATE '1900-01-01',
+           CAST('-99999999999999.9999' AS DECIMAL(18,4))),
+          (5L, TIMESTAMP '9999-12-31 23:59:59.999999', DATE '9999-12-31',
+           CAST('99999999999999.9999' AS DECIMAL(18,4))),
+          (6L, TIMESTAMP '1970-01-01 00:00:00.000001', DATE '1970-01-01',
+           CAST('0.0000' AS DECIMAL(18,4)))
         AS t(id, ts, d, amt)
         """
     )

@@ -18,6 +18,14 @@ tumbling/sliding windows and gap session windows over event time, and a
 custom stateful operator (cross-batch first-seen dedup) via
 ``applyInPandasWithState``.
 
+Custom stateful operators use ``applyInPandasWithState`` deliberately:
+its Spark-4 successor ``transformWithStateInPandas`` (typed state
+variables, event-time timers, per-state TTL) requires the ``protobuf``
+package for its state-server protocol, which this container does not
+ship (probed: the TWS driver worker crashes on
+``import google.protobuf``). The swap is mechanical when the dependency
+is available — per-key state dicts map 1:1 onto ``getValueState``.
+
 Every function returns either a *streaming* DataFrame (composable) or runs
 a bounded source to completion and returns the batch result
 (``run_to_memory`` — the test/oracle harness; event-time aggregation over
