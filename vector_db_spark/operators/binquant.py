@@ -55,13 +55,21 @@ def binarize_expr(vec_col: Column | str, *, dim: int, threshold: float = 0.0) ->
     bits = F.transform(v, lambda x: (x > threshold).cast("bigint"))
     if pad:
         bits = F.concat(bits, F.array_repeat(F.lit(0).cast("bigint"), pad))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_words - 1)),
-        lambda w: F.aggregate(
-            F.slice(bits, w * WORD_BITS + 1, WORD_BITS),
-            F.lit(0).cast("bigint"),
-            lambda acc, b: acc * 2 + b,
+    # bits let-bound so the threshold pass runs once per row, not once per
+    # packed word (the O(L²) trap documented at text.winnow_fingerprints)
+    return F.element_at(
+        F.transform(
+            F.array(bits),
+            lambda bb: F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda w: F.aggregate(
+                    F.slice(bb, w * WORD_BITS + 1, WORD_BITS),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, b: acc * 2 + b,
+                ),
+            ),
         ),
+        1,
     )
 
 

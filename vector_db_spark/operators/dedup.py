@@ -520,14 +520,22 @@ def ngram_position_table(
     ``array_distinct``) because span detection needs to know *where* a
     repeated n-gram occurs, not just that it occurs. Output rows ≈ total
     corpus tokens; the explode is a pure projection."""
-    t = tokens(text_col)
-    grams = F.when(
-        F.size(t) >= n,
+    # tokens(...) let-bound via the outer transform so the tokenizer regex
+    # runs once per row, not once per gram position (the O(L²) trap
+    # documented at functions/text.winnow_fingerprints)
+    grams = F.element_at(
         F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),  # size-n+1 starts, inclusive
-            lambda p: F.md5(F.concat_ws(" ", F.slice(t, p + 1, n))),
+            F.array(tokens(text_col)),
+            lambda t: F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),  # size-n+1 starts
+                    lambda p: F.md5(F.concat_ws(" ", F.slice(t, p + 1, n))),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        1,
+    )
     return df.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "gram")
     )
