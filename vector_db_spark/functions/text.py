@@ -153,21 +153,35 @@ def simhash64(tokens_col: Column) -> Column:
     """16-bit SimHash from the first 16 nibbles of each token's md5: bit p
     is set when the mean nibble value at position p is >= 7.5 (integer
     compare ``2*sum >= 15*count`` — no float drift). Near-identical token
-    multisets land within small Hamming distance."""
-    nibble_bits = []
-    for p in range(16):
-        nib = F.aggregate(
-            tokens_col,
-            F.lit(0).cast("long"),
-            lambda acc, tok: acc
-            + F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(tok), p + 1, 1))
-            - 1,
+    multisets land within small Hamming distance.
+
+    The per-token md5 digests are LET-BOUND once (the O(L²)-class trap
+    documented at :func:`winnow_fingerprints`): the 16 per-nibble
+    aggregates reference the bound digest array instead of re-tokenizing
+    and re-hashing the document per bit position — 1 md5 per token
+    instead of 16."""
+
+    def nib_adder(p: int):
+        return lambda acc, h: (
+            acc + F.instr(F.lit("0123456789abcdef"), F.substring(h, p + 1, 1)) - 1
         )
-        bit = F.when(
-            (F.lit(2) * nib) >= (F.lit(15) * F.size(tokens_col)), F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        nibble_bits.append(F.shiftleft(bit, p))
-    out = nibble_bits[0]
-    for b in nibble_bits[1:]:
-        out = out + b
-    return out
+
+    def body(hexes: Column) -> Column:
+        nibble_bits = []
+        for p in range(16):
+            nib = F.aggregate(
+                hexes,
+                F.lit(0).cast("long"),
+                nib_adder(p),
+            )
+            bit = F.when(
+                (F.lit(2) * nib) >= (F.lit(15) * F.size(hexes)), F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            nibble_bits.append(F.shiftleft(bit, p))
+        out = nibble_bits[0]
+        for b in nibble_bits[1:]:
+            out = out + b
+        return out
+
+    digests = F.transform(tokens_col, lambda tok: F.md5(tok))
+    return F.element_at(F.transform(F.array(digests), body), 1)
