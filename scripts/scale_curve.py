@@ -59,7 +59,10 @@ QUERIES = [
 ]
 
 
-def build_blowup(spark, out_dir: str) -> None:
+def build_blowup(spark, out_dir: str, copies: int = COPIES) -> None:
+    """Disjoint-shard blow-up via a crossJoin with a copy-index range —
+    one plan regardless of copy count (a per-copy union grows the plan
+    linearly and falls over around 100 copies)."""
     from pyspark.sql import functions as F
 
     from vector_db_spark.io import TABLES, load_table
@@ -72,66 +75,71 @@ def build_blowup(spark, out_dir: str) -> None:
         if not os.path.exists(dst):
             shutil.copyfile(src, dst)
 
-    docs = load_table(spark, SF1, "documents")
-    parts = []
-    for i in range(COPIES):
-        suffixed = F.array_join(
-            F.transform(F.split(F.col("text"), r"\s+"), lambda x: F.concat(x, F.lit(f"_{i}"))),
-            " ",
-        )
-        parts.append(
-            docs.select(
-                (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
-                suffixed.alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-        )
-    _union_all(parts).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    cp = spark.range(copies).select(F.col("id").cast("int").alias("__c"))
 
-    emb = load_table(spark, SF1, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    parts = []
-    for i in range(COPIES):
-        signs = [
-            1.0 if int(hashlib.md5(f"{i}|{j}".encode()).hexdigest(), 16) % 2 == 0 else -1.0
-            for j in range(dim)
-        ]
-        flipped = F.zip_with(
-            F.col("embedding"),
-            F.array(*[F.lit(s) for s in signs]).cast("array<float>"),
-            lambda x, s: (x * s).cast("float"),
-        )
-        parts.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(i * ID_STRIDE)).alias("vec_id"),
-                flipped.alias("embedding"),
-                "label",
-            )
-        )
-    _union_all(parts).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    docs = load_table(spark, SF1, "documents").crossJoin(F.broadcast(cp))
+    suffixed = F.array_join(
+        F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda x: F.concat(x, F.lit("_"), F.col("__c").cast("string")),
+        ),
+        " ",
+    )
+    docs.select(
+        (F.col("doc_id") + F.col("__c").cast("long") * ID_STRIDE).alias("doc_id"),
+        suffixed.alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
 
-    ev = load_table(spark, SF1, "events")
-    parts = [
-        ev.select(
-            (F.col("event_id") + F.lit(i * ID_STRIDE)).alias("event_id"),
-            "ts",
-            (F.col("user_id") + F.lit(i * ID_STRIDE)).alias("user_id"),
-            "event_type",
-            "value",
-            "props",
-        )
-        for i in range(COPIES)
-    ]
-    _union_all(parts).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    emb = load_table(spark, SF1, "embeddings").crossJoin(F.broadcast(cp))
+    # norm-preserving per-copy +/-1 sign pattern: sign(c, j) from md5 —
+    # within-copy geometry identical, cross-copy cosines decorrelated
+    flipped = F.zip_with(
+        F.col("embedding"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("embedding") - 1),
+            lambda j: (
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("|", F.col("__c").cast("string"), j.cast("string"))),
+                            1,
+                            4,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(2),
+                )
+                * 2
+                - 1
+            ).cast("float"),
+        ),
+        lambda x, s: (x * s).cast("float"),
+    )
+    emb.select(
+        (F.col("vec_id") + F.col("__c").cast("long") * ID_STRIDE).alias("vec_id"),
+        flipped.alias("embedding"),
+        "label",
+    ).repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
 
-
-def _union_all(dfs):
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+    ev = load_table(spark, SF1, "events").crossJoin(F.broadcast(cp))
+    ev.select(
+        (F.col("event_id") + F.col("__c").cast("long") * ID_STRIDE).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("__c").cast("long") * ID_STRIDE).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
 
 
 def warn_shapes(df) -> list[str]:
@@ -149,6 +157,7 @@ def main() -> None:
         default=None,
         help="comma-separated registry names (default: the built-in heavy-8)",
     )
+    ap.add_argument("--copies", type=int, default=COPIES)
     args = ap.parse_args()
     queries = args.queries.split(",") if args.queries else QUERIES
 
@@ -158,14 +167,14 @@ def main() -> None:
     spark = get_spark("scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
-    build_blowup(spark, args.out)
+    build_blowup(spark, args.out, copies=args.copies)
     print(f"# blow-up built in {time.perf_counter() - t0:.1f}s")
 
     qs = all_queries()
     results = {}
     for name in queries:
         row = {}
-        for label, sf_dir in (("x1", SF1), ("x10", args.out)):
+        for label, sf_dir in (("x1", SF1), (f"x{args.copies}", args.out)):
             df = qs[name](spark, sf_dir)
             shapes = warn_shapes(df)
             best, n = float("inf"), 0
@@ -175,8 +184,9 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             row[label] = {"sec": round(best, 2), "rows": n, "warn_shapes": shapes}
             print(f"# {name} {label}: {best:.2f}s rows={n} shapes={shapes}")
-        row["ratio"] = round(row["x10"]["sec"] / max(row["x1"]["sec"], 1e-9), 2)
-        row["shape_flip"] = row["x1"]["warn_shapes"] != row["x10"]["warn_shapes"]
+        big = f"x{args.copies}"
+        row["ratio"] = round(row[big]["sec"] / max(row["x1"]["sec"], 1e-9), 2)
+        row["shape_flip"] = row["x1"]["warn_shapes"] != row[big]["warn_shapes"]
         results[name] = row
     print(json.dumps(results, indent=1))
 
