@@ -136,3 +136,35 @@ def test_missing_core_column_raises(spark, table):
     )
     with pytest.raises(ValueError, match="missing core columns"):
         table.append(bad)
+
+
+def test_evolved_column_type_clash_raises_and_preserves_corpus(spark, table):
+    """Two batches evolving the SAME column with different types: the
+    second write must fail loudly (a silent append would poison every
+    later mergeSchema read), and the table must stay fully readable."""
+    b1 = spark.createDataFrame(
+        [(20, [1.0, 0.0, 0.0, 0.0], "tagged int", {"k": "v"}, 7)],
+        "id long, embedding array<float>, content string, "
+        "metadata map<string,string>, tag int",
+    )
+    table.append(b1)
+    b2 = spark.createDataFrame(
+        [(21, [0.0, 1.0, 0.0, 0.0], "tagged str", {"k": "v"}, "seven")],
+        "id long, embedding array<float>, content string, "
+        "metadata map<string,string>, tag string",
+    )
+    with pytest.raises(ValueError, match="evolved column 'tag'"):
+        table.append(b2)
+    with pytest.raises(ValueError, match="evolved column 'tag'"):
+        table.upsert(b2)
+    # corpus intact and readable, including the first evolution
+    got = {r.id: r for r in table.df().collect()}
+    assert set(got) == {1, 2, 3, 20}
+    assert got[20].tag == 7
+
+
+def test_exists_is_a_filesystem_check(spark, tmp_path):
+    t = NodeTable(spark, str(tmp_path / "nope"))
+    assert not t.exists()
+    t.init(_nodes(spark, [(1, [1, 0, 0, 0], "x", {})]))
+    assert t.exists()

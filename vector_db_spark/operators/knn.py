@@ -92,30 +92,39 @@ def knn_join(
     """
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}; choose from {sorted(METRICS)}")
-    hint_broadcast = True
-    if impl == "batch" and queries.limit(max_batch_queries + 1).count() > max_batch_queries:
+    if impl not in ("batch", "sql"):
+        raise ValueError(f"unknown impl {impl!r}")
+    # ONE guard probe for both impls, folded into the fetch the batch path
+    # needs anyway: collect at most max+1 rows — small side in hand, no
+    # second evaluation of the query-side plan. Oversized query tables
+    # route to the un-hinted distributed join for EITHER impl (the sql
+    # path's broadcast hint is just as much a blow-up as the collect).
+    qrows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(max_batch_queries + 1)
+        .collect()
+    )
+    small = len(qrows) <= max_batch_queries
+    if impl == "batch" and not small:
         impl = "sql"  # query side too big to collect: stay distributed
-        hint_broadcast = False
     if impl == "sql":
         qside = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("__qv"),
         )
-        if hint_broadcast:
+        if small:
             qside = F.broadcast(qside)
         scored = corpus.crossJoin(qside).select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             METRICS[metric](F.col("__qv"), F.col(vec_col)).alias("dist"),
         )
-    elif impl == "batch":
+    else:
         scored = _batch_score(
-            queries, corpus, k,
-            metric=metric, query_id_col=query_id_col, query_vec_col=query_vec_col,
+            qrows, corpus, k,
+            metric=metric,
             id_col=id_col, vec_col=vec_col, round_to=round_to,
         )
-    else:
-        raise ValueError(f"unknown impl {impl!r}")
 
     if round_to is not None:
         # no-op for impl="batch" (kernel already rounds before selecting),
@@ -159,19 +168,18 @@ def _partial_topk(
 
 
 def _batch_score(
-    queries: DataFrame,
+    qrows: list,
     corpus: DataFrame,
     k: int,
     *,
     metric: str,
-    query_id_col: str,
-    query_vec_col: str,
     id_col: str,
     vec_col: str,
     round_to: int | None = 6,
 ) -> DataFrame:
-    """Map-side scored + partially-top-k'd (query, neighbor, dist) triples."""
-    qrows = queries.select(query_id_col, query_vec_col).collect()  # small side only
+    """Map-side scored + partially-top-k'd (query, neighbor, dist) triples.
+    ``qrows`` is the already-collected (id, vec) query side — knn_join's
+    size guard did the bounded fetch."""
     if not qrows:
         return corpus.sparkSession.createDataFrame([], _BATCH_SCHEMA)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)

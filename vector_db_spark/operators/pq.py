@@ -205,15 +205,19 @@ class PQModel:
         which is the point of PQ at 100 TB.
 
         The query side is expected serving-shaped (it is collected and its
-        LUTs broadcast), and that assumption is enforced: past
-        ``max_batch_queries`` rows the search routes to
+        LUTs broadcast), and that assumption is enforced: the collect is
+        bounded at ``max_batch_queries + 1`` rows (one probe job, reused
+        as the fast path's fetch); past the bound the search routes to
         :meth:`_adc_search_join` — LUTs computed distributed per query
         row, distances via a JVM-side gather join — so a corpus-shaped
         query table degrades to a longer distributed job instead of
         OOMing the driver."""
-        if (
-            queries.limit(max_batch_queries + 1).count() > max_batch_queries
-        ):
+        qrows = (
+            queries.select(query_id_col, query_vec_col)
+            .limit(max_batch_queries + 1)
+            .collect()
+        )
+        if len(qrows) > max_batch_queries:
             return self._adc_search_join(
                 queries,
                 codes_df,
@@ -222,7 +226,6 @@ class PQModel:
                 query_vec_col=query_vec_col,
                 round_to=round_to,
             )
-        qrows = queries.select(query_id_col, query_vec_col).collect()
         if not qrows:
             return codes_df.sparkSession.createDataFrame(
                 [], "query_id long, neighbor_id long, dist double"

@@ -1433,7 +1433,6 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     df ≤ 0.2·N terms; decimal-summed contributions keep scores
     engine-exact at any parallelism; the df cut is the join-volume
     throttle (Σ df² over kept terms)."""
-    from vector_db_spark.functions.text import shingles
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1482,7 +1481,6 @@ def tfidf_cosine_pairs_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bench regression gate tracks; the full-volume form above stays
     the correctness baseline. Same plan, same oracle shape — only the
     df throttle differs."""
-    from vector_db_spark.functions.text import shingles
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1597,7 +1595,6 @@ def token_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window runs over the pair AGGREGATE (vocab², tiny), never the
     corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    from vector_db_spark.functions.text import shingles
 
     tk = docs.select(tokens("text").alias("tk"))
     uni = tk.select(F.explode("tk").alias("tok")).groupBy("tok").agg(

@@ -212,10 +212,10 @@ def _reject_unjsonable(schema: StructType) -> None:
 def _json_canonical(o: "Any") -> str:
     """Canonical string forms for the non-JSON-native types the reader's
     Arrow cast path is tested to accept: timestamps/dates as ISO-8601
-    (tz-aware normalized to UTC, offset dropped — Arrow's string→
-    timestamp cast treats the value as wall-clock in the target zone),
-    decimals as plain decimal strings. Anything else is a hard error —
-    ``default=str`` silently corrupted binary and exotic types."""
+    (tz-aware normalized to UTC, ``+00:00`` offset KEPT — Arrow's
+    string→timestamp[tz] cast requires one), decimals as plain decimal
+    strings. Anything else is a hard error — ``default=str`` silently
+    corrupted binary and exotic types."""
     import datetime as _dt
     import decimal as _dec
 

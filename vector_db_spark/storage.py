@@ -53,6 +53,11 @@ class NodeTable:
         self.spark = spark
         self.path = path
         self.dim = dim
+        # instance-local merged-schema cache: mergeSchema reads every part
+        # footer, and df() sits on every hot-path op — merge once, reuse
+        # until this instance writes (external writers bypass the cache;
+        # reopen the NodeTable to observe their columns)
+        self._schema_cache: T.StructType | None = None
 
     # -- reads ---------------------------------------------------------------
 
@@ -61,7 +66,21 @@ class NodeTable:
         # (appended after the table was created); the union schema surfaces
         # them with nulls for pre-evolution files. Core column types stay
         # stable because every write path normalizes them via _validate.
-        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        if self._schema_cache is not None:
+            return self.spark.read.schema(self._schema_cache).parquet(self.path)
+        out = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        self._schema_cache = out.schema
+        return out
+
+    def exists(self) -> bool:
+        """Filesystem-level presence of data files (no read attempt — a
+        present-but-unreadable table must raise, not look absent)."""
+        if not os.path.isdir(self.path):
+            return False
+        return any(
+            f.endswith(".parquet") or f.startswith("part-")
+            for f in os.listdir(self.path)
+        )
 
     def get(self, node_id: int) -> DataFrame:
         """Point lookup (reference storage.py:232-252)."""
@@ -99,6 +118,21 @@ class NodeTable:
         nodes = nodes.withColumns(
             {f.name: F.col(f.name).cast(f.dataType) for f in NODE_SCHEMA.fields}
         )
+        # evolved columns must keep a stable type across batches: a clash
+        # would poison every later mergeSchema read (and a silent cast
+        # could null out data) — fail THIS write instead
+        core = {f.name for f in NODE_SCHEMA.fields}
+        extras = {f.name: f.dataType for f in nodes.schema.fields if f.name not in core}
+        if extras and self.exists():
+            persisted = {f.name: f.dataType for f in self.df().schema.fields}
+            for name, dt in extras.items():
+                if name in persisted and persisted[name] != dt:
+                    raise ValueError(
+                        f"evolved column {name!r} arrives as {dt.simpleString()} "
+                        f"but the table already stores it as "
+                        f"{persisted[name].simpleString()}; changing an evolved "
+                        "column's type is not supported"
+                    )
         if self.dim is not None:
             nodes = nodes.withColumn(
                 "__dim_ok",
@@ -115,11 +149,13 @@ class NodeTable:
 
     def init(self, nodes: DataFrame) -> None:
         self._validate(nodes).write.mode("overwrite").parquet(self.path)
+        self._schema_cache = None
 
     def append(self, nodes: DataFrame) -> None:
         """Append-only insert (reference save at storage.py:198-230). Caller
         guarantees new ids; use :meth:`upsert` otherwise."""
         self._validate(nodes).write.mode("append").parquet(self.path)
+        self._schema_cache = None
 
     def append_with_ids(self, nodes: DataFrame) -> None:
         """Assign ids ``max(existing)+row_number`` to id-less rows — the
@@ -155,6 +191,7 @@ class NodeTable:
         df.write.mode("overwrite").parquet(tmp)
         final = self.spark.read.option("mergeSchema", "true").parquet(tmp)
         final.write.mode("overwrite").parquet(self.path)
+        self._schema_cache = None
         # best-effort cleanup of the staging dir
         try:
             import shutil
