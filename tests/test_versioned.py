@@ -707,3 +707,116 @@ def test_zorder_rejects_string_columns(spark, vt):
     vt.append(_df(spark, 0, 10))
     with pytest.raises(ValueError, match="zorder_by column 's'"):
         vt.compact(target_files=2, zorder_by=["id", "s"])
+
+
+# --- round-5 self-review regression pins ---------------------------------------
+
+
+def test_stale_base_commit_is_refused(spark, vt):
+    """Lost-update guard: a commit whose file list was derived from an
+    old snapshot must raise CommitConflict once the head moved — NOT
+    silently diff away the interleaved commit's files."""
+    vt.append(_df(spark, 0, 10))
+    prev = vt.current_version()
+    m = vt._snapshot(prev)
+    vt.append(_df(spark, 10, 20))  # interleaved writer moves the head
+    with pytest.raises(CommitConflict, match="stale"):
+        vt._try_commit(m["files"], "delete", m["n_rows"], base_version=prev)
+    # and the table still holds BOTH appends
+    assert vt.read().count() == 20
+
+
+def test_manifest_publish_leaves_no_tmp_litter(spark, vt):
+    vt.append(_df(spark, 0, 5))
+    vt.append(_df(spark, 5, 9))
+    names = os.listdir(vt.manifest_dir)
+    assert not [n for n in names if ".tmp-" in n]
+
+
+def test_bloom_prunes_correctly_with_nulls_in_int_column(spark, vt):
+    """An int64 column containing NULLs is float-coerced by pandas; the
+    bloom must still be probed with the value the user looks up."""
+    vt.set_bloom_cols(["id"], n_bits=4096, n_hashes=4)
+    df = spark.createDataFrame(
+        [(5, "five"), (None, "nothing"), (6, "six")], "id long, s string"
+    )
+    vt.append(df)
+    got = vt.read_point("id", 5).collect()
+    assert [r.s for r in got] == ["five"]
+    # absent key still prunes everything
+    assert vt.pruned_files_eq("id", 10**9) == []
+
+
+def test_date_zone_maps_survive_process_restart(spark, tmp_path):
+    """Date zones are persisted as strings; a fresh instance (no warm
+    snapshot cache) must still prune and never raise str-vs-date."""
+    import datetime as dt
+
+    vt = VersionedTable(spark, str(tmp_path / "dz"))
+    vt.set_stats_cols(["d"])
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i)) for i in range(8)], "id long, d date"
+    )
+    vt.append(df.repartitionByRange(4, "d"))
+    fresh = VersionedTable(spark, str(tmp_path / "dz"))  # cold cache
+    pruned = fresh.pruned_files("d", dt.date(2024, 1, 1), dt.date(2024, 1, 2))
+    assert 0 < len(pruned) < len(fresh._snapshot(fresh.current_version())["files"])
+    rows = fresh.read_pruned("d", dt.date(2024, 1, 1), dt.date(2024, 1, 2)).filter(
+        F.col("d").between("2024-01-01", "2024-01-02")
+    )
+    assert rows.count() == 2
+
+
+def test_merge_into_emptied_snapshot_appends(spark, vt):
+    """merge() after a delete-all must behave as insert-all, not crash on
+    a zero-path read (read() itself raises on an empty version — that
+    pre-existing contract is unchanged)."""
+    vt.append(_df(spark, 0, 10))
+    vt.delete_where(F.lit(True))
+    with pytest.raises(ValueError, match="empty"):
+        vt.read()
+    vt.merge(_df(spark, 0, 4), "id")
+    assert vt.read().count() == 4
+
+
+def test_bloom_geometry_change_keeps_old_bitmaps_correct(spark, vt):
+    vt.set_bloom_cols(["id"], n_bits=2048, n_hashes=3)
+    vt.append(_df(spark, 0, 50))
+    vt.set_bloom_cols(["id"], n_bits=16384, n_hashes=5)
+    vt.append(_df(spark, 50, 100))
+    # keys from BOTH eras resolve through their own bitmap geometry
+    assert vt.read_point("id", 7).count() == 1
+    assert vt.read_point("id", 77).count() == 1
+    assert vt.pruned_files_eq("id", 10**9) == []
+
+
+def test_delete_where_in_path_with_space(spark, tmp_path):
+    """input_file_name() returns percent-encoded URIs; the relpath must
+    decode them or deletes silently duplicate rows instead of deleting."""
+    vt = VersionedTable(spark, str(tmp_path / "my table" / "t"))
+    vt.append(_df(spark, 0, 10))
+    vt.delete_where(F.col("id") < 3)
+    got = sorted(r.id for r in vt.read().collect())
+    assert got == list(range(3, 10))
+
+
+def test_rollback_to_reclaimed_files_raises(spark, vt):
+    """A rollback target whose data files are gone (vacuum won the race)
+    must fail the rollback, not commit a head pointing at vanished data.
+    (Rolling back past vacuumed MANIFESTS already raises at the snapshot
+    read — this pins the files-gone-manifest-present window.)"""
+    vt.append(_df(spark, 0, 10))
+    vt.overwrite(_df(spark, 0, 5))
+    m0 = vt._snapshot(0)
+    os.remove(os.path.join(vt.path, m0["files"][0]))  # simulate vacuum
+    with pytest.raises(ValueError, match="vacuumed"):
+        vt.rollback(0)
+
+
+def test_per_file_row_counts_ride_the_manifest(spark, vt):
+    vt.append(_df(spark, 0, 20).repartition(4))
+    m = vt._snapshot(vt.current_version())
+    assert all(
+        isinstance(m["stats"].get(f, {}).get("__rows"), int) for f in m["files"]
+    )
+    assert sum(m["stats"][f]["__rows"] for f in m["files"]) == 20

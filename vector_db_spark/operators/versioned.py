@@ -67,6 +67,22 @@ from pyspark.sql import functions as F
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 
+# sentinel: "this commit is base-independent" (overwrite/rollback)
+_ANY_BASE = object()
+
+
+def _canon_stat(v):
+    """Canonical scalar for zone-map values and probes: dates/timestamps
+    as their str() form (exactly what ``json.dump(default=str)`` persists,
+    so in-memory pending stats and reloaded manifests compare identically
+    — and str() of ISO datetimes orders chronologically). Everything else
+    passes through."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return str(v)
+    return v
+
 
 class CommitConflict(RuntimeError):
     """Another writer committed the version this transaction targeted."""
@@ -246,8 +262,17 @@ class VersionedTable:
 
     @staticmethod
     def _bloom_positions(value, n_bits: int, n_hashes: int) -> list[int]:
+        """Bit positions for a probe value. The hashed rendering must match
+        Spark's string cast of the column (the build side casts columns to
+        string before hashing): str() agrees for longs, strings, decimals,
+        dates, and timestamps — the id-like types blooms are for; booleans
+        render 'true'/'false' in SQL, so they are normalized here. (Doubles
+        diverge in the scientific-notation range; point-lookup blooms on
+        floating-point keys are a modeling error anyway.)"""
         import hashlib
 
+        if isinstance(value, bool):
+            value = "true" if value else "false"
         return [
             int(hashlib.md5(f"{value}:bloom:{i}".encode()).hexdigest()[:15], 16)
             % n_bits
@@ -269,16 +294,31 @@ class VersionedTable:
             return self._snapshot(v)["files"]
         import base64
 
-        pos = self._bloom_positions(value, cfg["n_bits"], cfg["n_hashes"])
+        # positions depend on each bitmap's own geometry (bitmaps record
+        # [b64, n_bits, n_hashes] since r5 — probing an old bitmap with a
+        # reconfigured geometry read the wrong bits); legacy bare-string
+        # bitmaps fall back to the current config they were built under
+        pos_cache: dict[tuple[int, int], list[int]] = {}
+
+        def pos_for(nb: int, nh: int) -> list[int]:
+            key = (nb, nh)
+            if key not in pos_cache:
+                pos_cache[key] = self._bloom_positions(value, nb, nh)
+            return pos_cache[key]
+
         stats = self._snapshot(v)["stats"]
         keep = []
         for f in self._snapshot(v)["files"]:
-            b64 = stats.get(f, {}).get(f"bloom::{col}")
-            if not isinstance(b64, str):
+            rec = stats.get(f, {}).get(f"bloom::{col}")
+            if isinstance(rec, list) and len(rec) == 3:
+                b64, nb, nh = rec[0], int(rec[1]), int(rec[2])
+            elif isinstance(rec, str):
+                b64, nb, nh = rec, cfg["n_bits"], cfg["n_hashes"]
+            else:
                 keep.append(f)
                 continue
             bits = base64.b64decode(b64)
-            if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+            if all(bits[p >> 3] & (1 << (p & 7)) for p in pos_for(nb, nh)):
                 keep.append(f)
         return keep
 
@@ -303,6 +343,10 @@ class VersionedTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError("empty table")
+        # zones are stored in canonical (json-stable) form — date/timestamp
+        # zones are str — so probes canonicalize the same way; str-vs-date
+        # comparisons otherwise raise cross-session while passing in-session
+        lo, hi = _canon_stat(lo), _canon_stat(hi)
         m = self._snapshot(v)
         stats = m.get("stats", {})
         keep = []
@@ -367,15 +411,30 @@ class VersionedTable:
         *,
         txn_id: str | None = None,
         pending: dict | None = None,
+        base_version: int | None | object = _ANY_BASE,
     ) -> int:
         """One atomic attempt to claim the next version: the manifest is
-        created with O_EXCL, so exactly one writer wins each version
-        number. Losing raises :class:`CommitConflict` — the CALLER decides
-        whether its file list is still valid against the new head (append
-        re-derives its base; overwrite/rollback retry verbatim; a
-        conflicting delete must re-scan)."""
+        written to a temp file and hard-linked into place (link fails if
+        the name exists), so exactly one writer wins each version number
+        AND readers can never observe a half-written manifest. Losing
+        raises :class:`CommitConflict` — the CALLER decides whether its
+        file list is still valid against the new head (append re-derives
+        its base; overwrite/rollback retry verbatim; a conflicting
+        delete/merge must re-scan).
+
+        ``base_version`` closes the lost-update window: a caller whose
+        file list was derived from snapshot N passes ``base_version=N``,
+        and the commit is refused when the head has since moved — without
+        it, a commit that landed between the caller's snapshot read and
+        this claim would have its files silently diffed away as
+        ``remove`` entries. Base-independent ops (overwrite, rollback)
+        omit it."""
         os.makedirs(self.manifest_dir, exist_ok=True)
         head = self.current_version()
+        if base_version is not _ANY_BASE and head != base_version:
+            raise CommitConflict(
+                f"base version {base_version} is stale (head is now {head})"
+            )
         version = (head + 1) if head is not None else 0
         base = (
             self._snapshot(head)
@@ -408,14 +467,25 @@ class VersionedTable:
         add_stats = {f: known[f] for f in add if f in known}
         if add_stats:
             manifest["stats"] = add_stats
+        # atomic publish: fully write + fsync a temp manifest, then
+        # hard-link it to the version name — link fails if the version is
+        # claimed, and readers either see the complete manifest or
+        # nothing (O_EXCL + in-place json.dump exposed half-written JSON
+        # at an already-claimed version: permanently unreadable history).
+        # On a DFS/object store this step maps to a conditional put.
+        tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, default=str)  # date/timestamp zones as str
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(
-                self._manifest_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
+            os.link(tmp, self._manifest_path(version))
         except FileExistsError as exc:
-            raise CommitConflict(f"version {version} was claimed concurrently") from exc
-        with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh, default=str)  # date/timestamp zones as ISO strings
+            raise CommitConflict(
+                f"version {version} was claimed concurrently"
+            ) from exc
+        finally:
+            os.unlink(tmp)
         snap = {
             "files": sorted(new_files),
             "stats": {f: known[f] for f in sorted(new_files) if f in known},
@@ -439,6 +509,32 @@ class VersionedTable:
         first — a CoW rewrite through that read would silently drop
         evolved columns from surviving rows."""
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _rel_file(self, uri: str) -> str:
+        """Manifest-relative file name from an ``input_file_name()`` URI.
+        The URI is percent-encoded (a table path containing a space came
+        back as ``my%20table`` — a bare prefix-strip then matched NOTHING
+        in the manifest, silently turning deletes into row duplication);
+        decode before relativizing."""
+        from urllib.parse import unquote, urlparse
+
+        p = unquote(urlparse(uri).path) if "://" in uri else uri
+        return os.path.relpath(p, self.path)
+
+    def _kept_rows(self, m: dict, keep: list[str]) -> int:
+        """Row count of the carried-over files, from the manifest's
+        per-file ``__rows`` stats when every kept file has one (O(0) I/O)
+        — falling back to one count scan for files recorded before
+        per-file counts existed."""
+        if not keep:
+            return 0
+        stats = m.get("stats", {})
+        known = [stats.get(f, {}).get("__rows") for f in keep]
+        if all(isinstance(x, int) for x in known):
+            return sum(known)
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in keep]
+        ).count()
 
     # -- writes ---------------------------------------------------------------
 
@@ -466,26 +562,32 @@ class VersionedTable:
             return [], 0, {}
         back = self.spark.read.parquet(out)
         stats_cols = [c for c in self.stats_cols() if c in back.columns]
-        if stats_cols:
-            aggs = [F.count("*").alias("__n")]
+        # per-file row counts are ALWAYS recorded (stats key "__rows"):
+        # they make delete/merge's carried-over row total a manifest-only
+        # sum instead of an O(table) recount scan
+        aggs = [F.count("*").alias("__n")]
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"min::{c}"), F.max(c).alias(f"max::{c}")]
+        per_file = (
+            back.withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg(*aggs)
+            .collect()
+        )  # O(files) rows
+        n_rows = sum(r["__n"] for r in per_file)
+        pending = {}
+        for r in per_file:
+            rec: dict = {"__rows": int(r["__n"])}
             for c in stats_cols:
-                aggs += [F.min(c).alias(f"min::{c}"), F.max(c).alias(f"max::{c}")]
-            per_file = (
-                back.withColumn("__f", F.input_file_name())
-                .groupBy("__f")
-                .agg(*aggs)
-                .collect()
-            )  # O(files) rows
-            n_rows = sum(r["__n"] for r in per_file)
-            pending = {
-                os.path.relpath(r["__f"].removeprefix("file://"), self.path): {
-                    c: [r[f"min::{c}"], r[f"max::{c}"]] for c in stats_cols
-                }
-                for r in per_file
-            }
-        else:
-            n_rows = back.count()
-            pending = {}
+                # canonical (json-stable) zone values: what default=str
+                # persists is what in-memory pending stats hold too
+                rec[c] = [_canon_stat(r[f"min::{c}"]), _canon_stat(r[f"max::{c}"])]
+            pending[self._rel_file(r["__f"])] = rec
+        # zero-row part files (a writer partition with no rows) produce no
+        # stats group; referencing them buys nothing and, being stats-less,
+        # they would be conservatively kept by every prune forever — the
+        # commit simply doesn't list them (vacuum reclaims the bytes)
+        files = [f for f in files if f in pending]
         self._merge_pending_blooms(back, pending)
         return files, n_rows, pending
 
@@ -519,15 +621,30 @@ class VersionedTable:
                 rows.append((f, c, base64.b64encode(bytes(bits)).decode()))
             return pd.DataFrame(rows, columns=["f", "col", "bloom"])
 
+        # columns are CAST TO STRING Spark-side so the kernel hashes the
+        # engine's canonical rendering: pandas coerces an int64 column
+        # containing any NULL to float64, and hashing '5.0' while the
+        # probe hashes '5' wrongly pruned files that contain the value —
+        # the one failure a bloom must never have. Spark's cast matches
+        # the probe's str() for longs/doubles/decimals/dates/timestamps.
         per_file = (
-            back.select(F.input_file_name().alias("__f"), *cols)
+            back.select(
+                F.input_file_name().alias("__f"),
+                *[F.col(c).cast("string").alias(c) for c in cols],
+            )
             .groupBy("__f")
             .applyInPandas(kernel, "f string, col string, bloom string")
             .collect()
         )
         for r in per_file:
-            rel = os.path.relpath(r["f"].removeprefix("file://"), self.path)
-            pending.setdefault(rel, {})[f"bloom::{r['col']}"] = r["bloom"]
+            rel = self._rel_file(r["f"])
+            # geometry rides with every bitmap: a later set_bloom_cols
+            # with different n_bits must not be probed against old bitmaps
+            pending.setdefault(rel, {})[f"bloom::{r['col']}"] = [
+                r["bloom"],
+                n_bits,
+                n_hashes,
+            ]
 
     def append(self, df: DataFrame, *, txn_id: str | None = None, retries: int = 5) -> int:
         """Append commutes with concurrent commits: on conflict the base
@@ -553,7 +670,7 @@ class VersionedTable:
             try:
                 return self._try_commit(
                     m["files"] + files, "append", m["n_rows"] + n,
-                    txn_id=txn_id, pending=pend,
+                    txn_id=txn_id, pending=pend, base_version=prev,
                 )
             except CommitConflict:
                 continue
@@ -580,14 +697,16 @@ class VersionedTable:
         m = self._snapshot(prev)
         current = [os.path.join(self.path, f) for f in m["files"]]
         if not current:
-            return self._try_commit([], "delete", 0)
+            return self._try_commit([], "delete", 0, base_version=prev)
         df = self._read_paths(current).withColumn("__file", F.input_file_name())
         hit_files = {
-            os.path.relpath(r["__file"].removeprefix("file://"), self.path)
+            self._rel_file(r["__file"])
             for r in df.filter(cond).select("__file").distinct().collect()
         }
         if not hit_files:
-            return self._try_commit(m["files"], "delete", m["n_rows"])
+            return self._try_commit(
+                m["files"], "delete", m["n_rows"], base_version=prev
+            )
         keep = [f for f in m["files"] if f not in hit_files]
         # NULL predicate = no match: a row where cond is NULL must survive
         # (filter(~cond) alone would silently drop it). The rewrite read
@@ -598,13 +717,10 @@ class VersionedTable:
             [os.path.join(self.path, f) for f in sorted(hit_files)]
         ).filter(~F.coalesce(cond, F.lit(False)))
         new_files, n_new, pend = self._write_files(survivors)
-        kept_rows = (
-            self.spark.read.parquet(*[os.path.join(self.path, f) for f in keep]).count()
-            if keep
-            else 0
-        )
+        kept_rows = self._kept_rows(m, keep)
         return self._try_commit(
-            keep + new_files, "delete", kept_rows + n_new, pending=pend
+            keep + new_files, "delete", kept_rows + n_new, pending=pend,
+            base_version=prev,
         )
 
     def merge(
@@ -643,6 +759,12 @@ class VersionedTable:
         if dup:
             raise ValueError(f"source has duplicate merge keys, e.g. {key}={dup[0][0]!r}")
         m = self._snapshot(prev)
+        if not m["files"]:
+            # a delete-all left an empty snapshot: same semantics as the
+            # empty-table case (there is nothing to match against)
+            if not insert:
+                raise ValueError("empty table")
+            return self.append(source)
         # zone-pruned probe: files whose key zone cannot contain any source
         # key are carried over without being opened
         probe_files = list(m["files"])
@@ -664,10 +786,15 @@ class VersionedTable:
         keys = source.select(key)
         matched = df.join(F.broadcast(keys), key, "left_semi")
         hit_files = {
-            os.path.relpath(r["__file"].removeprefix("file://"), self.path)
+            self._rel_file(r["__file"])
             for r in matched.select("__file").distinct().collect()
         }
         keep = [f for f in m["files"] if f not in hit_files]
+        # matched keys = table keys ∩ source keys — bounded by the merge
+        # batch, so every probe below broadcasts THIS set, never the hit
+        # files' full key column (hit files can hold 500M rows; their key
+        # set is not broadcast-sized, the batch's is)
+        matched_keys = matched.select(key).distinct()
         new_parts: list[DataFrame] = []
         if hit_files:
             hit_df = self._read_paths(
@@ -675,15 +802,12 @@ class VersionedTable:
             )
             survivors = hit_df.join(F.broadcast(keys), key, "left_anti")
             updated = (
-                source.join(F.broadcast(hit_df.select(key).distinct()), key, "left_semi")
+                source.join(F.broadcast(matched_keys), key, "left_semi")
                 if update
                 else hit_df.join(F.broadcast(keys), key, "left_semi")
             )
             new_parts += [survivors, updated]
         if insert:
-            # matched keys ⊆ source keys — bounded by the merge batch, so the
-            # anti-probe broadcasts; the table's key column never shuffles
-            matched_keys = matched.select(key).distinct()
             new_parts.append(source.join(F.broadcast(matched_keys), key, "left_anti"))
         # merged-snapshot column set: deriving cols from a plain read would
         # pick one txn dir's schema and drop evolved columns from the commit.
@@ -699,21 +823,36 @@ class VersionedTable:
             part = part.select(*cols)
             combined = part if combined is None else combined.unionByName(part)
         if combined is None:
-            return self._try_commit(m["files"], "merge", m["n_rows"])
+            return self._try_commit(
+                m["files"], "merge", m["n_rows"], base_version=prev
+            )
         new_files, n_new, pend = self._write_files(combined)
-        kept_rows = (
-            self.spark.read.parquet(*[os.path.join(self.path, f) for f in keep]).count()
-            if keep
-            else 0
-        )
+        kept_rows = self._kept_rows(m, keep)
         return self._try_commit(
-            keep + new_files, "merge", kept_rows + n_new, pending=pend
+            keep + new_files, "merge", kept_rows + n_new, pending=pend,
+            base_version=prev,
         )
 
     def rollback(self, version: int) -> int:
         """Restore an old snapshot as a NEW commit (history is never
-        erased; the bad versions stay inspectable)."""
+        erased; the bad versions stay inspectable).
+
+        The target's data files are validated to still exist before the
+        commit — a vacuum that already reclaimed them must fail the
+        rollback HERE, not leave a head pointing at vanished data. (A
+        vacuum running concurrently with this call can still win the
+        narrow window between the check and the commit; run maintenance
+        and restores from one scheduler, as every table format requires.)
+        """
         m = self._snapshot(version)  # raises if unknown
+        missing = [
+            f for f in m["files"] if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"rollback target v{version} references {len(missing)} "
+                f"vacuumed data file(s), e.g. {missing[0]!r}"
+            )
         # the restored files' zones may be absent from the current head —
         # re-seed them from the target snapshot
         return self._try_commit(
@@ -741,6 +880,7 @@ class VersionedTable:
         nothing; after Z-order, a box probe on ANY subset of the curve
         columns skips most files. Layout only — rows, schema, and every
         query answer are unchanged."""
+        prev = self.current_version()
         df = self.read()
         if zorder_by:
             df = (
@@ -750,9 +890,13 @@ class VersionedTable:
                 .drop("__z")
             )
             files, n, pend = self._write_files(df)
-            return self._try_commit(files, "zorder", n, pending=pend)
+            return self._try_commit(
+                files, "zorder", n, pending=pend, base_version=prev
+            )
         files, n, pend = self._write_files(df.coalesce(target_files))
-        return self._try_commit(files, "compact", n, pending=pend)
+        return self._try_commit(
+            files, "compact", n, pending=pend, base_version=prev
+        )
 
     def _zvalue(self, df: DataFrame, cols: list[str], *, bits: int = 8):
         """Morton code: interleaved bits of per-column quantile buckets.
