@@ -56,14 +56,9 @@ class VectorDBService:
         FILESYSTEM check, not a try/read: a corpus that exists but fails
         to read (e.g. incompatible evolved-column types) must RAISE on
         the next operation — swallowing the error here would route the
-        next insert to init() and silently overwrite the whole corpus."""
-        path = self.nodes.path
-        if not os.path.isdir(path):
-            return False
-        return any(
-            f.endswith(".parquet") or f.startswith("part-")
-            for f in os.listdir(path)
-        )
+        next insert to init() and silently overwrite the whole corpus.
+        Delegates to NodeTable.exists(), the single owner of that check."""
+        return self.nodes.exists()
 
     def _index(self) -> IVFIndex | None:
         idx = IVFIndex(self.spark, self.index_path, id_col="id", vec_col="embedding")

@@ -94,19 +94,29 @@ def knn_join(
         raise ValueError(f"unknown metric {metric!r}; choose from {sorted(METRICS)}")
     if impl not in ("batch", "sql"):
         raise ValueError(f"unknown impl {impl!r}")
-    # ONE guard probe for both impls, folded into the fetch the batch path
-    # needs anyway: collect at most max+1 rows — small side in hand, no
-    # second evaluation of the query-side plan. Oversized query tables
-    # route to the un-hinted distributed join for EITHER impl (the sql
-    # path's broadcast hint is just as much a blow-up as the collect).
-    qrows = (
-        queries.select(query_id_col, query_vec_col)
-        .limit(max_batch_queries + 1)
-        .collect()
-    )
-    small = len(qrows) <= max_batch_queries
-    if impl == "batch" and not small:
-        impl = "sql"  # query side too big to collect: stay distributed
+    # Guard probe, shaped per impl: the batch path needs the rows anyway,
+    # so its probe IS the fetch (collect at most max+1 rows — no second
+    # evaluation of the query-side lineage). The sql path never needs the
+    # vectors on the driver, so it probes with a limit(max+1).count() —
+    # the same trick ivf/ivfpq use — instead of shipping full embeddings
+    # it would immediately discard. Oversized query tables route to the
+    # un-hinted distributed join for EITHER impl (the sql path's broadcast
+    # hint is just as much a blow-up as the collect).
+    if impl == "batch":
+        qrows = (
+            queries.select(query_id_col, query_vec_col)
+            .limit(max_batch_queries + 1)
+            .collect()
+        )
+        small = len(qrows) <= max_batch_queries
+        if not small:
+            impl = "sql"  # query side too big to collect: stay distributed
+    else:
+        qrows = None
+        small = (
+            queries.select(query_id_col).limit(max_batch_queries + 1).count()
+            <= max_batch_queries
+        )
     if impl == "sql":
         qside = queries.select(
             F.col(query_id_col).alias("query_id"),

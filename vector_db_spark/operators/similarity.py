@@ -329,7 +329,9 @@ def sparse_cosine_pairs(
     id_col: str = "doc_id",
     term_col: str = "term",
     threshold: float = 0.6,
-    max_df_frac: float = 0.2,
+    max_df_frac: float | None = 0.2,
+    max_df: int | None = None,
+    join_volume_budget: int | None = None,
 ) -> DataFrame:
     """All-pairs TF-IDF cosine similarity ≥ ``threshold`` via the inverted-
     index join — document similarity WITHOUT embeddings, over the sparse
@@ -338,10 +340,29 @@ def sparse_cosine_pairs(
     token stream (duplicates = term frequency).
 
     Plan: tf per (doc, term) → df per term → weights
-    ``tf · ln((1+N)/(1+df))`` restricted to *informative* terms
-    (``df ≤ max_df_frac·N`` — the df cut that bounds the self-join:
-    posting-list join volume is Σ_{df≤cut} df², and the near-stopword
-    terms that would dominate it carry ~zero idf anyway). Pair scores
+    ``tf · ln((1+N)/(1+df))`` restricted to *informative* terms — the df
+    cut that bounds the self-join: posting-list join volume is
+    Σ_{df≤cut} df², and the near-stopword terms that would dominate it
+    carry ~zero idf anyway. The ceiling is the MIN of whichever knobs
+    are given:
+
+    - ``max_df_frac`` — relative cut ``df ≤ frac·N``. Sufficient on a
+      single-domain corpus, but a sharded / multi-domain corpus pushes
+      every per-shard term's df below any fixed fraction of the GLOBAL
+      N and the cut silently stops cutting (measured at 100×:
+      the "cut" variant degenerated to the 645 s full-volume join,
+      SCALE.md round-5). Pass ``None`` to disable.
+    - ``max_df`` — absolute ceiling, corpus-size-independent.
+    - ``join_volume_budget`` — the scale-honest knob: derive the
+      absolute ceiling FROM the measured df distribution as the largest
+      D with Σ_{df≤D} df² ≤ budget, i.e. bound the join volume itself
+      (exact integer arithmetic over the O(distinct df values)
+      histogram of the already-aggregated df table — engines reproduce
+      it bit-for-bit). A budget below the df=1 band's volume yields an
+      empty ceiling (every term cut) — deliberately honest: the
+      requested volume bound is infeasible.
+
+    Pair scores
     come from ONE equi-join of the postings table with itself on term —
     never docs² — with map-side partial aggregation of the per-term
     products; norms are one per-doc aggregation, broadcast-joined back.
@@ -367,9 +388,32 @@ def sparse_cosine_pairs(
     )
     dfreq = tf.groupBy(term_col).agg(F.count("*").alias("df"))
     n_docs = tf.select(id_col).distinct().count()
-    max_df = max_df_frac * n_docs
+    ceilings: list[float] = []
+    if max_df_frac is not None:
+        ceilings.append(max_df_frac * n_docs)
+    if max_df is not None:
+        ceilings.append(float(max_df))
+    if join_volume_budget is not None:
+        # df histogram: O(distinct df values) rows — a scalar-sized
+        # collect off the cached tf, same cost class as the n_docs count.
+        hist = sorted(
+            (r["df"], r["n_terms"])
+            for r in dfreq.groupBy("df").agg(F.count("*").alias("n_terms")).collect()
+        )
+        cum, derived = 0, 0
+        for d, n_terms in hist:
+            cum += n_terms * d * d
+            if cum > join_volume_budget:
+                break
+            derived = d
+        ceilings.append(float(derived))
+    if not ceilings:
+        raise ValueError(
+            "at least one of max_df_frac / max_df / join_volume_budget required"
+        )
+    eff_ceiling = min(ceilings)
     w = (
-        tf.join(F.broadcast(dfreq.filter(F.col("df") <= max_df)), term_col)
+        tf.join(F.broadcast(dfreq.filter(F.col("df") <= eff_ceiling)), term_col)
         .select(
             id_col,
             term_col,

@@ -586,7 +586,16 @@ class VersionedTable:
         # zero-row part files (a writer partition with no rows) produce no
         # stats group; referencing them buys nothing and, being stats-less,
         # they would be conservatively kept by every prune forever — the
-        # commit simply doesn't list them (vacuum reclaims the bytes)
+        # commit simply doesn't list them (vacuum reclaims the bytes).
+        # Invariant guard: every stats key must name a listed file — a
+        # _rel_file/os.listdir normalization mismatch would otherwise make
+        # this filter drop ROW-BEARING files (silent data loss), not just
+        # their stats.
+        unknown = set(pending) - set(files)
+        if unknown:
+            raise AssertionError(
+                f"stats keys do not match listed data files: {sorted(unknown)!r}"
+            )
         files = [f for f in files if f in pending]
         self._merge_pending_blooms(back, pending)
         return files, n_rows, pending

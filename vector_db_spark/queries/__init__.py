@@ -39,10 +39,74 @@ EXTRA_ORACLES: dict[str, str] = {}
 
 DRIVER_QUERY_BUDGET = 50
 
+# --- Driver-tier rotation ledger (COVERAGE.md "Driver-tier rotation
+# policy"). The driver tier is a rotating 50-slot window: every operator
+# family spends at least one round with a hard driver row, then may yield
+# its slot to a family that has none. Rotation is recorded HERE, not by
+# editing every @register site: names in DRIVER_PROMOTED take a driver
+# slot regardless of their registration's extra=True; names in
+# DRIVER_DEMOTED move to the extra tier (still oracle-tested in
+# tests/test_queries_oracle.py under the identical value-hash discipline,
+# and still available to bench.py).
+#
+# Round 6: promote the 16 queued never-driver-seen families
+# (VERDICT r5 item 3 / COVERAGE.md r6 rotation plan); demote the ten r5
+# promotions (all green in CORRECTNESS_r05) plus six multi-round-green
+# rows whose families keep other driver coverage (streaming keeps
+# hourly+ingest; curation keeps decontaminate/pii/hybrid; sketches hand
+# off to the promoted HLL/t-digest rows; dedup keeps exact/jaccard/
+# retain-best).
+DRIVER_PROMOTED = frozenset(
+    {
+        "hll_rollup_users",
+        "digest_price_quantiles",
+        "funnel_conversion",
+        "cohort_retention",
+        "scd2_customer_history",
+        "snapshot_diff_customers",
+        "range_join_user_activity",
+        "fuzzy_typo_pairs",
+        "percolate_alerts",
+        "late_interaction_search",
+        "mmr_diversified",
+        "leakage_safe_split",
+        "table_expectations",
+        "pca_audit",
+        "inverted_bm25_search",
+        "graph_random_walks",
+    }
+)
+DRIVER_DEMOTED = frozenset(
+    {
+        "frequent_event_itemsets",
+        "sequential_event_patterns",
+        "coverage_exemplar_stochastic",
+        "trend_mann_kendall",
+        "knn_pagerank",
+        "opq_adc_recall",
+        "bpe_merges",
+        "heavy_hitter_tokens",
+        "versioned_layout_audit",
+        "copurchase_als_recs",
+        "stream_query_serving",
+        "repeated_spans",
+        "semdedup_prune",
+        "kmv_orderkey_overlap",
+        "cms_token_freq",
+        "mixture_resample",
+    }
+)
+assert not (DRIVER_PROMOTED & DRIVER_DEMOTED)
+
 
 def register(
     name: str, oracle: str | None = None, *, extra: bool = False
 ) -> Callable[[QueryFn], QueryFn]:
+    if name in DRIVER_PROMOTED:
+        extra = False
+    elif name in DRIVER_DEMOTED:
+        extra = True
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES or name in EXTRA_QUERIES:
             raise ValueError(f"duplicate query name {name!r}")

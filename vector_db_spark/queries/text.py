@@ -1441,6 +1441,15 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_cosine_pairs(toks, threshold=0.6, max_df_frac=0.2)
 
 
+# Posting-join volume budget (rows) for the benched df-cut variant: the
+# ceiling is DERIVED from the measured df histogram as the largest D with
+# Σ_{{df≤D}} df² ≤ budget — so the join volume stays bounded at ANY corpus
+# size/sharding, where a relative frac cut stops cutting (SCALE.md r5:
+# 645 s degeneration at 100×). 500k bites at sf0.01 (total 761k) and
+# sf0.1 (total 73.2M) alike, so the derivation itself is oracle-exercised.
+_TFIDF_CUT_BUDGET = 500_000
+
+
 @register(
     "tfidf_cosine_pairs_cut",
     extra=True,
@@ -1452,11 +1461,14 @@ big AS (
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM big GROUP BY 1, 2),
 n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
 df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+hist AS (SELECT df AS dfv, count(*) AS c FROM df GROUP BY df),
+cum AS (SELECT dfv, sum(c * dfv * dfv) OVER (ORDER BY dfv) AS cumv FROM hist),
+ceil AS (SELECT coalesce(max(dfv), 0) AS d FROM cum WHERE cumv <= {_TFIDF_CUT_BUDGET}),
 w AS (
   SELECT tf.doc_id, tf.tok,
          round(tf.tf * ln((1.0 + nd) / (1.0 + df.df)), 6) AS w
   FROM tf JOIN df USING (tok) CROSS JOIN n
-  WHERE df.df <= 0.05 * nd),
+  WHERE df.df <= (SELECT d FROM ceil)),
 norms AS (
   SELECT doc_id,
          sqrt(SUM(CAST(round(w * w * 1e12) AS BIGINT))::DOUBLE / 1e12) AS norm
@@ -1474,19 +1486,27 @@ WHERE cos_sim >= 0.6
 """,
 )
 def tfidf_cosine_pairs_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION-tuned form of tfidf_cosine_pairs: df ≤ 0.05·N.
-    On this synthetic corpus the flat bigram df distribution defeats the
-    0.2 cut (Σ df² ≈ 73 M rows at sf0.1, a 5.6–12 s tenancy-variance
-    band, PERF.md round-4), so the 0.05 cut is the steady-signal entry
-    the bench regression gate tracks; the full-volume form above stays
-    the correctness baseline. Same plan, same oracle shape — only the
-    df throttle differs."""
+    """The PRODUCTION-tuned form of tfidf_cosine_pairs: the df ceiling is
+    DERIVED from the measured df distribution under a fixed posting-join
+    volume budget (Σ df² ≤ 500k rows) instead of a relative fraction —
+    the round-5 scale lesson wired into the default: a fixed
+    ``max_df_frac`` stops cutting on a sharded/multi-domain corpus
+    (every per-shard df falls below frac·global-N; measured 645 s
+    degeneration at 100×, SCALE.md), while the budget form bounds the
+    join volume itself at any corpus size. The derivation (df histogram
+    → cumulative Σ df² → largest admissible ceiling) is exact integer
+    arithmetic reproduced verbatim in the oracle's hist/cum/ceil CTEs.
+    The full-volume form above stays the correctness baseline; this is
+    the steady-signal entry the bench regression gate tracks."""
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(shingles(tokens("text"), 2)).alias("term")
     )
-    return sparse_cosine_pairs(toks, threshold=0.6, max_df_frac=0.05)
+    return sparse_cosine_pairs(
+        toks, threshold=0.6, max_df_frac=None,
+        join_volume_budget=_TFIDF_CUT_BUDGET,
+    )
 
 
 @register(
@@ -1755,7 +1775,12 @@ def _coverage_oracle(k: int) -> str:
     ]
     sels = []
     for i in range(1, k + 1):
-        prev_docs = ", ".join(f"(SELECT doc_id FROM p{j})" for j in range(1, i))
+        # one set-subquery (NOT IN (SELECT ... UNION ALL ...)): a pick-less
+        # round (possible for the stochastic variant when its bucket is
+        # empty/fully covered) contributes zero rows and the filter stays
+        # well-defined, whereas a list of scalar subqueries would go NULL
+        # and silently filter out EVERY later candidate.
+        prev_docs = " UNION ALL ".join(f"SELECT doc_id FROM p{j}" for j in range(1, i))
         prev_cov = " UNION ".join(
             f"SELECT g FROM sh JOIN p{j} USING (doc_id)" for j in range(1, i)
         )
@@ -1828,7 +1853,12 @@ def _coverage_stochastic_oracle(k: int, eps: float, salt: str) -> str:
     ]
     sels = []
     for i in range(1, k + 1):
-        prev_docs = ", ".join(f"(SELECT doc_id FROM p{j})" for j in range(1, i))
+        # one set-subquery (NOT IN (SELECT ... UNION ALL ...)): a pick-less
+        # round (possible for the stochastic variant when its bucket is
+        # empty/fully covered) contributes zero rows and the filter stays
+        # well-defined, whereas a list of scalar subqueries would go NULL
+        # and silently filter out EVERY later candidate.
+        prev_docs = " UNION ALL ".join(f"SELECT doc_id FROM p{j}" for j in range(1, i))
         prev_cov = " UNION ".join(
             f"SELECT g FROM sh JOIN p{j} USING (doc_id)" for j in range(1, i)
         )
