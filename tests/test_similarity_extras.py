@@ -158,3 +158,68 @@ def test_embedding_near_dup_blocked_higher_h_is_subset_structure(spark, sf_smoke
               emb, threshold=0.45, n_bits=8).collect()}
     shared = set(lo) & set(hi)
     assert all(lo[p] == hi[p] for p in shared)
+
+
+def test_derive_lsh_geometry_laws():
+    """The corpus-derived geometry rule (SCALE.md round-5): h tracks
+    log2(n/target) so expected bucket size is scale-free; L grows with h
+    so the analytic near-dup recall 1-(1-p^h)^L holds its floor; fixture
+    scale collapses to the oracle-pinned (4, 4)."""
+    import math
+
+    from vector_db_spark.operators.similarity import (
+        N_BITS,
+        N_TABLES,
+        derive_lsh_geometry,
+    )
+
+    # fixture scale == oracle-pinned literals (both sf0.001 and sf0.01
+    # embeddings corpora are 500 vectors)
+    assert derive_lsh_geometry(500, threshold=0.45) == (N_TABLES, N_BITS)
+    assert derive_lsh_geometry(500, threshold=0.9) == (N_TABLES, N_BITS)
+
+    prev_h = prev_l = 0
+    for n in [500, 2_000, 20_000, 200_000, 2_000_000]:
+        tables, h = derive_lsh_geometry(n, threshold=0.9)
+        # h monotone in n; expected bucket size within [target/2, target]
+        # once past the floor (h is a ceiling of the exact log)
+        assert h >= prev_h and tables >= 0
+        if h > N_BITS and h < 24:
+            assert 2 ** (h - 1) < n / 32  # not overshooting: 2^h < 2n/target
+            assert n / 2**h <= 64
+        # analytic recall at the anchor holds the floor whenever L was
+        # not clamped by the max_tables bound
+        p = 1.0 - math.acos(0.9) / math.pi
+        if tables < 16:
+            assert 1.0 - (1.0 - p**h) ** tables >= 0.9 - 1e-12
+        prev_h, prev_l = h, tables
+    # the measured 100x setting: 200k vectors derive h=12 (4096 buckets),
+    # L grown to hold the floor
+    tables, h = derive_lsh_geometry(200_000, threshold=0.9)
+    assert h == 12 and tables >= 8
+
+
+def test_embedding_near_dup_auto_geometry_recall_floor(spark, sf_smoke):
+    """Default (no-knobs) embedding_near_dup_blocked derives geometry from
+    the corpus count. At fixture scale that is the pinned (4,4) path, and
+    recall vs the exact brute-force baseline at the true-near-dup
+    threshold stays >= 0.9 (the floor the auto-rule is built to hold)."""
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.dedup import (
+        embedding_near_dup_blocked,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_near_dup_pairs(emb, threshold=0.9).collect()}
+    auto = {(r.id_a, r.id_b) for r in
+            embedding_near_dup_blocked(emb, threshold=0.9).collect()}
+    assert auto <= exact  # blocking never invents pairs
+    if exact:
+        assert len(auto & exact) / len(exact) >= 0.9
+    # corpus_count passthrough derives the same geometry without a count job
+    auto2 = {(r.id_a, r.id_b) for r in
+             embedding_near_dup_blocked(
+                 emb, threshold=0.9, corpus_count=500).collect()}
+    assert auto2 == auto

@@ -450,6 +450,7 @@ def embedding_near_dup_blocked(
     *,
     n_tables: int | None = None,
     n_bits: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs with hyperplane-LSH blocking — the 100 TB
     path. Candidate pairs are ids sharing a bucket in any of the L seeded
@@ -458,12 +459,27 @@ def embedding_near_dup_blocked(
     Approximate by construction: recall for a pair at cosine s is
     1-(1-p(s)^h)^L with p(s)=1-acos(s)/π — near-1 for true near-dups
     (s ≥ 0.9), deliberately lossy for weak similarities. The exact
-    ``embedding_near_dup_pairs`` below is the recall baseline."""
-    from vector_db_spark.operators import similarity as _sim
-    from vector_db_spark.operators.similarity import hyperplane_lsh_buckets
+    ``embedding_near_dup_pairs`` below is the recall baseline.
 
-    # n_bits is the corpus-growth knob (~log2 n); defaults stay pinned to
-    # the oracle's plane literals — see hyperplane_lsh_buckets docstring
+    GEOMETRY FOLLOWS THE CORPUS by default: when neither ``n_tables``
+    nor ``n_bits`` is passed, both are derived from the corpus count via
+    :func:`similarity.derive_lsh_geometry` (h ≈ log₂(n/target_bucket),
+    L grown to hold the near-dup recall floor) — one cheap count()
+    (pass ``corpus_count`` to skip it). The round-5 scale campaign
+    measured why static defaults are a trap: fixed h=4 was 11.5× wall at
+    10× data and "unusable by construction" at 200 k vectors. At fixture
+    scale (n ≤ ~1 k) the derivation collapses to the oracle-pinned
+    (4, 4) plane literals, so oracle paths stay bit-identical; passing
+    either knob explicitly pins that knob and derives nothing."""
+    from vector_db_spark.operators import similarity as _sim
+    from vector_db_spark.operators.similarity import (
+        derive_lsh_geometry,
+        hyperplane_lsh_buckets,
+    )
+
+    if n_tables is None and n_bits is None:
+        n = corpus_count if corpus_count is not None else df.count()
+        n_tables, n_bits = derive_lsh_geometry(n, threshold=threshold)
     buckets = hyperplane_lsh_buckets(
         df,
         vec_col,

@@ -48,6 +48,60 @@ def make_hyperplanes(
 
 HYPERPLANES: list[list[list[float]]] = make_hyperplanes(N_TABLES, N_BITS)
 
+# Per-bucket occupancy the geometry auto-rule aims for: in-bucket
+# candidate volume per vector is ~target·L, independent of corpus size.
+TARGET_BUCKET_SIZE = 64
+
+
+def derive_lsh_geometry(
+    n: int,
+    *,
+    threshold: float = 0.9,
+    target_bucket_size: int = TARGET_BUCKET_SIZE,
+    recall_floor: float = 0.9,
+    min_bits: int = N_BITS,
+    max_bits: int = 24,
+    min_tables: int = N_TABLES,
+    max_tables: int = 16,
+) -> tuple[int, int]:
+    """Corpus-derived LSH geometry ``(n_tables, n_bits)`` — the SCALE.md
+    round-5 rule of thumb made executable instead of documented:
+
+    - ``n_bits``: h ≈ ⌈log₂(n / target_bucket_size)⌉ — per-table
+      in-bucket candidate volume is Σ bucket² ≈ n²/2^h, so holding
+      expected bucket size constant keeps per-vector candidate work
+      O(target·L) at ANY corpus size. The measured failure this encodes:
+      static h=4 at 200 k vectors ⇒ 2.5×10⁷ candidate pairs per table
+      ("unusable by construction"), and 11.5× wall at 10× data.
+    - ``n_tables``: the smallest L with 1−(1−p^h)^L ≥ recall_floor,
+      where p = 1 − acos(s)/π is the per-bit collision probability at
+      the recall ANCHOR s = max(threshold, 0.85) — L grows with h so
+      raising h for scale never silently trades away near-dup recall.
+      Anchoring at ≥0.85 is deliberate: hyperplane LSH cannot hold high
+      recall for weak similarities at large h (p(0.45)^12 ≈ 0.006 ⇒
+      L≈400), and the near-dup contract is about true duplicates; pairs
+      above the anchor have strictly higher collision probability.
+
+    Pure integer/float math on one scalar ``n`` — callers fetch n with a
+    cheap count (or pass one they already have). Bounds: h ∈ [min_bits,
+    max_bits] (2^24 buckets ≈ 16M — beyond that, shard the corpus), L ∈
+    [min_tables, max_tables] (each table is one more bucket-join pass).
+    Defaults at fixture scale collapse to the oracle-pinned (4, 4)."""
+    import math
+
+    h = min_bits
+    if n > target_bucket_size:
+        h = max(min_bits, math.ceil(math.log2(n / target_bucket_size)))
+    h = min(h, max_bits)
+    s = min(1.0, max(threshold, 0.85))
+    p = 1.0 - math.acos(s) / math.pi
+    per_table = p**h
+    if per_table >= 1.0 or per_table <= 0.0:
+        tables = min_tables
+    else:
+        tables = math.ceil(math.log(1.0 - recall_floor) / math.log(1.0 - per_table))
+    return max(min_tables, min(max_tables, tables)), h
+
 
 def _bucket_expr(
     vec_col: str, table_idx: int, planes: list[list[list[float]]] | None = None
