@@ -168,3 +168,37 @@ def test_exists_is_a_filesystem_check(spark, tmp_path):
     assert not t.exists()
     t.init(_nodes(spark, [(1, [1, 0, 0, 0], "x", {})]))
     assert t.exists()
+
+
+def test_append_with_ids_large_batch_routes_distributed(spark, table, monkeypatch):
+    """Past LARGE_ID_BATCH rows the id assignment goes through the
+    range-repartitioned global_row_number — no single-task global window
+    — and value parity holds: the id block is max+1..max+n and every row
+    survives."""
+    from vector_db_spark.storage import NodeTable
+
+    monkeypatch.setattr(NodeTable, "LARGE_ID_BATCH", 10)
+    batch = _nodes(
+        spark,
+        [(-1, [float(i), 1.0, 0.0, 0.0], f"doc {i}", {"i": str(i)}) for i in range(25)],
+    ).drop("id")
+    table.append_with_ids(batch)
+    rows = table.df().collect()
+    assert len(rows) == 3 + 25
+    new = [r for r in rows if r.id > 3]
+    assert sorted(r.id for r in new) == list(range(4, 29))
+    # every batch row present exactly once, content intact
+    assert sorted(r.content for r in new) == sorted(f"doc {i}" for i in range(25))
+    # plan shape: the distributed path range-partitions instead of a
+    # single-task Window over monotonically_increasing_id
+    from vector_db_spark.operators.packing import global_row_number
+    import pyspark.sql.functions as F
+
+    keyed = batch.withColumn("__ord", F.md5(F.to_json(F.struct(*batch.columns))))
+    plan = global_row_number(keyed, ["__ord"], out_col="__rowno")._jdf.queryExecution().executedPlan().toString()
+    # global_row_number localCheckpoints its range-partitioned input, so
+    # the executed plan is Scan ExistingRDD (the materialized ranged
+    # layout) + a map-only numbering pass — crucially NO Window node (the
+    # single-task global-sort shape this guard exists to avoid)
+    assert "Window" not in plan
+    assert "MapInPandas" in plan and "ExistingRDD" in plan

@@ -165,6 +165,10 @@ def kmv_orderkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("A", "R")
     )
+    # shared key across both KMV queries, DELIBERATELY (PERF.md r6): every
+    # invocation builds a fresh lineage, so the cache is cold per sweep no
+    # matter the key layout — one key = one resident block, and the bench
+    # rows carry the honest cold-build cost (~1.9-2.6 s at sf0.1).
     sk = tracked_cache(
         kmv_sketch(li, "l_orderkey", ["l_returnflag"], k=K), "q.sketches.kmv.sk"
     )

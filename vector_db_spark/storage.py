@@ -157,12 +157,44 @@ class NodeTable:
         self._validate(nodes).write.mode("append").parquet(self.path)
         self._schema_cache = None
 
+    # Past this many id-less rows the numbering routes through the
+    # distributed row-number (operators/packing.global_row_number) instead
+    # of a single-task global window — same guard pattern as knn/pq: one
+    # limit(threshold+1).count() probe, never a full count.
+    LARGE_ID_BATCH = 100_000
+
     def append_with_ids(self, nodes: DataFrame) -> None:
         """Assign ids ``max(existing)+row_number`` to id-less rows — the
-        distributed form of get_next_id (storage.py:276-280)."""
+        distributed form of get_next_id (storage.py:276-280).
+
+        Ingest-shaped batches (≤ LARGE_ID_BATCH rows) take one global
+        window over the NEW BATCH only — a single task, fine at that
+        size. Larger batches route through ``global_row_number`` (range
+        repartition + per-partition offsets), so a corpus-sized id-less
+        load never funnels through one task; the order key is a content
+        digest (ties only between identical rows, whose numbering is
+        interchangeable — the id block is ``start..start+n-1`` either
+        way)."""
         start = (self.df().agg(F.max("id")).collect()[0][0] or -1) + 1
-        w = Window.orderBy(F.monotonically_increasing_id())
-        withids = nodes.withColumn("id", F.row_number().over(w) + F.lit(start - 1))
+        small = (
+            nodes.limit(self.LARGE_ID_BATCH + 1).count() <= self.LARGE_ID_BATCH
+        )
+        if small:
+            w = Window.orderBy(F.monotonically_increasing_id())
+            withids = nodes.withColumn(
+                "id", F.row_number().over(w) + F.lit(start - 1)
+            )
+        else:
+            from vector_db_spark.operators.packing import global_row_number
+
+            keyed = nodes.withColumn(
+                "__ord", F.md5(F.to_json(F.struct(*nodes.columns)))
+            )
+            withids = (
+                global_row_number(keyed, ["__ord"], out_col="__rowno")
+                .withColumn("id", (F.col("__rowno") + F.lit(start)).cast("long"))
+                .drop("__ord", "__rowno")
+            )
         core = [f.name for f in NODE_SCHEMA.fields]
         extras = [c for c in withids.columns if c not in core]
         self.append(withids.select(core + extras))
