@@ -126,6 +126,8 @@ HEADLINE = [
     "node_table_crud_audit",
     "copurchase_ppr_expansion",
     "purchase_window_events",
+    # round-6: interval range join took a driver slot — bench its row too
+    "range_join_user_activity",
     "versioned_layout_audit",
     "inverted_bm25_search",
     "leakage_safe_split",

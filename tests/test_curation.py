@@ -457,3 +457,32 @@ def test_stochastic_greedy_zero_gain_round_skipped(spark):
     # ({c}) is picked — which duplicate wins depends on bucket order
     assert 3 in picked and len(picked & {1, 2}) == 1
     assert sum(p[2] for p in picks) == 3
+
+
+def test_stochastic_greedy_materialized_matches_cached(spark, tmp_path):
+    """materialize_dir writes the incidence partitionBy(__b) and rounds
+    read it with file-level partition pruning — the decision sequence is
+    bit-identical to the cached mode (same md5 bucket function, same
+    arithmetic), and the per-round scan shows PartitionFilters."""
+    import pyspark.sql.functions as F
+    from vector_db_spark.io import load_table
+    from vector_db_spark.functions.text import shingles, tokens
+    from vector_db_spark.operators.selection import (
+        sample_bucket_count,
+        stochastic_greedy_max_coverage,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    inc = docs.select("doc_id", F.explode(shingles(tokens("text"), 3)).alias("g"))
+    cached = stochastic_greedy_max_coverage(inc, 5, eps=0.1)
+    disk = stochastic_greedy_max_coverage(
+        inc, 5, eps=0.1, materialize_dir=str(tmp_path / "inc")
+    )
+    assert disk == cached
+    # the bucket predicate reaches the scan as a partition filter
+    back = spark.read.parquet(str(tmp_path / "inc"))
+    plan = (
+        back.filter(F.col("__b") == 0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "__b" in plan.split("PartitionFilters")[1][:80]

@@ -133,6 +133,7 @@ def stochastic_greedy_max_coverage(
     elem_col: str = "g",
     eps: float = 0.1,
     salt: str = "sg-v1",
+    materialize_dir: str | None = None,
 ) -> list[tuple[int, int, int]]:
     """Stochastic-greedy max-coverage (Mirzasoleiman et al. AAAI'15) with
     hash-bucket sampling: ids are assigned to ``B = max(1, n // s)``
@@ -154,6 +155,17 @@ def stochastic_greedy_max_coverage(
     so the result can have fewer than k rows and rank gaps — semantics
     the SQL oracle replays exactly.
 
+    ``materialize_dir`` is the corpus-scale storage mode: the bucketed
+    incidence is WRITTEN to Parquet ``partitionBy("__b")`` (one
+    range-partitioned pass, so each writer task emits contiguous bucket
+    dirs — no small-file explosion) and rounds re-read it with the
+    bucket filter resolved as FILE-LEVEL PARTITION PRUNING
+    (PartitionFilters in the scan), instead of executor-cache
+    batch-stat pruning. Decision sequence is identical — the bucket is
+    the same md5 function of the id either way; only where the pruning
+    happens changes. Use it when the incidence outlives executor
+    storage memory (the 100 TB shape); the caller owns the directory.
+
     Returns ``[(rank, id, marginal_new_coverage), ...]`` on the driver.
     """
     if k < 1:
@@ -172,12 +184,16 @@ def stochastic_greedy_max_coverage(
     # per-round bucket filter prunes whole partitions/batches) WITHOUT
     # collapsing parallelism to B partitions when B < cluster width —
     # each bucket spans ~n_part/B contiguous partitions
-    inc = (
-        inc.withColumn("__b", _bucket_col(id_col, salt, n_buckets))
-        .repartitionByRange(n_part, "__b", F.col(id_col))
-        .cache()
-    )
-    inc.count()  # materialize once; rounds read bucket-pruned slices
+    ranged = inc.withColumn(
+        "__b", _bucket_col(id_col, salt, n_buckets)
+    ).repartitionByRange(n_part, "__b", F.col(id_col))
+    cached = materialize_dir is None
+    if cached:
+        inc = ranged.cache()
+        inc.count()  # materialize once; rounds read bucket-pruned slices
+    else:
+        ranged.write.partitionBy("__b").mode("overwrite").parquet(materialize_dir)
+        inc = incidence.sparkSession.read.parquet(materialize_dir)
     picks: list[tuple[int, int, int]] = []
     picked_buckets: set[int] = set()
     try:
@@ -205,5 +221,6 @@ def stochastic_greedy_max_coverage(
             picks.append((rnd, top[0][0], top[0][1]))
             picked_buckets.add(_id_bucket(top[0][0], salt, n_buckets))
     finally:
-        inc.unpersist()
+        if cached:
+            inc.unpersist()
     return picks
