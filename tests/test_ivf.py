@@ -258,3 +258,33 @@ def test_ivf_search_big_query_side_drops_broadcast_hint(spark, sf_smoke, tmp_pat
         "strategy=broadcast"
     )
     assert routed_logical.count("strategy=broadcast") >= 1  # centroids stay hinted
+
+
+def test_derive_k_rule():
+    """Corpus-derived cluster count: 4*sqrt(n) capped by the 39-points-
+    per-centroid training floor; monotone in n; >=1 always."""
+    from vector_db_spark.operators.ivf import IVFIndex
+
+    assert IVFIndex.derive_k(0) == 1
+    assert IVFIndex.derive_k(10) == 1          # floor: 10 // 39 == 0 -> 1
+    assert IVFIndex.derive_k(500) == 12        # floor-bound: 500 // 39
+    assert IVFIndex.derive_k(200_000) == 1789  # sqrt-bound: 4 * sqrt(n)
+    prev = 0
+    for n in [1, 50, 500, 5_000, 50_000, 500_000]:
+        k = IVFIndex.derive_k(n)
+        assert k >= max(1, prev - 1)  # monotone (up to rounding)
+        assert k <= max(1, n // 39) or n < 39
+        prev = k
+
+
+def test_build_with_derived_k(spark, tmp_path):
+    """k=None derives the cluster count from the corpus; search still
+    conserves and exhaustive probing equals brute force."""
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.ivf import IVFIndex
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IVFIndex.build(spark, emb, None, str(tmp_path / "auto_ivf"))
+    sizes = {r.cluster_id: r.cluster_size for r in idx.cluster_sizes().collect()}
+    assert sum(sizes.values()) == 500
+    assert 1 <= len(sizes) <= IVFIndex.derive_k(500)

@@ -123,12 +123,29 @@ class IVFIndex:
 
     # -- build (reference ivf.py:49-85) ---------------------------------------
 
+    @staticmethod
+    def derive_k(n: int, *, min_points_per_cluster: int = 39, sqrt_factor: float = 4.0) -> int:
+        """Corpus-derived cluster count — the IVF twin of
+        ``similarity.derive_lsh_geometry`` (round-6 self-deriving-knob
+        policy): ``k ≈ 4·√n`` (the FAISS IVF guidance: per-probe scan
+        volume n/k then shrinks as √n while the broadcast centroid table
+        stays k×dim ≈ kilobytes), floored so every centroid keeps at
+        least ~``min_points_per_cluster`` training points (below that
+        k-means places centroids on noise). Pure scalar math; callers
+        that need the oracle-pinned fixture geometry keep passing k
+        explicitly."""
+        import math
+
+        if n <= 0:
+            return 1
+        return max(1, min(n // min_points_per_cluster, int(round(sqrt_factor * math.sqrt(n)))))
+
     @classmethod
     def build(
         cls,
         spark: SparkSession,
         corpus: DataFrame,
-        k: int,
+        k: int | None,
         path: str,
         *,
         id_col: str = "vec_id",
@@ -140,6 +157,10 @@ class IVFIndex:
         """Quantizer fit → distributed assign → write corpus partitioned by
         cluster, plus the centroid table.
 
+        ``k=None`` derives the cluster count from one corpus count via
+        :meth:`derive_k` — geometry follows the corpus, like the LSH
+        near-dup path.
+
         ``trainer="sample"`` (default): k-means++/Lloyd on a bounded random
         sample (operators.kmeans) — the FAISS-style scale design; only the
         capped sample and the k×dim centers ever land on the driver, and
@@ -147,6 +168,8 @@ class IVFIndex:
         ``trainer="ml"``: fully-distributed ``pyspark.ml`` KMeans for when
         training must see more rows than the driver can sample.
         """
+        if k is None:
+            k = cls.derive_k(corpus.count())
         if trainer == "sample":
             from vector_db_spark.operators.kmeans import train_centroids
 
