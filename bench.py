@@ -137,6 +137,9 @@ HEADLINE = [
     "doc_novelty",
     "association_rules",
     "image_phash_near_dup",
+    # round-6 additions: decayed hot-keys, record linkage
+    "decayed_event_type_scores",
+    "record_linkage_customers",
     # round-4 closing additions
     "containment_near_dup",
     "ann_lsh_multiprobe",

@@ -486,3 +486,4 @@ def test_stochastic_greedy_materialized_matches_cached(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [" in plan and "__b" in plan.split("PartitionFilters")[1][:80]
+

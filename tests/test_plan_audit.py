@@ -170,6 +170,8 @@ _WARN_ALLOW: dict[str, set[str]] = {
     "cluster_stats": {"single-partition-exchange"},
     "cluster_topic_terms": {"nested-loop-join", "single-partition-exchange"},
     "cms_join_size": {"single-partition-exchange"},
+    # max-ts anchor: one-row aggregate broadcast onto the event stream
+    "decayed_event_type_scores": {"nested-loop-join", "single-partition-exchange"},
     "copurchase_ppr_expansion": {"single-partition-exchange"},
     "corpus_drift_js": {"nested-loop-join", "single-partition-exchange"},
     "corpus_governance_report": {"single-partition-exchange"},

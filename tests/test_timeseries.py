@@ -376,3 +376,28 @@ def test_mann_kendall_even_pair_median(spark):
     r = trend_mann_kendall_sen(df).collect()[0]
     assert r.n_pairs == 6
     assert abs(r.sen_slope - round((1.0 + round(4 / 3, 6)) / 2, 6)) < 1e-9
+
+
+def test_decayed_key_scores_bucketed_halving(spark):
+    """Weights are exact powers of two of the epoch index: events in the
+    newest 24h epoch weigh 1, the previous epoch 1/2, etc.; the scaled
+    integer is the exact sum."""
+    from datetime import datetime
+
+    from vector_db_spark.operators.timeseries import decayed_key_scores
+
+    rows = [
+        ("a", datetime(2026, 1, 10, 12, 0, 0)),   # age 0      -> b=0, w=1
+        ("a", datetime(2026, 1, 9, 13, 0, 0)),    # age 23h    -> b=0, w=1
+        ("a", datetime(2026, 1, 8, 12, 0, 0)),    # age 48h    -> b=2, w=1/4
+        ("b", datetime(2026, 1, 10, 12, 0, 0)),   # b=0
+        ("b", datetime(2025, 1, 10, 12, 0, 0)),   # age 365d -> b capped 30
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r.k: r for r in decayed_key_scores(df, key="k", ts="ts").collect()}
+    s = 2**30
+    assert got["a"].decayed_fp == 2 * s + s // 4
+    assert got["a"].n_events == 3
+    assert got["a"].decayed_score == round((2 + 0.25), 9)
+    assert got["b"].decayed_fp == s + 1  # capped epoch contributes 2^0
+    assert got["b"].decayed_score == round(1 + 1 / s, 9)

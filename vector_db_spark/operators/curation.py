@@ -670,3 +670,4 @@ def group_safe_split(
         labels[-1]
     )
     return df.withColumn(out_col, expr)
+

@@ -556,3 +556,69 @@ def trend_mann_kendall_sen(
         .agg(F.round(F.avg("slope"), 6).alias("sen_slope"))
     )
     return mk.join(sen, series_col)
+
+
+def decayed_key_scores(
+    df: DataFrame,
+    *,
+    key: str = "event_type",
+    ts: str = "ts",
+    halflife_hours: int = 24,
+    max_halvings: int = 30,
+) -> DataFrame:
+    """Time-decayed frequency ranking with BUCKETED exponential decay —
+    "what is hot NOW", the recency-weighted complement to plain counts
+    (trending topics / hot keys / cache-admission scoring): each
+    observation weighs ``2^-b`` with ``b = min(⌊age/halflife⌋,
+    max_halvings)``, age measured from the stream's max event time.
+
+    Bucketing the exponent is the ENGINE-EXACTNESS move: a smooth decay
+    ``0.5^(age/h)`` needs ``pow`` with fractional exponents, whose last
+    ulp differs across libm implementations — while 2^-b for integer b
+    is exact in any IEEE engine, and the score is accumulated as the
+    integer ``Σ count_b · 2^(max_halvings - b)`` (exact while
+    n_events · 2^max_halvings < 2⁶³: ~8.5 G events at the default 30).
+    Semantically it is the classic "epoch halving" used by in-memory
+    hot-key trackers: all events in the same halflife epoch share one
+    weight.
+
+    Plan: one map-side ``(key, b)`` partial count (the shuffle carries
+    ≤ keys × (max_halvings+1) rows, corpus-independent like the CMS/MG
+    sketches), then a keys-sized weighted rollup. The max-ts anchor is
+    one scalar aggregation, broadcast.
+
+    Output: ``(key, n_events, decayed_fp, decayed_score)`` where
+    ``decayed_fp`` is the exact scaled-integer score (the value-hash
+    column) and ``decayed_score = decayed_fp / 2^max_halvings`` its
+    float rendering, rounded to 9 dp."""
+    anchor = df.agg(F.max(ts).alias("__t_max"))
+    scale = 2**max_halvings
+    hl_us = halflife_hours * 3_600_000_000
+    b = F.least(
+        F.floor(
+            (F.unix_micros(F.col("__t_max")) - F.unix_micros(F.col(ts))) / hl_us
+        ),
+        F.lit(max_halvings),
+    )
+    per_bucket = (
+        df.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col(key), b.cast("int").alias("__b"))
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        per_bucket.groupBy(key)
+        .agg(
+            F.sum("__n").alias("n_events"),
+            F.sum(
+                F.col("__n") * F.expr(f"shiftleft(1L, {max_halvings} - __b)")
+            ).alias("decayed_fp"),
+        )
+        .select(
+            key,
+            "n_events",
+            "decayed_fp",
+            F.round(F.col("decayed_fp").cast("double") / F.lit(float(scale)), 9).alias(
+                "decayed_score"
+            ),
+        )
+    )

@@ -2346,3 +2346,79 @@ def sequential_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.flatten("sequence"), ",").alias("pat"),
         F.col("freq").cast("long").alias("freq"),
     )
+
+
+@register(
+    "record_linkage_customers",
+    extra=True,
+    oracle="""
+WITH dirty AS (
+  SELECT c_custkey + 1000000 AS id_b,
+         CASE WHEN c_custkey % 3 = 0
+              THEN substr(c_name, 1, 9) || substr(c_name, 11)
+              ELSE c_name END AS name_b,
+         c_nationkey AS nk_b, c_acctbal AS ab_b,
+         CASE WHEN c_custkey % 3 = 1 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg_b
+  FROM customer),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS id_a, d.id_b
+  FROM customer a JOIN dirty d
+    ON (a.c_nationkey = d.nk_b
+        AND right(a.c_name, 6) = right(d.name_b, 6))
+    OR (a.c_nationkey = d.nk_b AND a.c_acctbal = d.ab_b))
+SELECT id_a, id_b, score, score >= 10.0 AS is_match FROM (
+  SELECT cand.id_a AS id_a, cand.id_b AS id_b,
+         round((CASE WHEN a.c_acctbal = d.ab_b THEN 6.0 ELSE -3.0 END)
+             + (CASE WHEN a.c_mktsegment = d.seg_b THEN 2.0 ELSE -1.0 END)
+             + (CASE WHEN levenshtein(a.c_name, d.name_b) <= 2 THEN 8.0 ELSE -4.0 END),
+               6) AS score
+  FROM cand JOIN customer a ON a.c_custkey = cand.id_a
+            JOIN dirty d ON d.id_b = cand.id_b)
+""",
+)
+def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (operators/linkage.record_linkage,
+    Fellegi-Sunter JASA'69) demonstrated on a deterministically dirtied
+    copy of the customer table (every third record loses a name
+    character; another third gets its segment blanked — both md5-free,
+    pure column surgery the oracle replays). Multi-pass blocking — a
+    (nation, name-prefix) pass catches segment damage, a (nation,
+    acctbal) pass catches name damage — union-deduped on the id pair,
+    never a cross join; scoring is one codegen CASE sum with native
+    levenshtein, weights as log2(m/u)-style literals, threshold 10.
+    Full value reproduction (score and decision per pair)."""
+    from vector_db_spark.operators.linkage import record_linkage
+
+    base = load_table(spark, sf_dir, "customer")
+    dirty = base.select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substring("c_name", 1, 9), F.substring("c_name", 11, 1_000)
+            ),
+        ).otherwise(F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 1, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    return record_linkage(
+        base,
+        dirty,
+        id_col="c_custkey",
+        block_exprs=[
+            (
+                F.concat_ws("|", F.col("c_nationkey"), F.substring("c_name", -6, 6)),
+                F.concat_ws("|", F.col("c_nationkey"), F.substring("c_name", -6, 6)),
+            ),
+            (
+                F.concat_ws("|", F.col("c_nationkey"), F.col("c_acctbal")),
+                F.concat_ws("|", F.col("c_nationkey"), F.col("c_acctbal")),
+            ),
+        ],
+        exact_fields={"c_acctbal": (6.0, -3.0), "c_mktsegment": (2.0, -1.0)},
+        fuzzy_fields={"c_name": (8.0, -4.0, 2)},
+        threshold=10.0,
+    )

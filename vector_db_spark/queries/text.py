@@ -1912,3 +1912,4 @@ def coverage_exemplar_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc, _COVERAGE_K, eps=_COVERAGE_EPS, salt=_COVERAGE_SALT
     )
     return spark.createDataFrame(picks, "rank int, doc_id long, new_cov long")
+

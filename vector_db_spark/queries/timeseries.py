@@ -455,3 +455,36 @@ def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_spark.operators.timeseries import trend_mann_kendall_sen
 
     return trend_mann_kendall_sen(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "decayed_event_type_scores",
+    extra=True,
+    oracle="""
+WITH mx AS (SELECT max(ts) AS tmax FROM events),
+pb AS (
+  SELECT event_type,
+         least(floor((epoch_us(tmax) - epoch_us(ts)) / 86400000000), 30)::INT AS b,
+         count(*) AS n
+  FROM events CROSS JOIN mx GROUP BY 1, 2)
+SELECT event_type,
+       sum(n)::BIGINT AS n_events,
+       sum(n * (1::BIGINT << (30 - b)))::BIGINT AS decayed_fp,
+       round(sum(n * (1::BIGINT << (30 - b)))::DOUBLE / 1073741824.0, 9) AS decayed_score
+FROM pb GROUP BY event_type
+""",
+)
+def decayed_event_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed event-type frequency (operators/timeseries.
+    decayed_key_scores): bucketed exponential decay 2^-⌊age/24h⌋ from the
+    stream's max event time — "what is hot now" vs plain counts. The
+    bucketed exponent keeps every weight an exact power of two, so the
+    scaled-integer score (decayed_fp) is value-hash-exact across engines
+    where a fractional-pow decay would drift by libm ulps. Shuffle is
+    bounded at keys x 31 bucket rows, corpus-independent."""
+    from vector_db_spark.operators.timeseries import decayed_key_scores
+
+    return decayed_key_scores(
+        load_table(spark, sf_dir, "events"),
+        key="event_type", ts="ts", halflife_hours=24,
+    )
