@@ -67,6 +67,9 @@ def build_blowup(spark, out_dir: str, copies: int = COPIES) -> None:
 
     from vector_db_spark.io import TABLES, load_table
 
+    if os.path.isdir(os.path.join(out_dir, "events.parquet")):
+        print(f"# blow-up at {out_dir} already present — reusing")
+        return
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         if t in ("documents", "embeddings", "events"):
