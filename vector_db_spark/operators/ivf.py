@@ -171,10 +171,17 @@ class IVFIndex:
         if k is None:
             k = cls.derive_k(corpus.count())
         if trainer == "sample":
-            from vector_db_spark.operators.kmeans import train_centroids
+            from vector_db_spark.operators.kmeans import (
+                DEFAULT_SAMPLE_CAP,
+                train_centroids,
+            )
 
+            # the sample must keep ~39 training points per centroid (the
+            # derive_k floor) or large-k fits place centroids on noise —
+            # grow the cap with k; driver cost stays k·39·dim doubles
             cents = train_centroids(
-                corpus, vec_col, k, max_iter=max_iter, seed=seed
+                corpus, vec_col, k, max_iter=max_iter, seed=seed,
+                sample_cap=max(DEFAULT_SAMPLE_CAP, 39 * k),
             )
             centers = [(int(i), c) for i, c in enumerate(cents)]
             assigned = assign_to_centroids(
