@@ -207,9 +207,19 @@ class IVFIndex:
             ]
         else:
             raise ValueError(f"unknown trainer {trainer!r} (use 'sample' or 'ml')")
-        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
-            os.path.join(path, "corpus")
+        # shuffle on cluster_id BEFORE the partitioned write: without it
+        # every writer task emits a file into every cluster dir (tasks × k
+        # part files — measured at k=1789/200k vectors: ~57k files, and a
+        # cold probe-pruned search paid 22.9 s mostly listing them). With
+        # it each cluster's rows land in one task → ~one file per cluster,
+        # and file count is O(k) at any corpus size.
+        n_shuffle = max(
+            int(assigned.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+            min(k, 2048),
         )
+        assigned.repartition(n_shuffle, "cluster_id").write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(os.path.join(path, "corpus"))
         import pyarrow as pa
 
         from vector_db_spark.io import write_small_parquet
