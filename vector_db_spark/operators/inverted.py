@@ -69,8 +69,14 @@ class InvertedIndex:
             .agg(F.count("*").alias("tf"))
             .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
         )
-        postings.write.mode(mode).partitionBy("bucket").parquet(
-            os.path.join(path, "postings")
+        # O(n_buckets) files, not tasks x n_buckets: the tf aggregation
+        # shuffles on (tok, doc_id), so without a bucket shuffle every
+        # writer task would emit a file into every bucket dir (the
+        # SCALE.md wave-6 small-files trap, measured on the IVF corpus)
+        from vector_db_spark.operators.ivf import write_clustered
+
+        write_clustered(
+            postings, os.path.join(path, "postings"), mode=mode, key="bucket"
         )
         doclens = docs.select(
             F.col(id_col).alias("doc_id"), F.size(toks).cast("double").alias("dl")

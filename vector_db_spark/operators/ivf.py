@@ -30,6 +30,28 @@ from vector_db_spark.functions.distance import METRICS, euclidean
 from vector_db_spark.operators.topk import top_k_per_group
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    key: str = "cluster_id",
+    num_partitions: int | None = None,
+) -> None:
+    """Partitioned write with the key shuffle IN FRONT: a bare
+    ``write.partitionBy(key)`` makes every writer task emit a file into
+    every key directory — tasks × k part files, invisible at k=10 and
+    measured fatal at derived k (SCALE.md wave-6: ~57 k files at k=1789,
+    a 22.9 s cold search spent LISTING them). One hash repartition on the
+    key routes each key's rows to exactly one task, so file count is
+    O(k) at any corpus size and writer parallelism is
+    min(num_partitions, distinct keys)."""
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    df.repartition(n, key).write.mode(mode).partitionBy(key).parquet(path)
+
+
 def assign_to_centroids(
     df: DataFrame,
     centroids: DataFrame | list[tuple[int, list[float]]],
@@ -207,19 +229,15 @@ class IVFIndex:
             ]
         else:
             raise ValueError(f"unknown trainer {trainer!r} (use 'sample' or 'ml')")
-        # shuffle on cluster_id BEFORE the partitioned write: without it
-        # every writer task emits a file into every cluster dir (tasks × k
-        # part files — measured at k=1789/200k vectors: ~57k files, and a
-        # cold probe-pruned search paid 22.9 s mostly listing them). With
-        # it each cluster's rows land in one task → ~one file per cluster,
-        # and file count is O(k) at any corpus size.
+        # O(k) files, not tasks × k — see write_clustered; parallelism
+        # scales with k so a derived-k build keeps its writers busy
         n_shuffle = max(
             int(assigned.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
             min(k, 2048),
         )
-        assigned.repartition(n_shuffle, "cluster_id").write.mode(
-            "overwrite"
-        ).partitionBy("cluster_id").parquet(os.path.join(path, "corpus"))
+        write_clustered(
+            assigned, os.path.join(path, "corpus"), num_partitions=n_shuffle
+        )
         import pyarrow as pa
 
         from vector_db_spark.io import write_small_parquet
@@ -244,9 +262,11 @@ class IVFIndex:
         )
 
     def add(self, new_vectors: DataFrame) -> None:
-        self.assign(new_vectors).select(self.id_col, self.vec_col, "cluster_id").write.mode(
-            "append"
-        ).partitionBy("cluster_id").parquet(self.corpus_path)
+        write_clustered(
+            self.assign(new_vectors).select(self.id_col, self.vec_col, "cluster_id"),
+            self.corpus_path,
+            mode="append",
+        )
 
     # -- delete (reference ivf.py:119-136) -------------------------------------
 
@@ -273,7 +293,7 @@ class IVFIndex:
             F.col("cluster_id").isin(clusters) & ~F.col(self.id_col).isin(ids)
         )
         tmp = self.corpus_path.rstrip("/") + ".tmp-delete"
-        remaining.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+        write_clustered(remaining, tmp)
         jpath = self.spark._jvm.org.apache.hadoop.fs.Path
         fs = jpath(self.corpus_path).getFileSystem(self.spark._jsc.hadoopConfiguration())
         for c in clusters:
@@ -365,12 +385,10 @@ class IVFIndex:
             ).count()
             reassigned = reassigned.drop("__old_cluster")
             movers_out = reassigned.filter(~F.col("cluster_id").isin(drifted))
-            movers_out.write.mode("append").partitionBy("cluster_id").parquet(
-                self.corpus_path
-            )
+            write_clustered(movers_out, self.corpus_path, mode="append")
             stay = reassigned.filter(F.col("cluster_id").isin(drifted))
             tmp = self.corpus_path.rstrip("/") + ".tmp-refresh"
-            stay.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+            write_clustered(stay, tmp)
             jpath = self.spark._jvm.org.apache.hadoop.fs.Path
             fs = jpath(self.corpus_path).getFileSystem(
                 self.spark._jsc.hadoopConfiguration()
@@ -441,9 +459,9 @@ class IVFIndex:
         )
 
         tmp = self.corpus_path.rstrip("/") + ".tmp-split"
-        assigned.select(self.id_col, self.vec_col, "cluster_id").write.mode(
-            "overwrite"
-        ).partitionBy("cluster_id").parquet(tmp)
+        write_clustered(
+            assigned.select(self.id_col, self.vec_col, "cluster_id"), tmp
+        )
         jpath = self.spark._jvm.org.apache.hadoop.fs.Path
         fs = jpath(self.corpus_path).getFileSystem(self.spark._jsc.hadoopConfiguration())
         # crash-safety ordering: rename the NEW partitions in first (fresh

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from vector_db_spark.functions.distance import euclidean
 from vector_db_spark.io import write_small_parquet
+from vector_db_spark.operators.ivf import assign_to_centroids, write_clustered
 from vector_db_spark.operators.kmeans import (
     DEFAULT_SAMPLE_CAP,
     collect_sample,
@@ -141,7 +142,6 @@ class IVFPQIndex:
         residual-encode the same rows, append to the codes table. Cold
         partitions are never touched; the codebooks are NOT retrained
         (FAISS semantics — retrain by rebuilding when drift matters)."""
-        from vector_db_spark.operators.ivf import assign_to_centroids
 
         assigned = assign_to_centroids(
             new_vectors.select(self.id_col, self.vec_col),
@@ -150,11 +150,9 @@ class IVFPQIndex:
             vec_col=self.vec_col,
         ).select(self.id_col, self.vec_col, "cluster_id")
         assigned = assigned.cache()  # feeds both writes; tiny (one add batch)
-        assigned.write.mode("append").partitionBy("cluster_id").parquet(
-            os.path.join(self.path, "corpus")
-        )
-        self._encode(assigned).write.mode("append").partitionBy("cluster_id").parquet(
-            os.path.join(self.path, "codes")
+        write_clustered(assigned, os.path.join(self.path, "corpus"), mode="append")
+        write_clustered(
+            self._encode(assigned), os.path.join(self.path, "codes"), mode="append"
         )
         assigned.unpersist()
 
@@ -182,7 +180,7 @@ class IVFPQIndex:
                 F.col("cluster_id").isin(clusters) & ~F.col(self.id_col).isin(ids)
             )
             tmp = table.rstrip("/") + ".tmp-delete"
-            remaining.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+            write_clustered(remaining, tmp)
             for c in clusters:
                 dst = jpath(os.path.join(table, f"cluster_id={c}"))
                 src = jpath(os.path.join(tmp, f"cluster_id={c}"))
@@ -209,7 +207,6 @@ class IVFPQIndex:
         seed: int = 42,
         sample_cap: int = DEFAULT_SAMPLE_CAP,
     ) -> "IVFPQIndex":
-        from vector_db_spark.operators.ivf import assign_to_centroids
 
         dim = len(corpus.select(vec_col).first()[0])
         if dim % n_chunks != 0:
@@ -250,9 +247,7 @@ class IVFPQIndex:
         assigned = assign_to_centroids(
             corpus.select(id_col, vec_col), centroid_rows, id_col=id_col, vec_col=vec_col
         )
-        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
-            os.path.join(path, "corpus")
-        )
+        write_clustered(assigned, os.path.join(path, "corpus"))
 
         # 4. residual-encode in ONE Arrow pass over the just-written corpus
         #    (reading it back avoids recomputing the assignment lineage)
@@ -278,10 +273,9 @@ class IVFPQIndex:
                     {id_col: pdf[id_col].values, "codes": list(codes), "cluster_id": cid}
                 )
 
-        raw.mapInPandas(
-            enc, f"{id_col} long, codes array<int>, cluster_id int"
-        ).write.mode("overwrite").partitionBy("cluster_id").parquet(
-            os.path.join(path, "codes")
+        write_clustered(
+            raw.mapInPandas(enc, f"{id_col} long, codes array<int>, cluster_id int"),
+            os.path.join(path, "codes"),
         )
 
         # 5. model state as engine-readable Parquet (no pickle — reference
