@@ -71,3 +71,14 @@ def test_no_cartesian_in_plan(spark):
     from vector_db_spark.plans import audit_plan
 
     assert not [f for f in audit_plan(out) if f.code == "cartesian-product"]
+
+
+def test_block_keys_and_exprs_conflict(spark):
+    a, b = _tables(spark)
+    with pytest.raises(ValueError, match="not both"):
+        record_linkage(
+            a, b, id_col="id",
+            block_keys=["phone"],
+            block_exprs=[(F.col("city"), F.col("city"))],
+            threshold=0.0,
+        )

@@ -223,3 +223,23 @@ def test_embedding_near_dup_auto_geometry_recall_floor(spark, sf_smoke):
              embedding_near_dup_blocked(
                  emb, threshold=0.9, corpus_count=500).collect()}
     assert auto2 == auto
+
+
+def test_derive_lsh_geometry_warns_when_floor_unreachable():
+    """Past the table budget the recall floor cannot be met — the rule
+    must SAY so (warning naming the achieved recall and mitigations),
+    never silently clamp."""
+    import warnings
+
+    from vector_db_spark.operators.similarity import derive_lsh_geometry
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        tables, h = derive_lsh_geometry(5_000_000, threshold=0.9)
+    assert tables == 16  # clamped
+    assert any("recall floor" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        derive_lsh_geometry(500, threshold=0.9)  # fixture scale: no warning
+    assert not w

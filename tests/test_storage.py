@@ -202,3 +202,17 @@ def test_append_with_ids_large_batch_routes_distributed(spark, table, monkeypatc
     # single-task global-sort shape this guard exists to avoid)
     assert "Window" not in plan
     assert "MapInPandas" in plan and "ExistingRDD" in plan
+
+
+def test_append_with_ids_max_id_zero_not_treated_as_empty(spark, tmp_path):
+    """A table whose max id is 0 must hand out 1 next — the falsy-zero
+    `or -1` idiom would mint a duplicate id 0."""
+    from vector_db_spark.storage import NodeTable
+
+    t = NodeTable(spark, str(tmp_path / "zero"), dim=4)
+    t.init(_nodes(spark, [(0, [1.0, 0.0, 0.0, 0.0], "first", {})]))
+    t.append_with_ids(
+        _nodes(spark, [(-1, [0.0, 1.0, 0.0, 0.0], "second", {})]).drop("id")
+    )
+    ids = sorted(r.id for r in t.all_ids().collect())
+    assert ids == [0, 1]

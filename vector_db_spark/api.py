@@ -89,7 +89,8 @@ class VectorDBService:
                     "content",
                     "metadata",
                     *extras,
-                )
+                ),
+                batch_count=n,  # already counted above — skip the probe
             )
         else:
             from pyspark.sql import Window

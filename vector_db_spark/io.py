@@ -76,6 +76,28 @@ def write_small_parquet(path: str, table) -> None:
     pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    key: str = "cluster_id",
+    num_partitions: int | None = None,
+) -> None:
+    """Partitioned write with the key shuffle IN FRONT: a bare
+    ``write.partitionBy(key)`` makes every writer task emit a file into
+    every key directory — tasks × k part files, invisible at k=10 and
+    measured fatal at derived k (SCALE.md wave-6: ~57 k files at k=1789,
+    a 22.9 s cold search spent LISTING them). One hash repartition on the
+    key routes each key's rows to exactly one task, so file count is
+    O(k) at any corpus size and writer parallelism is
+    min(num_partitions, distinct keys)."""
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    df.repartition(n, key).write.mode(mode).partitionBy(key).parquet(path)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Spread a narrow input across the cluster before compute-heavy
     stages (hashing, distance math, encoding).

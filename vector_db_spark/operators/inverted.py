@@ -73,7 +73,7 @@ class InvertedIndex:
         # shuffles on (tok, doc_id), so without a bucket shuffle every
         # writer task would emit a file into every bucket dir (the
         # SCALE.md wave-6 small-files trap, measured on the IVF corpus)
-        from vector_db_spark.operators.ivf import write_clustered
+        from vector_db_spark.io import write_clustered
 
         write_clustered(
             postings, os.path.join(path, "postings"), mode=mode, key="bucket"

@@ -27,29 +27,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_db_spark.functions.distance import METRICS, euclidean
+from vector_db_spark.io import write_clustered  # noqa: F401  (re-export: index writers use it)
 from vector_db_spark.operators.topk import top_k_per_group
 
-
-def write_clustered(
-    df: DataFrame,
-    path: str,
-    *,
-    mode: str = "overwrite",
-    key: str = "cluster_id",
-    num_partitions: int | None = None,
-) -> None:
-    """Partitioned write with the key shuffle IN FRONT: a bare
-    ``write.partitionBy(key)`` makes every writer task emit a file into
-    every key directory — tasks × k part files, invisible at k=10 and
-    measured fatal at derived k (SCALE.md wave-6: ~57 k files at k=1789,
-    a 22.9 s cold search spent LISTING them). One hash repartition on the
-    key routes each key's rows to exactly one task, so file count is
-    O(k) at any corpus size and writer parallelism is
-    min(num_partitions, distinct keys)."""
-    n = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    df.repartition(n, key).write.mode(mode).partitionBy(key).parquet(path)
+# k-means needs ~this many training points per centroid to place it on
+# signal rather than noise — shared by derive_k's floor and build()'s
+# sample-cap guard so the two can never drift apart
+MIN_POINTS_PER_CLUSTER = 39
 
 
 def assign_to_centroids(
@@ -146,7 +130,7 @@ class IVFIndex:
     # -- build (reference ivf.py:49-85) ---------------------------------------
 
     @staticmethod
-    def derive_k(n: int, *, min_points_per_cluster: int = 39, sqrt_factor: float = 4.0) -> int:
+    def derive_k(n: int, *, min_points_per_cluster: int = MIN_POINTS_PER_CLUSTER, sqrt_factor: float = 4.0) -> int:
         """Corpus-derived cluster count — the IVF twin of
         ``similarity.derive_lsh_geometry`` (round-6 self-deriving-knob
         policy): ``k ≈ 4·√n`` (the FAISS IVF guidance: per-probe scan
@@ -203,7 +187,7 @@ class IVFIndex:
             # grow the cap with k; driver cost stays k·39·dim doubles
             cents = train_centroids(
                 corpus, vec_col, k, max_iter=max_iter, seed=seed,
-                sample_cap=max(DEFAULT_SAMPLE_CAP, 39 * k),
+                sample_cap=max(DEFAULT_SAMPLE_CAP, MIN_POINTS_PER_CLUSTER * k),
             )
             centers = [(int(i), c) for i, c in enumerate(cents)]
             assigned = assign_to_centroids(

@@ -42,8 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_db_spark.functions.distance import euclidean
-from vector_db_spark.io import write_small_parquet
-from vector_db_spark.operators.ivf import assign_to_centroids, write_clustered
+from vector_db_spark.io import write_clustered, write_small_parquet
+from vector_db_spark.operators.ivf import assign_to_centroids
 from vector_db_spark.operators.kmeans import (
     DEFAULT_SAMPLE_CAP,
     collect_sample,

@@ -74,6 +74,11 @@ def record_linkage(
     for the decision view."""
     exact_fields = exact_fields or {}
     fuzzy_fields = fuzzy_fields or {}
+    if block_keys is not None and block_exprs is not None:
+        raise ValueError(
+            "pass block_keys OR block_exprs, not both — silently preferring "
+            "one would drop the other's blocking passes (false non-matches)"
+        )
     if block_keys is not None:
         block_exprs = [
             (F.col(k) if isinstance(k, str) else k,) * 2 for k in block_keys

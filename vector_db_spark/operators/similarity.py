@@ -100,6 +100,23 @@ def derive_lsh_geometry(
         tables = min_tables
     else:
         tables = math.ceil(math.log(1.0 - recall_floor) / math.log(1.0 - per_table))
+    if tables > max_tables:
+        # the floor is NOT silently tradable: past ~300k vectors the
+        # required L exceeds the table budget (L=37 at 5M for floor 0.9),
+        # and clamping alone would quietly miss 30%+ of true near-dups.
+        # Surface it and name the mitigations.
+        achieved = 1.0 - (1.0 - per_table) ** max_tables
+        import warnings
+
+        warnings.warn(
+            f"derive_lsh_geometry: recall floor {recall_floor} needs "
+            f"L={tables} tables at h={h}; clamped to max_tables={max_tables} "
+            f"(analytic recall at the anchor ≈ {achieved:.2f}). Raise "
+            "max_tables, pass multiprobe=True on the search side "
+            "(expand_probe_buckets: ~(1+h)x candidates per table), or "
+            "lower target_bucket_size.",
+            stacklevel=2,
+        )
     return max(min_tables, min(max_tables, tables)), h
 
 

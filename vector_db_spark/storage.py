@@ -163,7 +163,7 @@ class NodeTable:
     # limit(threshold+1).count() probe, never a full count.
     LARGE_ID_BATCH = 100_000
 
-    def append_with_ids(self, nodes: DataFrame) -> None:
+    def append_with_ids(self, nodes: DataFrame, *, batch_count: int | None = None) -> None:
         """Assign ids ``max(existing)+row_number`` to id-less rows — the
         distributed form of get_next_id (storage.py:276-280).
 
@@ -174,11 +174,20 @@ class NodeTable:
         load never funnels through one task; the order key is a content
         digest (ties only between identical rows, whose numbering is
         interchangeable — the id block is ``start..start+n-1`` either
-        way)."""
-        start = (self.df().agg(F.max("id")).collect()[0][0] or -1) + 1
-        small = (
-            nodes.limit(self.LARGE_ID_BATCH + 1).count() <= self.LARGE_ID_BATCH
-        )
+        way). ``batch_count``: callers that already counted the batch
+        (insert_documents counts it to report n inserted) pass it here so
+        the size probe doesn't re-evaluate the batch lineage — which can
+        embed every document a second time."""
+        max_id = self.df().agg(F.max("id")).collect()[0][0]
+        # explicit None test: `or -1` would misread a legitimate max id of
+        # 0 as "empty table" and hand out a duplicate id 0
+        start = (max_id if max_id is not None else -1) + 1
+        if batch_count is not None:
+            small = batch_count <= self.LARGE_ID_BATCH
+        else:
+            small = (
+                nodes.limit(self.LARGE_ID_BATCH + 1).count() <= self.LARGE_ID_BATCH
+            )
         if small:
             w = Window.orderBy(F.monotonically_increasing_id())
             withids = nodes.withColumn(
