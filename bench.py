@@ -143,11 +143,13 @@ HEADLINE = [
     # round-4 closing additions
     "containment_near_dup",
     "ann_lsh_multiprobe",
-    # r5: the benched family row is the df-cut (0.05) production form —
-    # the full-volume tfidf_cosine_pairs stays the correctness baseline in
+    # r5: the benched family row is the df-cut production form — the
+    # full-volume tfidf_cosine_pairs stays the correctness baseline in
     # the oracle suite, but its sf0.1 wall time has a documented 5.6-12 s
     # tenancy band (flat synthetic df defeats the 0.2 cut), too wide for
-    # the 2x regression gate to mean anything
+    # the 2x regression gate to mean anything. r6: the cut is now
+    # BUDGET-DERIVED (ceiling from the df histogram under Σdf² ≤ 500k —
+    # SCALE.md wave-4), slightly harsher than the old 0.05 frac at sf0.1.
     "tfidf_cosine_pairs_cut",
     "stream_unattributed_clicks",
     "part_link_prediction_aa",
