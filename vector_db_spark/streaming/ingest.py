@@ -315,6 +315,12 @@ def ingest_stream(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         assigned = assign_batch(batch_df)
+        # deliberately NOT io.write_clustered here: a per-micro-batch
+        # shuffle buys nothing when the batch is already small, and
+        # streaming appends accumulate files per EPOCH regardless — file
+        # count is owned by the compaction pass
+        # (operators/maintenance.compact_parquet), the standard
+        # streaming-sink hygiene, not by the ingest hot path.
         assigned.write.mode("append").partitionBy("cluster_id").parquet(sink_path)
 
     return (
