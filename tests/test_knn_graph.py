@@ -649,3 +649,29 @@ def test_ktruss_empty_and_validation(spark):
     assert k_truss(df, 3).count() == 0  # no triangles at all
     with _pytest.raises(ValueError, match="k >= 2"):
         k_truss(df, 1)
+
+
+def test_triangle_degree_orientation_exact_and_hub_safe(spark):
+    """Exact count under BOTH orientations on a hub-shaped graph, and the
+    degree order provably de-fangs the hub: its out-degree is 0 where the
+    id order (hub id 0) would emit every edge."""
+    from vector_db_spark.operators.knn_graph import _oriented_edges, triangle_count
+
+    # star hub 0 with 6 leaves + one triangle among leaves (1,2,3)
+    edges = [(0, i) for i in range(1, 7)] + [(1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for orient in ("degree", "id"):
+        row = triangle_count(df, orient=orient).collect()[0]
+        assert (row.n_nodes, row.n_edges, row.n_triangles) == (7, 9, 4)
+    out_deg = {
+        r.a: r.c
+        for r in _oriented_edges(df, "src", "dst", "degree")
+        .groupBy("a").agg(F.count("*").alias("c")).collect()
+    }
+    assert 0 not in out_deg          # the hub only receives
+    id_out = {
+        r.a: r.c
+        for r in _oriented_edges(df, "src", "dst", "id")
+        .groupBy("a").agg(F.count("*").alias("c")).collect()
+    }
+    assert id_out[0] == 6            # the id order squares the hub

@@ -356,27 +356,73 @@ def pagerank_from_edges(
     return ranks.select(F.col("src").alias("id"), "rank")
 
 
-def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
-    """One row (n_nodes, n_edges, n_triangles): exact triangle count of an
-    undirected graph — the classic two-equi-join formulation: orient every
-    edge low→high id (each triangle counted exactly once), build wedges
-    ``a→b→c`` by joining the edge list to itself on the middle vertex,
-    then close them with a membership join on ``(a, c)``.
-
-    Scale posture: two shuffles keyed on vertex ids; wedge volume is
-    Σ_v deg⁺(v)² under the low→high orientation — the orientation is the
-    standard mitigation (high-degree hubs mostly receive, not emit).
-    Skewed super-nodes go to AQE skew-join handling; an exact-count
-    refinement (splitting hubs) is a documented extension point."""
-    e = (
+def _oriented_edges(edges: DataFrame, src_col: str, dst_col: str, orient: str) -> DataFrame:
+    """Canonical undirected edge set, oriented by a total order: ``"id"``
+    (low→high vertex id) or ``"degree"`` (low→high (degree, id) — the
+    Suri-Vassilvitskii orientation: every vertex emits only toward
+    higher-degree vertices, so deg⁺(v) ≤ O(√m) on ANY graph and wedge
+    volume Σ deg⁺² is bounded by O(m^1.5) instead of a hub's deg²)."""
+    und = (
         edges.select(
             F.least(src_col, dst_col).alias("a"),
             F.greatest(src_col, dst_col).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if orient == "id":
+        return und
+    if orient != "degree":
+        raise ValueError(f"unknown orient {orient!r} (use 'degree' or 'id')")
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("__db"))
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    return (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("a"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("b"),
+        )
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    orient: str = "degree",
+) -> DataFrame:
+    """One row (n_nodes, n_edges, n_triangles): exact triangle count of an
+    undirected graph — the classic two-equi-join formulation: orient every
+    edge under a total order (each triangle counted exactly once), build
+    wedges ``a→b→c`` by joining the edge list to itself on the middle
+    vertex, then close them with a membership join on ``(a, c)``.
+
+    Scale posture: two shuffles keyed on vertex ids; wedge volume is
+    Σ_v deg⁺(v)². The DEFAULT orientation is (degree, id) — the
+    Suri-Vassilvitskii form — which bounds Σ deg⁺² at O(m^1.5) on any
+    graph: a hub receives rather than emits, so a skewed graph can never
+    square a hub degree (a raw id order can: a low-id hub emits every
+    edge). The count is exact under ANY total order; ``orient="id"``
+    keeps the old shape for comparison. Costs one degree aggregation +
+    two node-keyed joins, O(E) — noise next to the wedge stage.
+
+    On degree-UNIFORM graphs no orientation shrinks the volume:
+    Σ deg⁺² ≈ n·(d/2)² regardless (measured: the ×100 co-purchase graph
+    is 9.97 B wedges under either order — SCALE.md wave-10 — a quantity
+    that needs cluster-wide spill, not a better exponent; the formula
+    predicts it exactly)."""
+    e = _oriented_edges(edges, src_col, dst_col, orient).localCheckpoint(eager=True)
     wedges = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
