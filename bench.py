@@ -143,6 +143,10 @@ HEADLINE = [
     # round-4 closing additions
     "containment_near_dup",
     "ann_lsh_multiprobe",
+    # round-6: wave-10/11 mitigation — capped co-occurrence triangles +
+    # the knob-from-budget wedge audit that prices the join before running
+    "cooccurrence_capped_triangles",
+    "cooccurrence_budget_audit",
     # r5: the benched family row is the df-cut production form — the
     # full-volume tfidf_cosine_pairs stays the correctness baseline in
     # the oracle suite, but its sf0.1 wall time has a documented 5.6-12 s

@@ -232,6 +232,152 @@ def test_triangle_count_known_graphs(spark):
     assert row["n_nodes"] == 4 + 3 + 3
 
 
+def test_cooccurrence_edges_caps_are_exact_and_ordered(spark):
+    """The wave-10 throttles, pinned against a brute-force replay: the hub
+    cut runs on RAW dfs (before the basket cap), the basket cap keeps the
+    smallest item ids, and the edge list equals the per-basket pairs of
+    the surviving (basket, item) table."""
+    from itertools import combinations
+
+    from vector_db_spark.operators.knn_graph import cooccurrence_edges
+
+    # item 99 is the hub (df=4 > max_item_df=3); basket 1 has 5 items
+    # (cap=3 keeps 10,20,30); duplicates in the fact table must not count
+    facts = [
+        (1, 99), (1, 10), (1, 20), (1, 30), (1, 40), (1, 10),
+        (2, 99), (2, 10), (2, 20),
+        (3, 99), (3, 30),
+        (4, 99), (4, 40), (4, 50),
+    ]
+    df = spark.createDataFrame(facts, "b long, i long")
+    got = {
+        (r.src, r.dst)
+        for r in cooccurrence_edges(
+            df, "b", "i", max_item_df=3, max_basket_size=3
+        ).collect()
+    }
+
+    # brute-force replay: raw df per item → drop items with df > 3 →
+    # per basket keep the 3 smallest ids → all in-basket pairs
+    bi = sorted(set(facts))
+    from collections import Counter
+
+    dfs = Counter(i for _, i in bi)
+    bi = [(b, i) for b, i in bi if dfs[i] <= 3]
+    by_basket: dict[int, list[int]] = {}
+    for b, i in bi:
+        by_basket.setdefault(b, []).append(i)
+    want = set()
+    for items in by_basket.values():
+        for x, y in combinations(sorted(items)[:3], 2):
+            want.add((x, y))
+    assert got == want
+    # the hub really was cut, and basket 1's largest id really was capped
+    assert all(99 not in e for e in got)
+    assert all(40 not in e or e == (40, 50) for e in got)
+
+
+def test_cooccurrence_hub_cut_uses_raw_df(spark):
+    """A hub must not sneak under the df ceiling because the basket cap
+    shaved its occurrences: item 7 has raw df 3 (> cap 2) but would have
+    df 1 if the basket cap (keep 1 smallest) ran first."""
+    from vector_db_spark.operators.knn_graph import cooccurrence_edges
+
+    facts = [(1, 7), (1, 3), (2, 7), (2, 3), (3, 7), (3, 8)]
+    df = spark.createDataFrame(facts, "b long, i long")
+    got = {
+        (r.src, r.dst)
+        for r in cooccurrence_edges(
+            df, "b", "i", max_item_df=2, max_basket_size=2
+        ).collect()
+    }
+    assert all(7 not in e for e in got)
+
+
+def test_cooccurrence_wedge_audit_matches_brute(spark):
+    """The audit's Σ deg⁺² equals a brute-force replay of the degree
+    orientation — the number IS the wedge-join shuffle bill, so it must be
+    exact, not an estimate."""
+    from collections import Counter
+
+    from vector_db_spark.operators.knn_graph import (
+        cooccurrence_edges,
+        cooccurrence_wedge_audit,
+    )
+
+    facts = [(b, i) for b in range(1, 8) for i in range(b, b + 4)]
+    df = spark.createDataFrame(facts, "b long, i long")
+    edges = {
+        (r.src, r.dst) for r in cooccurrence_edges(df, "b", "i").collect()
+    }
+    deg = Counter()
+    for a, c in edges:
+        deg[a] += 1
+        deg[c] += 1
+    out = Counter()
+    for a, c in edges:
+        s = a if (deg[a], a) < (deg[c], c) else c
+        out[s] += 1
+    row = cooccurrence_wedge_audit(df, "b", "i").collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_wedges == sum(d * d for d in out.values())
+    assert row.max_outdeg == max(out.values())
+
+
+def test_derive_cooccurrence_caps_first_fit_and_refusal(spark):
+    from vector_db_spark.operators.knn_graph import (
+        cooccurrence_wedge_audit,
+        derive_cooccurrence_caps,
+    )
+
+    # one dense basket of 10 items: uncapped wedge bill is large,
+    # cap=3 shrinks it to C(3,2)=3 edges
+    facts = [(1, i) for i in range(10)] + [(2, 100), (2, 101)]
+    df = spark.createDataFrame(facts, "b long, i long")
+    full = cooccurrence_wedge_audit(df, "b", "i").collect()[0].n_wedges
+    small = (
+        cooccurrence_wedge_audit(df, "b", "i", max_basket_size=3)
+        .collect()[0]
+        .n_wedges
+    )
+    assert small < full
+    # budget between the two: must skip the loose rung and take the tight one
+    res = derive_cooccurrence_caps(
+        df,
+        "b",
+        "i",
+        wedge_budget=(small + full) // 2,
+        ladder=((None, None), (None, 3)),
+    )
+    assert (res["max_item_df"], res["max_basket_size"]) == (None, 3)
+    # first-fit stops walking: with audit_all the ladder holds every rung
+    assert len(res["ladder"]) == 2
+    res_all = derive_cooccurrence_caps(
+        df,
+        "b",
+        "i",
+        wedge_budget=full + 1,
+        ladder=((None, None), (None, 3)),
+    )
+    assert (res_all["max_item_df"], res_all["max_basket_size"]) == (None, None)
+    assert len(res_all["ladder"]) == 1  # stopped at the first fit
+    with pytest.raises(ValueError, match="no ladder rung fits"):
+        derive_cooccurrence_caps(
+            df, "b", "i", wedge_budget=1, ladder=((None, None), (None, 3))
+        )
+
+
+def test_cooccurrence_uncapped_matches_plain_pairs(spark):
+    """With no caps the operator is the plain distinct co-occurrence pair
+    set (no silent default throttling)."""
+    from vector_db_spark.operators.knn_graph import cooccurrence_edges
+
+    facts = [(1, 5), (1, 6), (1, 7), (2, 6), (2, 7), (2, 6)]
+    df = spark.createDataFrame(facts, "b long, i long")
+    got = {(r.src, r.dst) for r in cooccurrence_edges(df, "b", "i").collect()}
+    assert got == {(5, 6), (5, 7), (6, 7)}
+
+
 def test_k_core_matches_peeling_reference(spark):
     import random
     from collections import defaultdict

@@ -214,6 +214,14 @@ _WARN_ALLOW: dict[str, set[str]] = {
     "knn_personalized_pagerank": {"single-partition-exchange"},
     "late_interaction_search": {"nested-loop-join"},
     "opq_adc_recall": {"nested-loop-join", "single-partition-exchange"},
+    # the two co-occurrence triangle counters end in a 3-way crossJoin of
+    # 1-row scalar aggregates (n_nodes/n_edges/n_triangles) — the nested
+    # loop and one-task stage are those single-row finishes, not the wedge
+    # joins
+    "cooccurrence_capped_triangles": {
+        "nested-loop-join",
+        "single-partition-exchange",
+    },
     "part_cooccurrence_triangles": {"nested-loop-join", "single-partition-exchange"},
     "pq_adc_kmeans": {"nested-loop-join", "single-partition-exchange"},
     "qty_price_corr": {"single-partition-exchange"},

@@ -395,6 +395,164 @@ def _oriented_edges(edges: DataFrame, src_col: str, dst_col: str, orient: str) -
     )
 
 
+def cooccurrence_edges(
+    facts: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    max_item_df: int | None = None,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """``(src, dst)`` distinct undirected co-occurrence edges (``src < dst``):
+    items are linked when they share a basket — with the two explicit volume
+    throttles the wave-10 scale run prescribed for dense co-occurrence
+    graphs (SCALE.md: the ×100 co-purchase graph reaches 9.97 B wedge rows
+    under ANY exact orientation; at that density the only honest fix is to
+    cut volume explicitly, not to die in shuffle spill implicitly):
+
+    - ``max_item_df`` — drop items occurring in more than this many baskets
+      (the hub cut; the same posting-list throttle ``sparse_cosine_pairs``
+      applies). A promiscuous item contributes ~df·basket_size edges and a
+      deg² wedge term no orientation shrinks.
+    - ``max_basket_size`` — per basket keep only the ``max_basket_size``
+      smallest item ids (deterministic, so an oracle can replay the cut
+      exactly). Bounds the per-basket quadratic: edge volume
+      ≤ n_baskets · cap².
+
+    With both caps the post-cut item degree is ≤ max_item_df·(cap−1), so
+    wedge volume is bounded independent of corpus density. Order matters
+    and is fixed: the hub cut runs FIRST (on raw dfs — a hub must not
+    sneak under the df ceiling because the basket cap shaved its
+    occurrences), then the basket cap on the surviving items.
+
+    Plan: one distinct, one df aggregation + item-keyed semi join (skipped
+    when ``max_item_df`` is None), one basket-partitioned window (skipped
+    when ``max_basket_size`` is None), one basket-keyed self-join. All
+    shuffles are keyed on basket/item ids — no global ordering anywhere.
+    """
+    bi = facts.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_item_df is not None:
+        keep = (
+            bi.groupBy("__i")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_item_df)
+            .select("__i")
+        )
+        bi = bi.join(keep, "__i", "left_semi")
+    if max_basket_size is not None:
+        w = Window.partitionBy("__b").orderBy("__i")
+        bi = (
+            bi.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_basket_size)
+            .drop("__rn")
+        )
+    return (
+        bi.alias("x")
+        .join(bi.alias("y"), "__b")
+        .filter(F.col("x.__i") < F.col("y.__i"))
+        .select(F.col("x.__i").alias("src"), F.col("y.__i").alias("dst"))
+        .distinct()
+    )
+
+
+def cooccurrence_wedge_audit(
+    facts: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    max_item_df: int | None = None,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """One row ``(n_edges, n_wedges, max_outdeg)``: the EXACT shuffle bill
+    a wedge join over the (capped) co-occurrence graph would pay —
+    ``n_wedges = Σ_v deg⁺(v)²`` under the same (degree, id) orientation
+    :func:`triangle_count` uses. This is wave-10's DuckDB budget audit
+    (which predicted the 9.966 B-row death to three significant figures)
+    wired as an operator: it costs O(edges) — one edge materialization +
+    two aggregations — so a pipeline can price the O(wedges) join BEFORE
+    running it instead of discovering the bill in shuffle spill."""
+    e = cooccurrence_edges(
+        facts,
+        basket_col,
+        item_col,
+        max_item_df=max_item_df,
+        max_basket_size=max_basket_size,
+    )
+    o = _oriented_edges(e, "src", "dst", "degree")
+    od = o.groupBy("a").agg(F.count("*").alias("__d"))
+    return od.agg(
+        F.coalesce(F.sum("__d"), F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce(F.sum(F.col("__d") * F.col("__d")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges"),
+        F.coalesce(F.max("__d"), F.lit(0)).cast("long").alias("max_outdeg"),
+    )
+
+
+def derive_cooccurrence_caps(
+    facts: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    wedge_budget: int,
+    ladder: tuple[tuple[int | None, int | None], ...] = (
+        (None, None),
+        (50, 8),
+        (40, 6),
+        (37, 5),
+        (30, 4),
+        (30, 3),
+        (25, 3),
+    ),
+    audit_all: bool = False,
+) -> dict:
+    """Pick the most permissive ``(max_item_df, max_basket_size)`` pair on
+    ``ladder`` whose exact wedge audit fits ``wedge_budget`` — the
+    knob-from-budget derivation SCALE.md wave-10 prescribed ("trade
+    exactness explicitly rather than dying implicitly"), same pattern as
+    the corpus-derived LSH geometry and the df-quantile cut.
+
+    Walks ``ladder`` in order (loosest first), paying one O(edges) audit
+    per rung, and stops at the first rung that fits (``audit_all=True``
+    audits every rung — the value-checkable form the registered query
+    uses). Returns ``{"max_item_df", "max_basket_size", "n_edges",
+    "n_wedges", "max_outdeg", "ladder": [per-rung audit dicts]}``.
+    Raises ``ValueError`` when even the tightest rung exceeds the budget:
+    a graph that dense needs a different algorithm (sampling/sketching),
+    not a quieter death."""
+    audits: list[dict] = []
+    chosen: dict | None = None
+    for max_df, cap in ladder:
+        row = (
+            cooccurrence_wedge_audit(
+                facts,
+                basket_col,
+                item_col,
+                max_item_df=max_df,
+                max_basket_size=cap,
+            )
+            .collect()[0]
+            .asDict()
+        )
+        row["max_item_df"] = max_df
+        row["max_basket_size"] = cap
+        row["fits"] = row["n_wedges"] <= wedge_budget
+        audits.append(row)
+        if row["fits"] and chosen is None:
+            chosen = row
+            if not audit_all:
+                break
+    if chosen is None:
+        raise ValueError(
+            f"no ladder rung fits wedge_budget={wedge_budget}: tightest audit "
+            f"{audits[-1]['n_wedges']} wedges — this graph needs sampling, "
+            "not a tighter exact cut"
+        )
+    return {**chosen, "ladder": audits}
+
+
 def triangle_count(
     edges: DataFrame,
     src_col: str = "src",

@@ -1456,6 +1456,158 @@ def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+_COOC_MAX_DF = 37  # p90 of part df at sf0.01/sf0.1 — the hub cut really bites
+_COOC_MAX_BASKET = 5  # avg basket ≈ 4.07 items — the cap really bites
+
+
+@register(
+    "cooccurrence_capped_triangles",
+    extra=True,
+    oracle=f"""
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+hub AS (
+  SELECT i FROM bi GROUP BY i HAVING count(*) <= {_COOC_MAX_DF}),
+capped AS (
+  SELECT b, i FROM (
+    SELECT bi.b, bi.i,
+           row_number() OVER (PARTITION BY bi.b ORDER BY bi.i) AS rn
+    FROM bi JOIN hub USING (i)) t
+  WHERE rn <= {_COOC_MAX_BASKET}),
+e AS (
+  SELECT DISTINCT x.i AS a, y.i AS c
+  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i),
+n AS (SELECT count(DISTINCT v) AS n_nodes
+      FROM (SELECT a AS v FROM e UNION ALL SELECT c FROM e))
+SELECT n.n_nodes::BIGINT AS n_nodes,
+       (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       (SELECT count(*) FROM e e1
+          JOIN e e2 ON e1.c = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.c = e2.c)::BIGINT AS n_triangles
+FROM n
+""",
+)
+def cooccurrence_capped_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wave-10 mitigation ladder, wired (SCALE.md: the uncapped ×100
+    co-purchase graph is 9.97 B wedge rows under ANY exact orientation —
+    cluster-sized spill one box cannot hold): build the co-occurrence edge
+    list through operators/knn_graph.py cooccurrence_edges with BOTH
+    explicit throttles — hub cut (item df ≤ {_COOC_MAX_DF}) and
+    deterministic basket cap ({_COOC_MAX_BASKET} smallest part ids per
+    order) — then count triangles exactly on the capped graph. The cut is
+    deterministic, so the oracle replays it item-for-item; the exactness
+    trade is explicit in the knobs, never an implicit OOM."""
+    from vector_db_spark.operators.knn_graph import cooccurrence_edges, triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        max_item_df=_COOC_MAX_DF,
+        max_basket_size=_COOC_MAX_BASKET,
+    )
+    return triangle_count(edges)
+
+
+_COOC_LADDER = ((37, 5), (30, 4), (30, 3), (25, 3))
+_COOC_WEDGE_BUDGET = 1_000_000
+
+
+def _cooc_budget_oracle() -> str:
+    """Replay every ladder rung's exact wedge audit (hub cut → basket cap →
+    edge set → (degree, id)-oriented out-degrees → Σ deg⁺²) and the
+    first-fitting-rung selection rule, value-for-value."""
+    ctes = [
+        "bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)"
+    ]
+    rows = []
+    for r, (df_cap, bcap) in enumerate(_COOC_LADDER, start=1):
+        ctes += [
+            f"hub{r} AS (SELECT i FROM bi GROUP BY i HAVING count(*) <= {df_cap})",
+            f"""capped{r} AS (
+  SELECT b, i FROM (
+    SELECT bi.b, bi.i,
+           row_number() OVER (PARTITION BY bi.b ORDER BY bi.i) AS rn
+    FROM bi JOIN hub{r} USING (i)) t
+  WHERE rn <= {bcap})""",
+            f"""e{r} AS (
+  SELECT DISTINCT x.i AS a, y.i AS c
+  FROM capped{r} x JOIN capped{r} y ON x.b = y.b AND x.i < y.i)""",
+            f"""deg{r} AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM e{r} UNION ALL SELECT c FROM e{r}) GROUP BY v)""",
+            f"""od{r} AS (
+  SELECT s, count(*) AS dd FROM (
+    SELECT CASE WHEN (da.d, e.a) < (dc.d, e.c) THEN e.a ELSE e.c END AS s
+    FROM e{r} e JOIN deg{r} da ON da.v = e.a JOIN deg{r} dc ON dc.v = e.c)
+  GROUP BY s)""",
+            f"""aud{r} AS (
+  SELECT {r} AS rung, {df_cap} AS max_df, {bcap} AS cap,
+         coalesce(sum(dd), 0) AS n_edges,
+         coalesce(sum(dd * dd), 0) AS n_wedges,
+         coalesce(max(dd), 0) AS max_outdeg
+  FROM od{r})""",
+        ]
+        rows.append(f"SELECT * FROM aud{r}")
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+all_rungs AS ({' UNION ALL '.join(rows)})
+SELECT rung::INT AS rung, max_df::INT AS max_df, cap::INT AS cap,
+       n_edges::BIGINT AS n_edges, n_wedges::BIGINT AS n_wedges,
+       max_outdeg::BIGINT AS max_outdeg,
+       (n_wedges <= {_COOC_WEDGE_BUDGET}) AS fits,
+       ((n_wedges <= {_COOC_WEDGE_BUDGET}) AND NOT coalesce(
+          bool_or(n_wedges <= {_COOC_WEDGE_BUDGET}) OVER (
+            ORDER BY rung ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          false)) AS chosen
+FROM all_rungs
+"""
+
+
+@register("cooccurrence_budget_audit", extra=True, oracle=_cooc_budget_oracle())
+def cooccurrence_budget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knob-from-budget derivation for the co-occurrence wedge join
+    (operators/knn_graph.py derive_cooccurrence_caps): audit every rung of
+    a fixed (max_item_df, max_basket_size) ladder — each audit is the EXACT
+    Σ deg⁺² shuffle bill the wedge join would pay, an O(edges) job — and
+    choose the first (loosest) rung under a 1M-wedge budget. The oracle
+    replays all four audits and the selection rule value-for-value. This is
+    the production answer to wave-10's measured death: price the join from
+    the audit BEFORE running it."""
+    from vector_db_spark.operators.knn_graph import derive_cooccurrence_caps
+
+    li = load_table(spark, sf_dir, "lineitem")
+    res = derive_cooccurrence_caps(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        wedge_budget=_COOC_WEDGE_BUDGET,
+        ladder=_COOC_LADDER,
+        audit_all=True,
+    )
+    chosen = (res["max_item_df"], res["max_basket_size"])
+    rows = [
+        (
+            r + 1,
+            a["max_item_df"],
+            a["max_basket_size"],
+            a["n_edges"],
+            a["n_wedges"],
+            a["max_outdeg"],
+            a["fits"],
+            a["fits"] and (a["max_item_df"], a["max_basket_size"]) == chosen,
+        )
+        for r, a in enumerate(res["ladder"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rung int, max_df int, cap int, n_edges long, n_wedges long, "
+        "max_outdeg long, fits boolean, chosen boolean",
+    )
+
+
 # --- interval (range-containment) join ----------------------------------------
 
 
