@@ -8,12 +8,14 @@ wired mitigation (operators/knn_graph.py cooccurrence_edges) at the same
 
 Knob choice IS the point: under the disjoint-shard blow-up the capped
 graph is exactly 100 disjoint copies of the x1 graph, so the wedge budget
-is 100 × the x1 DuckDB audit. Measured surface at sf0.1 (see SCALE.md
-wave-11 table): (df≤37, cap=5) → 3.22 B wedges at ×100 (≈ 77 GB shuffle —
-infeasible on this box by the same arithmetic that predicted wave-10's
-9.97 B), (df≤30, cap=4) → 0.57 B (≈ 14 GB — fits). The run below uses
-(30, 4): the knobs exist precisely so the operator's volume can be fitted
-to a shuffle budget BEFORE the job runs, instead of discovered in spill.
+is 100 × the x1 audit. Audited surface at sf0.1 (Σ indeg·outdeg under the
+degree orientation — the REAL row count of triangle_count's middle-vertex
+join; see SCALE.md wave-11): uncapped → 4.92 B join rows at ×100
+(≈ 118 GB shuffle — the wave-10 death, now priced exactly), (df≤37,
+cap=5) → 1.95 B (≈ 47 GB — marginal on this box), (df≤30, cap=4) →
+0.33 B (≈ 8 GB — fits comfortably). The run below uses (30, 4): the
+knobs exist precisely so the operator's volume can be fitted to a
+shuffle budget BEFORE the job runs, instead of discovered in spill.
 
 Usage: python scripts/scale_wave11_cooc.py   (reuses /tmp/scale100rel)
 """

@@ -295,33 +295,83 @@ def test_cooccurrence_hub_cut_uses_raw_df(spark):
 
 
 def test_cooccurrence_wedge_audit_matches_brute(spark):
-    """The audit's Σ deg⁺² equals a brute-force replay of the degree
-    orientation — the number IS the wedge-join shuffle bill, so it must be
-    exact, not an estimate."""
+    """The audit's Σ indeg·outdeg equals a brute-force replay of the degree
+    orientation AND the actual row count of triangle_count's middle-vertex
+    wedge join — the number IS the join's shuffle bill, not an estimate or
+    a different wedge algorithm's bound."""
     from collections import Counter
 
     from vector_db_spark.operators.knn_graph import (
+        _oriented_edges,
         cooccurrence_edges,
         cooccurrence_wedge_audit,
     )
 
     facts = [(b, i) for b in range(1, 8) for i in range(b, b + 4)]
     df = spark.createDataFrame(facts, "b long, i long")
-    edges = {
-        (r.src, r.dst) for r in cooccurrence_edges(df, "b", "i").collect()
-    }
+    edge_df = cooccurrence_edges(df, "b", "i")
+    edges = {(r.src, r.dst) for r in edge_df.collect()}
     deg = Counter()
     for a, c in edges:
         deg[a] += 1
         deg[c] += 1
-    out = Counter()
+    out, inn = Counter(), Counter()
     for a, c in edges:
-        s = a if (deg[a], a) < (deg[c], c) else c
+        s, t = (a, c) if (deg[a], a) < (deg[c], c) else (c, a)
         out[s] += 1
+        inn[t] += 1
+    want_wedges = sum(out[v] * inn[v] for v in set(out) | set(inn))
     row = cooccurrence_wedge_audit(df, "b", "i").collect()[0]
     assert row.n_edges == len(edges)
-    assert row.n_wedges == sum(d * d for d in out.values())
+    assert row.n_wedges == want_wedges
     assert row.max_outdeg == max(out.values())
+    # and it equals what the wedge join REALLY materializes
+    e = _oriented_edges(edge_df, "src", "dst", "degree")
+    joined = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .count()
+    )
+    assert row.n_wedges == joined
+
+
+def test_cooccurrence_wedge_audit_hub_graph_is_not_outdeg_squared(spark):
+    """On a hub-skewed graph the middle-vertex join bill (Σ indeg·outdeg)
+    and the pairs-of-out-edges bound (Σ outdeg²) genuinely differ — pin
+    that the audit reports the former (the join the engine actually runs),
+    so budget-derived caps are neither too tight nor falsely refused."""
+    from collections import Counter
+
+    from vector_db_spark.operators.knn_graph import cooccurrence_wedge_audit
+
+    # star: hub item 0 shares a basket with each leaf; plus a triangle
+    facts = [(b, 0) for b in range(1, 7)] + [(b, b) for b in range(1, 7)]
+    facts += [(10, 101), (10, 102), (10, 103)]
+    df = spark.createDataFrame(facts, "b long, i long")
+    # brute replay
+    from itertools import combinations
+
+    by_b: dict[int, list[int]] = {}
+    for b, i in sorted(set(facts)):
+        by_b.setdefault(b, []).append(i)
+    edges = set()
+    for items in by_b.values():
+        for x, y in combinations(sorted(items), 2):
+            edges.add((x, y))
+    deg = Counter()
+    for a, c in edges:
+        deg[a] += 1
+        deg[c] += 1
+    out, inn = Counter(), Counter()
+    for a, c in edges:
+        s, t = (a, c) if (deg[a], a) < (deg[c], c) else (c, a)
+        out[s] += 1
+        inn[t] += 1
+    want = sum(out[v] * inn[v] for v in set(out) | set(inn))
+    sq = sum(d * d for d in out.values())
+    assert want != sq  # the two formulas disagree on this graph
+    row = cooccurrence_wedge_audit(df, "b", "i").collect()[0]
+    assert row.n_wedges == want
 
 
 def test_derive_cooccurrence_caps_first_fit_and_refusal(spark):
@@ -349,8 +399,8 @@ def test_derive_cooccurrence_caps_first_fit_and_refusal(spark):
         wedge_budget=(small + full) // 2,
         ladder=((None, None), (None, 3)),
     )
-    assert (res["max_item_df"], res["max_basket_size"]) == (None, 3)
-    # first-fit stops walking: with audit_all the ladder holds every rung
+    c = res["chosen"]
+    assert (c["max_item_df"], c["max_basket_size"]) == (None, 3)
     assert len(res["ladder"]) == 2
     res_all = derive_cooccurrence_caps(
         df,
@@ -359,12 +409,26 @@ def test_derive_cooccurrence_caps_first_fit_and_refusal(spark):
         wedge_budget=full + 1,
         ladder=((None, None), (None, 3)),
     )
-    assert (res_all["max_item_df"], res_all["max_basket_size"]) == (None, None)
+    c = res_all["chosen"]
+    assert (c["max_item_df"], c["max_basket_size"]) == (None, None)
     assert len(res_all["ladder"]) == 1  # stopped at the first fit
     with pytest.raises(ValueError, match="no ladder rung fits"):
         derive_cooccurrence_caps(
-            df, "b", "i", wedge_budget=1, ladder=((None, None), (None, 3))
+            df, "b", "i", wedge_budget=0, ladder=((None, None), (None, 3))
         )
+    # strict=False reports instead of raising: full ladder, no choice
+    res_none = derive_cooccurrence_caps(
+        df,
+        "b",
+        "i",
+        wedge_budget=0,
+        ladder=((None, None), (None, 3)),
+        audit_all=True,
+        strict=False,
+    )
+    assert res_none["chosen"] is None
+    assert len(res_none["ladder"]) == 2
+    assert not any(a["fits"] for a in res_none["ladder"])
 
 
 def test_cooccurrence_uncapped_matches_plain_pairs(spark):

@@ -467,10 +467,11 @@ def embedding_near_dup_blocked(
     L grown to hold the near-dup recall floor) — one cheap count()
     (pass ``corpus_count`` to skip it). The round-5 scale campaign
     measured why static defaults are a trap: fixed h=4 was 11.5× wall at
-    10× data and "unusable by construction" at 200 k vectors. At fixture
-    scale (n ≤ ~1 k) the derivation collapses to the oracle-pinned
-    (4, 4) plane literals, so oracle paths stay bit-identical; passing
-    either knob explicitly pins that knob and derives nothing."""
+    10× data and "unusable by construction" at 200 k vectors. The derived
+    geometry GROWS with the corpus (already (5, 5) at n=2000), so callers
+    that must stay bit-identical to a pinned oracle (the registered
+    ``embedding_near_dup`` query) pass ``n_tables``/``n_bits`` explicitly
+    — passing either knob pins that knob and derives nothing."""
     from vector_db_spark.operators import similarity as _sim
     from vector_db_spark.operators.similarity import (
         derive_lsh_geometry,

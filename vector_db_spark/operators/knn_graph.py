@@ -356,13 +356,10 @@ def pagerank_from_edges(
     return ranks.select(F.col("src").alias("id"), "rank")
 
 
-def _oriented_edges(edges: DataFrame, src_col: str, dst_col: str, orient: str) -> DataFrame:
-    """Canonical undirected edge set, oriented by a total order: ``"id"``
-    (low→high vertex id) or ``"degree"`` (low→high (degree, id) — the
-    Suri-Vassilvitskii orientation: every vertex emits only toward
-    higher-degree vertices, so deg⁺(v) ≤ O(√m) on ANY graph and wedge
-    volume Σ deg⁺² is bounded by O(m^1.5) instead of a hub's deg²)."""
-    und = (
+def _undirected_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Canonical undirected edge set: (a, b) with a < b, loops dropped,
+    duplicates and reversed duplicates collapsed."""
+    return (
         edges.select(
             F.least(src_col, dst_col).alias("a"),
             F.greatest(src_col, dst_col).alias("b"),
@@ -370,10 +367,23 @@ def _oriented_edges(edges: DataFrame, src_col: str, dst_col: str, orient: str) -
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    if orient == "id":
-        return und
-    if orient != "degree":
-        raise ValueError(f"unknown orient {orient!r} (use 'degree' or 'id')")
+
+
+def _apply_degree_orientation(und: DataFrame) -> DataFrame:
+    """Reorient the canonical edge set by (degree, id) — the
+    Suri-Vassilvitskii orientation: every vertex emits only toward
+    higher-(degree, id) vertices, so deg⁺(v) ≤ O(√m) on ANY graph and the
+    pairs-of-out-edges wedge volume is O(m^1.5) instead of a hub's deg².
+
+    References ``und`` three times (degree agg via a and b, plus the
+    reorientation join). Measured at the ×100 co-occurrence corpus
+    (SCALE.md wave-11): materializing ``und`` — whether pinned
+    (localCheckpoint) or cache→unpersist — is ~2× SLOWER end-to-end than
+    letting the three references recompute: the re-reads are
+    shuffle-bounded (Spark re-serves the edge build's shuffle files),
+    while materialized blocks compete with the downstream wedge join's
+    execution memory. Callers checkpoint this function's OUTPUT instead
+    (see :func:`_checkpoint_oriented`)."""
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -395,6 +405,36 @@ def _oriented_edges(edges: DataFrame, src_col: str, dst_col: str, orient: str) -
     )
 
 
+def _oriented_edges(edges: DataFrame, src_col: str, dst_col: str, orient: str) -> DataFrame:
+    """Canonical undirected edge set, oriented by a total order: ``"id"``
+    (low→high vertex id) or ``"degree"`` (see
+    :func:`_apply_degree_orientation`, including its caching contract)."""
+    und = _undirected_edges(edges, src_col, dst_col)
+    if orient == "id":
+        return und
+    if orient != "degree":
+        raise ValueError(f"unknown orient {orient!r} (use 'degree' or 'id')")
+    return _apply_degree_orientation(und)
+
+
+def _checkpoint_oriented(
+    edges: DataFrame, src_col: str, dst_col: str, orient: str
+) -> DataFrame:
+    """Materialized (localCheckpoint) oriented edge set. The degree branch
+    deliberately does NOT materialize the intermediate undirected edge set,
+    although the orientation references it three times: both pinning it
+    (localCheckpoint) and a cache→orient→unpersist lifecycle MEASURED ~2×
+    slower end-to-end at the ×100 co-occurrence corpus (83-91 s vs 46 s,
+    SCALE.md wave-11) — the three references are shuffle-bounded re-reads
+    Spark largely serves from existing shuffle files, while materialized
+    blocks compete with the downstream wedge join's execution memory. One
+    checkpoint of the FINAL oriented set (consumed 3-5× by every caller's
+    joins, and the thing lineage must not re-derive) is the right cut."""
+    return _oriented_edges(edges, src_col, dst_col, orient).localCheckpoint(
+        eager=True
+    )
+
+
 def cooccurrence_edges(
     facts: DataFrame,
     basket_col: str,
@@ -402,6 +442,7 @@ def cooccurrence_edges(
     *,
     max_item_df: int | None = None,
     max_basket_size: int | None = None,
+    assume_distinct_pairs: bool = False,
 ) -> DataFrame:
     """``(src, dst)`` distinct undirected co-occurrence edges (``src < dst``):
     items are linked when they share a basket — with the two explicit volume
@@ -429,10 +470,13 @@ def cooccurrence_edges(
     when ``max_item_df`` is None), one basket-partitioned window (skipped
     when ``max_basket_size`` is None), one basket-keyed self-join. All
     shuffles are keyed on basket/item ids — no global ordering anywhere.
+    ``assume_distinct_pairs=True`` skips the opening distinct — for callers
+    (``derive_cooccurrence_caps``) that pre-distinct and checkpoint the
+    (basket, item) projection ONCE and reuse it across many calls.
     """
-    bi = facts.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    bi = facts.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+    if not assume_distinct_pairs:
+        bi = bi.distinct()
     if max_item_df is not None:
         keep = (
             bi.groupBy("__i")
@@ -464,30 +508,45 @@ def cooccurrence_wedge_audit(
     *,
     max_item_df: int | None = None,
     max_basket_size: int | None = None,
+    assume_distinct_pairs: bool = False,
 ) -> DataFrame:
     """One row ``(n_edges, n_wedges, max_outdeg)``: the EXACT shuffle bill
-    a wedge join over the (capped) co-occurrence graph would pay —
-    ``n_wedges = Σ_v deg⁺(v)²`` under the same (degree, id) orientation
-    :func:`triangle_count` uses. This is wave-10's DuckDB budget audit
-    (which predicted the 9.966 B-row death to three significant figures)
-    wired as an operator: it costs O(edges) — one edge materialization +
-    two aggregations — so a pipeline can price the O(wedges) join BEFORE
-    running it instead of discovering the bill in shuffle spill."""
+    :func:`triangle_count`'s wedge join would pay on the (capped)
+    co-occurrence graph. That join builds directed 2-paths ``a→b→c`` by
+    joining the oriented edge list to itself on the middle vertex, so its
+    row count is ``n_wedges = Σ_v indeg(v)·outdeg(v)`` under the same
+    (degree, id) orientation — NOT the pairs-of-out-edges ``Σ deg⁺(v)²``
+    (a different wedge algorithm whose bill this operator would
+    over-state on exactly the hub-skewed graphs the caps exist for).
+    This is wave-10's budget-audit idea wired as an operator: it costs
+    O(edges) — one edge materialization + two degree aggregations — so a
+    pipeline can price the O(wedges) join BEFORE running it instead of
+    discovering the bill in shuffle spill."""
     e = cooccurrence_edges(
         facts,
         basket_col,
         item_col,
         max_item_df=max_item_df,
         max_basket_size=max_basket_size,
+        assume_distinct_pairs=assume_distinct_pairs,
     )
-    o = _oriented_edges(e, "src", "dst", "degree")
-    od = o.groupBy("a").agg(F.count("*").alias("__d"))
-    return od.agg(
-        F.coalesce(F.sum("__d"), F.lit(0)).cast("long").alias("n_edges"),
-        F.coalesce(F.sum(F.col("__d") * F.col("__d")), F.lit(0))
+    # both degree aggregations read the oriented edges — materialize once
+    o = _checkpoint_oriented(e, "src", "dst", "degree")
+    od = o.select(F.col("a").alias("v")).groupBy("v").agg(
+        F.count("*").alias("__od")
+    )
+    idg = o.select(F.col("b").alias("v")).groupBy("v").agg(
+        F.count("*").alias("__id")
+    )
+    return od.join(idg, "v", "full").agg(
+        F.coalesce(F.sum("__od"), F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("__od"), F.lit(0)) * F.coalesce(F.col("__id"), F.lit(0))),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_wedges"),
-        F.coalesce(F.max("__d"), F.lit(0)).cast("long").alias("max_outdeg"),
+        F.coalesce(F.max("__od"), F.lit(0)).cast("long").alias("max_outdeg"),
     )
 
 
@@ -507,6 +566,7 @@ def derive_cooccurrence_caps(
         (25, 3),
     ),
     audit_all: bool = False,
+    strict: bool = True,
 ) -> dict:
     """Pick the most permissive ``(max_item_df, max_basket_size)`` pair on
     ``ladder`` whose exact wedge audit fits ``wedge_budget`` — the
@@ -517,21 +577,31 @@ def derive_cooccurrence_caps(
     Walks ``ladder`` in order (loosest first), paying one O(edges) audit
     per rung, and stops at the first rung that fits (``audit_all=True``
     audits every rung — the value-checkable form the registered query
-    uses). Returns ``{"max_item_df", "max_basket_size", "n_edges",
-    "n_wedges", "max_outdeg", "ladder": [per-rung audit dicts]}``.
-    Raises ``ValueError`` when even the tightest rung exceeds the budget:
-    a graph that dense needs a different algorithm (sampling/sketching),
-    not a quieter death."""
+    uses). The distinct (basket, item) projection is materialized ONCE
+    and shared across every rung — never recomputed from the raw fact
+    table per audit. Returns ``{"chosen": audit dict or None, "ladder":
+    [per-rung audit dicts]}``; each audit dict holds ``max_item_df,
+    max_basket_size, n_edges, n_wedges, max_outdeg, fits``. When no rung
+    fits: ``strict=True`` (default) raises ``ValueError`` — a graph that
+    dense needs a different algorithm (sampling/sketching), not a quieter
+    death; ``strict=False`` returns ``chosen=None`` for callers (the
+    registered audit query) that report rather than run."""
+    bi = (
+        facts.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     audits: list[dict] = []
     chosen: dict | None = None
     for max_df, cap in ladder:
         row = (
             cooccurrence_wedge_audit(
-                facts,
-                basket_col,
-                item_col,
+                bi,
+                "__b",
+                "__i",
                 max_item_df=max_df,
                 max_basket_size=cap,
+                assume_distinct_pairs=True,
             )
             .collect()[0]
             .asDict()
@@ -544,13 +614,13 @@ def derive_cooccurrence_caps(
             chosen = row
             if not audit_all:
                 break
-    if chosen is None:
+    if chosen is None and strict:
         raise ValueError(
             f"no ladder rung fits wedge_budget={wedge_budget}: tightest audit "
             f"{audits[-1]['n_wedges']} wedges — this graph needs sampling, "
             "not a tighter exact cut"
         )
-    return {**chosen, "ladder": audits}
+    return {"chosen": chosen, "ladder": audits}
 
 
 def triangle_count(
@@ -580,7 +650,7 @@ def triangle_count(
     is 9.97 B wedges under either order — SCALE.md wave-10 — a quantity
     that needs cluster-wide spill, not a better exponent; the formula
     predicts it exactly)."""
-    e = _oriented_edges(edges, src_col, dst_col, orient).localCheckpoint(eager=True)
+    e = _checkpoint_oriented(edges, src_col, dst_col, orient)
     wedges = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))

@@ -148,3 +148,11 @@ assert len(QUERIES) <= DRIVER_QUERY_BUDGET, (
     f"{len(QUERIES)} driver queries registered, budget is {DRIVER_QUERY_BUDGET}; "
     "move variants to extra=True"
 )
+
+# rotation names must resolve: a typo'd ledger entry would otherwise no-op
+# silently and leave the intended query in the wrong tier — the same
+# fail-loudly policy as the unconditional module imports above
+_unknown_rotation = (DRIVER_PROMOTED | DRIVER_DEMOTED) - QUERIES.keys() - EXTRA_QUERIES.keys()
+assert not _unknown_rotation, (
+    f"rotation ledger names not in the registry: {sorted(_unknown_rotation)}"
+)

@@ -1516,8 +1516,9 @@ _COOC_WEDGE_BUDGET = 1_000_000
 
 def _cooc_budget_oracle() -> str:
     """Replay every ladder rung's exact wedge audit (hub cut → basket cap →
-    edge set → (degree, id)-oriented out-degrees → Σ deg⁺²) and the
-    first-fitting-rung selection rule, value-for-value."""
+    edge set → (degree, id) orientation → Σ indeg·outdeg, the row count of
+    triangle_count's middle-vertex wedge join) and the first-fitting-rung
+    selection rule, value-for-value."""
     ctes = [
         "bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)"
     ]
@@ -1537,17 +1538,18 @@ def _cooc_budget_oracle() -> str:
             f"""deg{r} AS (
   SELECT v, count(*) AS d
   FROM (SELECT a AS v FROM e{r} UNION ALL SELECT c FROM e{r}) GROUP BY v)""",
-            f"""od{r} AS (
-  SELECT s, count(*) AS dd FROM (
-    SELECT CASE WHEN (da.d, e.a) < (dc.d, e.c) THEN e.a ELSE e.c END AS s
-    FROM e{r} e JOIN deg{r} da ON da.v = e.a JOIN deg{r} dc ON dc.v = e.c)
-  GROUP BY s)""",
+            f"""o{r} AS (
+  SELECT CASE WHEN (da.d, e.a) < (dc.d, e.c) THEN e.a ELSE e.c END AS s,
+         CASE WHEN (da.d, e.a) < (dc.d, e.c) THEN e.c ELSE e.a END AS t
+  FROM e{r} e JOIN deg{r} da ON da.v = e.a JOIN deg{r} dc ON dc.v = e.c)""",
+            f"od{r} AS (SELECT s, count(*) AS dd FROM o{r} GROUP BY s)",
+            f"id{r} AS (SELECT t, count(*) AS di FROM o{r} GROUP BY t)",
             f"""aud{r} AS (
   SELECT {r} AS rung, {df_cap} AS max_df, {bcap} AS cap,
          coalesce(sum(dd), 0) AS n_edges,
-         coalesce(sum(dd * dd), 0) AS n_wedges,
+         coalesce(sum(coalesce(dd, 0) * coalesce(di, 0)), 0) AS n_wedges,
          coalesce(max(dd), 0) AS max_outdeg
-  FROM od{r})""",
+  FROM od{r} FULL JOIN id{r} ON od{r}.s = id{r}.t)""",
         ]
         rows.append(f"SELECT * FROM aud{r}")
     cte_block = ",\n".join(ctes)
@@ -1571,11 +1573,14 @@ def cooccurrence_budget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Knob-from-budget derivation for the co-occurrence wedge join
     (operators/knn_graph.py derive_cooccurrence_caps): audit every rung of
     a fixed (max_item_df, max_basket_size) ladder — each audit is the EXACT
-    Σ deg⁺² shuffle bill the wedge join would pay, an O(edges) job — and
-    choose the first (loosest) rung under a 1M-wedge budget. The oracle
-    replays all four audits and the selection rule value-for-value. This is
-    the production answer to wave-10's measured death: price the join from
-    the audit BEFORE running it."""
+    Σ indeg·outdeg row count triangle_count's wedge join would shuffle, an
+    O(edges) job — and choose the first (loosest) rung under a 1M-wedge
+    budget. strict=False: if NO rung fits, this query still reports the
+    full ladder (all chosen=false), exactly as the oracle does — the
+    refusal behavior belongs to the strict operator API, not to an audit
+    report. The oracle replays all four audits and the selection rule
+    value-for-value. This is the production answer to wave-10's measured
+    death: price the join from the audit BEFORE running it."""
     from vector_db_spark.operators.knn_graph import derive_cooccurrence_caps
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1586,8 +1591,8 @@ def cooccurrence_budget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         wedge_budget=_COOC_WEDGE_BUDGET,
         ladder=_COOC_LADDER,
         audit_all=True,
+        strict=False,
     )
-    chosen = (res["max_item_df"], res["max_basket_size"])
     rows = [
         (
             r + 1,
@@ -1597,7 +1602,7 @@ def cooccurrence_budget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             a["n_wedges"],
             a["max_outdeg"],
             a["fits"],
-            a["fits"] and (a["max_item_df"], a["max_basket_size"]) == chosen,
+            a is res["chosen"],
         )
         for r, a in enumerate(res["ladder"])
     ]

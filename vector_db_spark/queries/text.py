@@ -956,8 +956,18 @@ WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
 """,
 )
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knobs PINNED to the oracle's plane literals: the no-knob default
+    derives geometry from the corpus count (the production path), which
+    diverges from _LSH_BUCKETS_SQL's hardcoded (N_TABLES, N_BITS) tables
+    as soon as the corpus outgrows the derivation's fixture anchor
+    (derive_lsh_geometry(2000) is already (5, 5) at sf0.1) — an oracle
+    query must stay bit-identical to its SQL at EVERY sf."""
+    from vector_db_spark.operators.similarity import N_BITS, N_TABLES
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_blocked(emb, threshold=0.45)
+    return embedding_near_dup_blocked(
+        emb, threshold=0.45, n_tables=N_TABLES, n_bits=N_BITS
+    )
 
 
 @register(
