@@ -530,20 +530,35 @@ def cooccurrence_wedge_audit(
         max_basket_size=max_basket_size,
         assume_distinct_pairs=assume_distinct_pairs,
     )
-    # both degree aggregations read the oriented edges — materialize once
-    o = _checkpoint_oriented(e, "src", "dst", "degree")
-    od = o.select(F.col("a").alias("v")).groupBy("v").agg(
-        F.count("*").alias("__od")
+    # BOTH degree tallies in one streamed pass over the oriented edges:
+    # explode each edge into its two endpoint rows tagged out/in, one
+    # vertex-keyed aggregation, one scalar finish. Deliberately NO
+    # materialization anywhere — checkpointing the oriented set here
+    # OOM'd a 16 GB heap on the ×100 uncapped audit (119.6 M edges), and
+    # an audit that dies at the scale it exists to price is useless.
+    o = _oriented_edges(e, "src", "dst", "degree")
+    both = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("v"),
+                    F.lit(1).alias("__o"),
+                    F.lit(0).alias("__i"),
+                ),
+                F.struct(
+                    F.col("b").alias("v"),
+                    F.lit(0).alias("__o"),
+                    F.lit(1).alias("__i"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    degs = both.groupBy("v").agg(
+        F.sum("__o").alias("__od"), F.sum("__i").alias("__id")
     )
-    idg = o.select(F.col("b").alias("v")).groupBy("v").agg(
-        F.count("*").alias("__id")
-    )
-    return od.join(idg, "v", "full").agg(
+    return degs.agg(
         F.coalesce(F.sum("__od"), F.lit(0)).cast("long").alias("n_edges"),
-        F.coalesce(
-            F.sum(F.coalesce(F.col("__od"), F.lit(0)) * F.coalesce(F.col("__id"), F.lit(0))),
-            F.lit(0),
-        )
+        F.coalesce(F.sum(F.col("__od") * F.col("__id")), F.lit(0))
         .cast("long")
         .alias("n_wedges"),
         F.coalesce(F.max("__od"), F.lit(0)).cast("long").alias("max_outdeg"),
