@@ -288,3 +288,23 @@ def test_build_with_derived_k(spark, tmp_path):
     sizes = {r.cluster_id: r.cluster_size for r in idx.cluster_sizes().collect()}
     assert sum(sizes.values()) == 500
     assert 1 <= len(sizes) <= IVFIndex.derive_k(500)
+
+
+def test_search_probes_by_the_scoring_metric(spark, tmp_path):
+    """A dot-product search must rank probe centroids by dot, not
+    euclidean: the max-inner-product neighbor lives in a large-norm
+    cluster that is L2-far from the query, so a euclidean probe with
+    n_probe=1 would never scan its cluster."""
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(0.9, 1.1), random.uniform(-0.1, 0.1)]) for i in range(50)]
+    rows += [(100 + i, [10.0 + random.uniform(-0.1, 0.1), random.uniform(-0.1, 0.1)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IVFIndex.build(spark, emb, 2, str(tmp_path / "mips"))
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<float>")
+    top = idx.search(q, k=1, n_probe=1, metric="dot").collect()[0]
+    assert top.neighbor_id >= 100  # the large-norm cluster, not the L2-near one
+
+    with pytest.raises(ValueError, match="unknown metric"):
+        idx.search(q, k=1, metric="manhattan")

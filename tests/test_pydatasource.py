@@ -338,3 +338,44 @@ def test_jsonl_rejects_binary_columns(spark, tmp_path):
         src.write.format("vdb_jsonl").option("path", str(tmp_path / "bin")).mode(
             "overwrite"
         ).save()
+
+
+def test_jsonl_empty_task_partitions_never_commit_empty_shards(spark, docs, tmp_path):
+    """pyarrow's read_json raises ArrowInvalid('Empty JSON file') on a
+    zero-byte shard, so one empty task partition (routine after a filter or
+    over-repartition) must not poison the whole directory."""
+    path = str(tmp_path / "sparse")
+    # 40 partitions over ~50 docs: several task partitions are empty
+    docs.repartition(40).write.format("vdb_jsonl").option("path", path).mode(
+        "overwrite"
+    ).save()
+    shards = [n for n in os.listdir(path) if n.endswith(".jsonl")]
+    assert all(os.path.getsize(os.path.join(path, n)) > 0 for n in shards)
+    back = (
+        spark.read.format("vdb_jsonl").schema(docs.schema).option("path", path).load()
+    )
+    assert back.count() == docs.count()
+    # and a zero-byte shard left by a FOREIGN producer reads as empty, not
+    # as an ArrowInvalid crash for the whole scan
+    open(os.path.join(path, "part-foreign.jsonl"), "w").close()
+    assert (
+        spark.read.format("vdb_jsonl").schema(docs.schema).option("path", path)
+        .load().count()
+        == docs.count()
+    )
+
+
+def test_jsonl_in_filter_with_null_keeps_sql_semantics(spark, docs, shard_dir):
+    """`x IN (v, NULL)` is never TRUE for x = NULL in SQL, but arrow's
+    is_in matches null-to-null — a null-bearing In list must stay
+    Spark-side rather than be pushed."""
+    import pyspark.sql.functions as F
+
+    back = (
+        spark.read.format("vdb_jsonl").schema(docs.schema).option("path", shard_dir).load()
+    )
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    probe = [langs[0], None]
+    got = back.filter(F.col("lang").isin(probe)).count()
+    want = docs.filter(F.col("lang").isin(probe)).count()
+    assert got == want

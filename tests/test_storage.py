@@ -216,3 +216,21 @@ def test_append_with_ids_max_id_zero_not_treated_as_empty(spark, tmp_path):
     )
     ids = sorted(r.id for r in t.all_ids().collect())
     assert ids == [0, 1]
+
+
+def test_upsert_rejects_duplicate_batch_ids(spark, table):
+    """Two rows with one id in a single upsert batch would both survive the
+    anti-join and permanently break id uniqueness — there is no
+    deterministic last-write order on a DataFrame, so the batch is
+    rejected loudly (same contract as VersionedTable.merge)."""
+    batch = _nodes(
+        spark,
+        [
+            (7, [1, 1, 0, 0], "dup A", {"kind": "fruit"}),
+            (7, [0, 0, 1, 1], "dup B", {"kind": "fruit"}),
+        ],
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        table.upsert(batch)
+    # the table is untouched by the rejected batch
+    assert table.size() == 3

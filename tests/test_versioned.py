@@ -820,3 +820,43 @@ def test_per_file_row_counts_ride_the_manifest(spark, vt):
         isinstance(m["stats"].get(f, {}).get("__rows"), int) for f in m["files"]
     )
     assert sum(m["stats"][f]["__rows"] for f in m["files"]) == 20
+
+
+def test_merge_persists_source_only_evolved_column(spark, vt):
+    """A merge batch carrying a NEW column must evolve the schema forward
+    (as append+mergeSchema would), not silently project it away: updated
+    and inserted rows keep their values, untouched rows read as NULL."""
+    vt.append(_df(spark, 0, 10))
+    src = spark.createDataFrame(
+        [(5, "upd5", 0.9), (100, "new100", 0.1)], "id long, s string, score double"
+    )
+    vt.merge(src, "id")
+    got = {r.id: (r.s, r.score) for r in vt.read().collect()}
+    assert got[5] == ("upd5", 0.9)
+    assert got[100] == ("new100", 0.1)
+    assert got[0] == ("r0", None)  # untouched row: evolved column is NULL
+    assert len(got) == 11
+
+
+def test_rollback_retries_after_losing_race(spark, vt, monkeypatch):
+    """Rollback is base-independent like overwrite: a lost commit race must
+    retry verbatim, not abort an operational restore."""
+    import json
+
+    vt.append(_df(spark, 0, 10))
+    vt.overwrite(_df(spark, 0, 5))
+    real = vt._try_commit
+    state = {"raced": False}
+
+    def racing_commit(files, op, n_rows, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            with open(vt._manifest_path(2), "w") as fh:
+                json.dump({**vt._read_manifest(1), "version": 2}, fh)
+            raise CommitConflict("simulated lost race")
+        return real(files, op, n_rows, **kw)
+
+    monkeypatch.setattr(vt, "_try_commit", racing_commit)
+    v = vt.rollback(0)
+    assert state["raced"] and v == 3
+    assert sorted(r.id for r in vt.read().collect()) == list(range(10))

@@ -125,6 +125,10 @@ class IVFIndex:
         return self.spark.read.parquet(self.centroids_path)
 
     def corpus(self) -> DataFrame:
+        # a committed-but-unfinished maintenance swap can have clusters
+        # missing from the live layout; reading through it would be
+        # silently wrong, not slow (two cheap fs.exists in the common case)
+        self._assert_no_pending_swap()
         return self.spark.read.parquet(self.corpus_path)
 
     # -- build (reference ivf.py:49-85) ---------------------------------------
@@ -254,15 +258,38 @@ class IVFIndex:
 
     # -- delete (reference ivf.py:119-136) -------------------------------------
 
+    # -- staged-swap protocol (operators/staging.py, shared with IVFPQ) ---------
+
+    _SWAP_TMPS = (".tmp-delete", ".tmp-refresh")
+
+    def recover(self) -> dict:
+        """Complete (or discard) any interrupted staged maintenance swap
+        (see operators/staging.py for the protocol). Called automatically
+        at the start of :meth:`delete`/:meth:`refresh`; :meth:`corpus`
+        RAISES while a planned swap is pending — a crashed swap can leave
+        clusters missing from the live layout, and a read that silently
+        skipped them would be wrong, not slow. Idempotent; safe anytime."""
+        from vector_db_spark.operators.staging import recover_staged
+
+        return recover_staged(self.spark, self.corpus_path, self._SWAP_TMPS)
+
+    def _assert_no_pending_swap(self) -> None:
+        from vector_db_spark.operators.staging import assert_no_pending_swap
+
+        assert_no_pending_swap(self.spark, self.corpus_path, self._SWAP_TMPS)
+
     def delete(self, ids: list[int]) -> None:
         """Rewrite only the partitions that contain the deleted ids — never
         touches cold clusters. The rewrite is staged through a tmp dir and
-        swapped per-partition via the Hadoop FileSystem API, so (a) the job
-        never overwrites files it is still reading, (b) a cluster whose
-        every vector is deleted has its partition directory *removed*
-        (dynamic partition overwrite would silently leave the stale files —
-        deleted ids would stay searchable), and (c) no session conf is
-        mutated."""
+        committed via the staged-swap protocol above, so (a) the job never
+        overwrites files it is still reading, (b) a cluster whose every
+        vector is deleted has its partition directory *retired* (dynamic
+        partition overwrite would silently leave the stale files — deleted
+        ids would stay searchable), and (c) a crash at ANY point either
+        never touched the live corpus (pre-plan: staging is discarded) or
+        is completed forward by :meth:`recover` — live data is never
+        deleted before its replacement is in place."""
+        self.recover()
         corpus = self.corpus()
         affected = (
             corpus.filter(F.col(self.id_col).isin(ids))
@@ -278,15 +305,10 @@ class IVFIndex:
         )
         tmp = self.corpus_path.rstrip("/") + ".tmp-delete"
         write_clustered(remaining, tmp)
-        jpath = self.spark._jvm.org.apache.hadoop.fs.Path
-        fs = jpath(self.corpus_path).getFileSystem(self.spark._jsc.hadoopConfiguration())
-        for c in clusters:
-            dst = jpath(os.path.join(self.corpus_path, f"cluster_id={c}"))
-            src = jpath(os.path.join(tmp, f"cluster_id={c}"))
-            fs.delete(dst, True)
-            if fs.exists(src):  # absent when the whole cluster was deleted
-                fs.rename(src, dst)
-        fs.delete(jpath(tmp), True)
+        from vector_db_spark.operators.staging import execute_swap, write_swap_plan
+
+        write_swap_plan(self.spark, tmp, clusters, [])
+        execute_swap(self.spark, self.corpus_path, tmp)
 
     # -- maintenance: centroid-drift refresh ------------------------------------
 
@@ -314,6 +336,7 @@ class IVFIndex:
         """
         import numpy as np
 
+        self.recover()
         cent_rows = self.centroids().select("cluster_id", "centroid").collect()
         old = {int(r.cluster_id): np.asarray(r.centroid, dtype=np.float64) for r in cent_rows}
         dim = len(next(iter(old.values())))
@@ -368,22 +391,31 @@ class IVFIndex:
                 F.col("cluster_id") != F.col("__old_cluster")
             ).count()
             reassigned = reassigned.drop("__old_cluster")
-            movers_out = reassigned.filter(~F.col("cluster_id").isin(drifted))
-            write_clustered(movers_out, self.corpus_path, mode="append")
-            stay = reassigned.filter(F.col("cluster_id").isin(drifted))
+            # ONE staged write holds both halves of the mutation — the
+            # drifted clusters' surviving rows (swap: replace dirs) AND the
+            # migrating rows under their new non-drifted cluster ids (move:
+            # file-renames into existing dirs; the two cluster-id sets are
+            # disjoint by construction). The old shape appended movers to
+            # the live corpus BEFORE the swap removed them from the drifted
+            # dirs, so a crash in between duplicated every mover — and a
+            # rerun tripled them. Under the plan protocol a crash either
+            # never touched the corpus or replays to exactly-once renames.
             tmp = self.corpus_path.rstrip("/") + ".tmp-refresh"
-            write_clustered(stay, tmp)
-            jpath = self.spark._jvm.org.apache.hadoop.fs.Path
-            fs = jpath(self.corpus_path).getFileSystem(
-                self.spark._jsc.hadoopConfiguration()
+            write_clustered(reassigned, tmp)
+            mover_clusters = [
+                int(r.cluster_id)
+                for r in reassigned.select("cluster_id")
+                .distinct()
+                .filter(~F.col("cluster_id").isin(drifted))
+                .collect()
+            ]
+            from vector_db_spark.operators.staging import (
+                execute_swap,
+                write_swap_plan,
             )
-            for c in drifted:
-                dst = jpath(os.path.join(self.corpus_path, f"cluster_id={c}"))
-                src = jpath(os.path.join(tmp, f"cluster_id={c}"))
-                fs.delete(dst, True)
-                if fs.exists(src):  # absent when every member migrated out
-                    fs.rename(src, dst)
-            fs.delete(jpath(tmp), True)
+
+            write_swap_plan(self.spark, tmp, drifted, mover_clusters)
+            execute_swap(self.spark, self.corpus_path, tmp)
         return {"max_shift": max_shift, "drifted": drifted, "moved": moved}
 
     # -- maintenance: hot-cluster split ------------------------------------------
@@ -524,9 +556,20 @@ class IVFIndex:
         runs un-hinted (shuffle on ``cluster_id``, the standard
         co-partition exchange against the cluster-partitioned corpus)
         instead of shipping a corpus-shaped probe table to every task."""
+        if metric not in METRICS:
+            raise ValueError(f"unknown metric {metric!r}; choose from {sorted(METRICS)}")
+        # probe ranking uses the SAME metric as final scoring: a euclidean
+        # probe under metric="dot" would aim at the L2-nearest centroids
+        # while the max-inner-product neighbors live in large-norm clusters
+        # far away in L2 — deterministically missing the true top-k
+        # whenever n_probe < n_clusters (for "cosine" the registered path
+        # normalizes first, where the two orders coincide; this guards the
+        # direct-API caller on raw vectors). Ranking ascending by
+        # METRICS[metric] is nearest-under-that-metric by construction
+        # (dot is registered negated).
         probes = top_k_per_group(
             queries.crossJoin(F.broadcast(self.centroids())).withColumn(
-                "__cdist", euclidean(query_vec_col, "centroid")
+                "__cdist", METRICS[metric](F.col(query_vec_col), F.col("centroid"))
             ),
             [query_id_col],
             [F.col("__cdist").asc(), F.col("cluster_id").asc()],

@@ -84,10 +84,21 @@ class IVFPQIndex:
         return self.spark.read.parquet(os.path.join(self.path, "codebooks"))
 
     def codes(self) -> DataFrame:
+        self._assert_no_pending_swap("codes")
         return self.spark.read.parquet(os.path.join(self.path, "codes"))
 
     def corpus(self) -> DataFrame:
+        self._assert_no_pending_swap("corpus")
         return self.spark.read.parquet(os.path.join(self.path, "corpus"))
+
+    def _assert_no_pending_swap(self, sub: str) -> None:
+        # a committed-but-unfinished delete swap can have clusters missing
+        # from the live layout; reading through it would be silently wrong
+        from vector_db_spark.operators.staging import assert_no_pending_swap
+
+        assert_no_pending_swap(
+            self.spark, os.path.join(self.path, sub), self._SWAP_TMPS
+        )
 
     # -- driver-side model tensors (k×dim + m×k×sub — small by definition) ----
 
@@ -156,12 +167,32 @@ class IVFPQIndex:
         )
         assigned.unpersist()
 
+    _SWAP_TMPS = (".tmp-delete",)
+
+    def recover(self) -> dict:
+        """Complete (or discard) any interrupted staged delete swap on
+        either table — see operators/staging.py for the protocol."""
+        from vector_db_spark.operators.staging import recover_staged
+
+        out = {}
+        for sub in ("corpus", "codes"):
+            got = recover_staged(
+                self.spark, os.path.join(self.path, sub), self._SWAP_TMPS
+            )
+            out.update({f"{sub}{k}": v for k, v in got.items()})
+        return out
+
     def delete(self, ids: list[int]) -> None:
-        """Partition-targeted delete across BOTH tables (corpus + codes),
-        staged through a tmp dir and swapped per partition — same contract
+        """Partition-targeted delete across BOTH tables (corpus + codes)
+        via the staged-swap protocol (operators/staging.py) — same contract
         as ``IVFIndex.delete``: cold clusters untouched, fully-emptied
-        cluster directories removed (not left stale), no session conf
-        mutated."""
+        cluster directories retired (not left stale), and a crash at any
+        point either never touched a live table or replays forward through
+        :meth:`recover` — live data is never deleted before its
+        replacement is in place."""
+        from vector_db_spark.operators.staging import execute_swap, write_swap_plan
+
+        self.recover()
         affected = (
             self.codes()
             .filter(F.col(self.id_col).isin(ids))
@@ -172,8 +203,6 @@ class IVFPQIndex:
         clusters = [r.cluster_id for r in affected]
         if not clusters:
             return
-        jpath = self.spark._jvm.org.apache.hadoop.fs.Path
-        fs = jpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
         for sub, df in (("corpus", self.corpus()), ("codes", self.codes())):
             table = os.path.join(self.path, sub)
             remaining = df.filter(
@@ -181,13 +210,8 @@ class IVFPQIndex:
             )
             tmp = table.rstrip("/") + ".tmp-delete"
             write_clustered(remaining, tmp)
-            for c in clusters:
-                dst = jpath(os.path.join(table, f"cluster_id={c}"))
-                src = jpath(os.path.join(tmp, f"cluster_id={c}"))
-                fs.delete(dst, True)
-                if fs.exists(src):  # absent when the whole cluster emptied
-                    fs.rename(src, dst)
-            fs.delete(jpath(tmp), True)
+            write_swap_plan(self.spark, tmp, clusters, [])
+            execute_swap(self.spark, table, tmp)
 
     # -- build ----------------------------------------------------------------
 

@@ -822,11 +822,19 @@ class VersionedTable:
         # pick one txn dir's schema and drop evolved columns from the commit.
         # Parts missing an evolved column (e.g. source predates it) align
         # in as typed NULLs — same semantics as reading their files would.
+        # SOURCE-only columns evolve the schema forward (snapshot cols
+        # first, new source cols appended) — projecting every part to the
+        # snapshot's set alone would silently drop a column the same batch
+        # routed through append()+mergeSchema would have persisted.
         snap_dtypes = self._read_paths(current).dtypes
-        cols = [c for c, _ in snap_dtypes]
+        snap_names = {c for c, _ in snap_dtypes}
+        all_dtypes = snap_dtypes + [
+            (c, t) for c, t in source.dtypes if c not in snap_names
+        ]
+        cols = [c for c, _ in all_dtypes]
         combined = None
         for part in new_parts:
-            for c, t in snap_dtypes:
+            for c, t in all_dtypes:
                 if c not in part.columns:
                     part = part.withColumn(c, F.lit(None).cast(t))
             part = part.select(*cols)
@@ -863,11 +871,19 @@ class VersionedTable:
                 f"vacuumed data file(s), e.g. {missing[0]!r}"
             )
         # the restored files' zones may be absent from the current head —
-        # re-seed them from the target snapshot
-        return self._try_commit(
-            m["files"], f"rollback:{version}", m["n_rows"],
-            pending=m.get("stats", {}),
-        )
+        # re-seed them from the target snapshot. Like overwrite, a rollback
+        # is base-independent (it restores a fixed file list regardless of
+        # what the loser of the race committed), so a lost commit race
+        # retries verbatim — the module contract at the top of this file.
+        for _ in range(5):
+            try:
+                return self._try_commit(
+                    m["files"], f"rollback:{version}", m["n_rows"],
+                    pending=m.get("stats", {}),
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict("rollback lost 5 consecutive commit races")
 
     def compact(
         self, target_files: int = 1, *, zorder_by: Sequence[str] | None = None

@@ -66,7 +66,7 @@ class _ShardPartition(InputPartition):
 
 @dataclass
 class _ShardCommit(WriterCommitMessage):
-    tmp_name: str
+    tmp_name: str | None  # None: empty task partition, nothing staged
 
 
 def _shard_files(path: str) -> list[str]:
@@ -152,6 +152,11 @@ class JsonlShardReader(DataSourceReader):
                 and attr is not None
                 and len(attr) == 1
                 and attr[0] in names
+                # an In list containing NULL must stay with Spark: SQL's
+                # `x IN (1, NULL)` is never TRUE for x = NULL, but arrow's
+                # is_in matches null-to-null — accepting it here would
+                # return rows the built-in sources drop
+                and not (isinstance(f, In) and any(v is None for v in f.value))
             ):
                 self.pushed.append(f)
             else:
@@ -168,6 +173,11 @@ class JsonlShardReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self.schema)
+        # a zero-byte shard (defensive: the writer no longer commits them,
+        # but a truncated copy or a foreign producer can still leave one)
+        # is an empty table, not an ArrowInvalid crash for the whole scan
+        if os.path.getsize(partition.path) == 0:
+            return
         table = pj.read_json(partition.path)
         # project to the declared schema (absent column -> all-null) so
         # heterogeneous shards still read; then cast to the exact target
@@ -251,6 +261,13 @@ class JsonlShardWriter(DataSourceArrowWriter):
                 for row in batch.to_pylist():
                     out.write(json.dumps(row, default=_json_canonical) + "\n")
                     n += 1
+        if n == 0:
+            # never commit a zero-byte shard: pyarrow's read_json raises
+            # ArrowInvalid("Empty JSON file") on it, so one empty task
+            # partition (routine after a filter/repartition) would make
+            # the whole directory unreadable
+            os.remove(os.path.join(self.path, tmp_name))
+            return _ShardCommit(tmp_name=None)
         return _ShardCommit(tmp_name=tmp_name)
 
     def commit(self, messages: list[_ShardCommit]) -> None:  # type: ignore[override]
@@ -260,6 +277,8 @@ class JsonlShardWriter(DataSourceArrowWriter):
         # pinned in tests); overwrite mode clears the survivors instead
         keep = set()
         for msg in messages:
+            if msg.tmp_name is None:  # empty task partition — nothing staged
+                continue
             final = msg.tmp_name[: -len(".tmp")]
             os.replace(
                 os.path.join(self.path, msg.tmp_name), os.path.join(self.path, final)
@@ -272,7 +291,7 @@ class JsonlShardWriter(DataSourceArrowWriter):
 
     def abort(self, messages: list[_ShardCommit]) -> None:  # type: ignore[override]
         for msg in messages:
-            if msg is None:
+            if msg is None or msg.tmp_name is None:
                 continue
             try:
                 os.remove(os.path.join(self.path, msg.tmp_name))
@@ -293,9 +312,13 @@ class JsonlShardDataSource(DataSource):
 
         import pyarrow.json as pj
 
-        files = _shard_files(self.options["path"])
+        files = [
+            f for f in _shard_files(self.options["path"]) if os.path.getsize(f) > 0
+        ]
         if not files:
-            raise FileNotFoundError(f"no .jsonl shards under {self.options['path']!r}")
+            raise FileNotFoundError(
+                f"no non-empty .jsonl shards under {self.options['path']!r}"
+            )
         return from_arrow_schema(pj.read_json(files[0]).schema)
 
     def reader(self, schema: StructType) -> JsonlShardReader:

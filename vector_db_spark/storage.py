@@ -214,6 +214,20 @@ class NodeTable:
         ids, union the new rows, rewrite. With a Delta/Iceberg sink this is
         a MERGE; on plain Parquet it is a rewrite."""
         nodes = self._validate(nodes)
+        # a batch with duplicate ids would append BOTH rows after the
+        # anti-join and permanently break id uniqueness (get() returning 2
+        # rows, delete/append id arithmetic on a non-unique key). There is
+        # no deterministic "last write wins" on an unordered DataFrame, so
+        # reject loudly — same contract as VersionedTable.merge.
+        dup = (
+            nodes.groupBy("id").agg(F.count("*").alias("__n")).filter(F.col("__n") > 1)
+        )
+        dup_rows = dup.limit(5).collect()
+        if dup_rows:
+            raise ValueError(
+                "upsert batch contains duplicate ids (no deterministic "
+                f"last-write order on a DataFrame): {[r['id'] for r in dup_rows]}"
+            )
         existing = self.df()
         # allowMissingColumns: either side may carry evolved columns the
         # other predates — absent cells become null, nothing is dropped
