@@ -487,3 +487,13 @@ def test_stochastic_greedy_materialized_matches_cached(spark, tmp_path):
     )
     assert "PartitionFilters: [" in plan and "__b" in plan.split("PartitionFilters")[1][:80]
 
+
+
+def test_stochastic_sample_size_rejects_eps_underflow():
+    import pytest
+
+    from vector_db_spark.operators.selection import stochastic_sample_size
+
+    with pytest.raises(ValueError, match="too close to 1"):
+        stochastic_sample_size(1000, 10, 0.9999999999)
+    assert stochastic_sample_size(1000, 10, 0.1) > 0

@@ -92,3 +92,74 @@ def test_containment_is_directional(spark):
     out = {(r.doc_a, r.doc_b): r.containment
            for r in containment_pairs(shingle_table(docs), threshold=0.9).collect()}
     assert out == {(1, 2): 1.0}
+
+
+def test_prefix_filter_float_boundary_pairs_not_missed(spark):
+    """θ whose double repr creeps past exact products (0.55·20 =
+    11.000000000000002) must not shorten the prefix or trip the size
+    pre-cut: |A|=11 ⊂ |B|=20 has J = 11/20 = 0.55 exactly and MUST
+    surface. Planted so A's sole shared prefix token sits at the boundary
+    position the old float ceil cut off."""
+    from vector_db_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    a_items = [f"s{i:02d}" for i in range(11)]
+    b_items = a_items + [f"only_b{i}" for i in range(9)]
+    rows = [(1, s) for s in a_items] + [(2, s) for s in b_items]
+    # pad the df landscape so rare-first ordering is deterministic
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(sh, threshold=0.55).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)] == 0.55
+
+
+def test_containment_float_boundary_pair_not_missed(spark):
+    """Same boundary for the one-sided filter: |A|=20 with exactly 11
+    items inside B at θ=0.55 (containment = 0.55 exactly) must surface in
+    the A→B direction."""
+    from vector_db_spark.operators.dedup import containment_pairs
+
+    shared = [f"sh{i:02d}" for i in range(11)]
+    a_only = [f"ao{i}" for i in range(9)]
+    b_only = [f"bo{i}" for i in range(5)]
+    rows = [(1, s) for s in shared + a_only] + [(2, s) for s in shared + b_only]
+    items = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(items, threshold=0.55).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)] == 0.55
+
+
+def test_band_keys_rejects_degenerate_band_count(spark):
+    """n_bands that does not divide the signature width (or exceeds it)
+    must raise in-execution, not silently band the same first cell."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.operators.dedup import band_keys
+
+    wide = spark.createDataFrame(
+        [(1, [f"h{i}" for i in range(8)])], "doc_id long, sig array<string>"
+    )
+    with pytest.raises(Exception, match="must divide the signature width"):
+        band_keys(wide, n_bands=16).collect()
+    with pytest.raises(Exception, match="must divide the signature width"):
+        band_keys(wide, n_bands=3).collect()
+    assert band_keys(wide, n_bands=4).count() == 4
+
+
+def test_dedup_retain_best_rejects_string_ids(spark):
+    import pytest
+
+    from vector_db_spark.operators.dedup import dedup_retain_best
+
+    df = spark.createDataFrame(
+        [("url-a", "some text here"), ("url-b", "some text here")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(ValueError, match="integral column"):
+        dedup_retain_best(df)

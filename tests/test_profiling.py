@@ -228,3 +228,16 @@ def test_spherical_euclid_matches_cosine_topk(spark, sf_smoke):
     a = {(r.query_id, r.neighbor_id) for r in eu.collect()}
     b = {(r.query_id, r.neighbor_id) for r in co.collect()}
     assert len(a & b) / len(a | b) >= 0.9
+
+
+def test_interleave_keeps_null_group_rows(spark):
+    """A NULL group key (missing domain/language) must keep its rows in
+    the interleaved order — plain equality joins drop them silently."""
+    from vector_db_spark.operators.packing import interleave_by_group
+
+    rows = [(i, "g" + str(i % 2)) for i in range(10)] + [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = interleave_by_group(df, "g").collect()
+    assert len(out) == 12
+    assert {r.doc_id for r in out if r.g is None} == {100, 101}
+    assert len({r.interleave_rank for r in out}) == 12

@@ -243,3 +243,37 @@ def test_derive_lsh_geometry_warns_when_floor_unreachable():
         warnings.simplefilter("always")
         derive_lsh_geometry(500, threshold=0.9)  # fixture scale: no warning
     assert not w
+
+
+def test_sparse_cosine_overflow_guard_trips_loudly(spark):
+    """A spammy doc whose tf-idf weight norm would overflow the 1e12
+    fixed-point longs must die LOUDLY, not wrap negative and emit garbage
+    cosines: under ANSI (Spark 4 default) the per-row cast raises
+    CAST_OVERFLOW; on non-ANSI clusters the in-plan norm assert catches it
+    with the actionable 'fixed-point' message."""
+    import pytest
+
+    from vector_db_spark.operators.similarity import sparse_cosine_pairs
+
+    # two docs sharing one rare term with enormous tf: w ≈ tf·idf is huge
+    rows = [(1, "raretoken")] * 5000 + [(2, "raretoken")] * 5000
+    rows += [(i, f"fill{i}") for i in range(3, 500)]
+    toks = spark.createDataFrame(rows, "doc_id long, term string")
+    with pytest.raises(Exception, match="fixed-point|CAST_OVERFLOW|ARITHMETIC_OVERFLOW"):
+        sparse_cosine_pairs(toks, max_df_frac=None, max_df=10).collect()
+
+
+def test_lsh_search_accepts_derived_geometry(spark, sf_smoke):
+    """lsh_search exposes n_tables/n_bits so corpus-derived geometry can
+    reach the search path (the fixed h=4 was the measured scale trap)."""
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.similarity import lsh_search
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.limit(3).selectExpr("vec_id as query_id", "embedding as query_vec")
+    out = lsh_search(q, emb, k=3, n_tables=5, n_bits=5)
+    rows = out.collect()
+    assert len(rows) > 0
+    # self-hit still rank 1 under the larger geometry
+    firsts = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    assert all(q_ == n_ for q_, n_ in firsts.items())

@@ -543,3 +543,17 @@ def test_pmi_collocation_ranks_planted_pair_first(spark):
     want = round(math.log((10 / 210) / ((10 / 220) * (10 / 220))), 6)
     assert abs(top.pmi - want) < 1e-9
     assert all(r.n_pair >= _PMI_MIN_PAIR for r in out)
+
+
+def test_quality_score_blank_text_is_zero(spark):
+    """Splitting '' yields [''] (1 'token', diversity 1.0), which scored
+    blank docs 0.505 — above common quality floors. Blank must be 0."""
+    from vector_db_spark.functions.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a real sentence with several words")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.q for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert got[1] == 0.0 and got[2] == 0.0
+    assert got[3] > 0.0

@@ -93,12 +93,20 @@ def doc_fingerprint(col: Column | str, prefix_tokens: int | None = None) -> Colu
 def quality_score(col: Column | str) -> Column:
     """Composite document quality: 0.5·length-saturation (tokens/100 capped
     at 1) + 0.5·lexical diversity (distinct-token ratio), rounded to 6dp.
-    The filterable scalar a training-data prep job thresholds on."""
+    The filterable scalar a training-data prep job thresholds on.
+
+    Blank/whitespace-only text scores 0: splitting '' yields [''] (size 1,
+    diversity 1.0), which would otherwise score 0.505 — above common
+    quality floors, so empty documents would pass the very filter that
+    exists to remove junk."""
+    c = F.col(col) if isinstance(col, str) else col
     t = tokens(col)
-    return F.round(
-        0.5 * F.least(F.size(t) / F.lit(100.0), F.lit(1.0))
-        + 0.5 * (F.size(F.array_distinct(t)).cast("double") / F.size(t)),
-        6,
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            0.5 * F.least(F.size(t) / F.lit(100.0), F.lit(1.0))
+            + 0.5 * (F.size(F.array_distinct(t)).cast("double") / F.size(t)),
+            6,
+        )
     )
 
 

@@ -28,10 +28,22 @@ from vector_db_spark.functions.distance import cosine_similarity
 from vector_db_spark.functions.text import (
     doc_fingerprint,
     shingles,
+    token_count,
     tokens,
     winnow_fingerprints,
 )
 from vector_db_spark.io import ensure_parallelism
+
+
+def _t_lo(threshold: float) -> int:
+    """Threshold floored to 6dp fixed point (×1e6). Candidate-stage bounds
+    (prefix lengths, size pre-cuts) use this UNDER-estimate in exact
+    integer arithmetic: the stage can only get more permissive, so the
+    zero-miss completeness guarantee survives any float representation of
+    ``threshold``; the exact verify stage discards the few extras."""
+    import math
+
+    return int(math.floor(threshold * 1_000_000))
 
 
 def exact_dedup(
@@ -121,24 +133,31 @@ def band_keys(
 ) -> DataFrame:
     """(id, band, band_key): LSH band digests derived map-side from the
     wide signature row (md5 of the comma-joined band slice) — no
-    re-aggregation of an exploded signature, zero extra shuffles."""
+    re-aggregation of an exploded signature, zero extra shuffles.
+
+    ``n_bands`` must divide the signature width: a non-divisor silently
+    leaves trailing signature cells un-banded, and n_bands > n_hashes
+    degenerates the band width to 0 — every band would slice the SAME
+    first cell, turning the threshold curve into "docs agreeing on one
+    minhash" with exploding candidate volume. The width is data-carried
+    (``sig`` is an array column), so the check is an in-expression
+    assert_true rather than a plan-time raise."""
+    width = F.when(
+        F.assert_true(
+            (F.size("sig") % n_bands == 0) & (F.size("sig") >= n_bands),
+            F.concat(
+                F.lit(f"n_bands={n_bands} must divide the signature width "),
+                F.size("sig").cast("string"),
+            ),
+        ).isNull(),
+        (F.size("sig") / n_bands).cast("int"),
+    )
     return wide.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.slice(
-                            "sig",
-                            b * (F.size("sig") / n_bands).cast("int") + 1,
-                            F.greatest(
-                                (F.size("sig") / n_bands).cast("int"), F.lit(1)
-                            ),
-                        ),
-                    )
-                ),
+                lambda b: F.md5(F.concat_ws(",", F.slice("sig", b * width + 1, width))),
             )
         ).alias("band", "band_key"),
     )
@@ -268,6 +287,16 @@ def dedup_retain_best(
     from vector_db_spark.operators.knn_graph import components_from_edges
     from pyspark.sql import Window
 
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # components_from_edges (and the coalesce fallback below) cast ids
+        # to long; a string/uuid id would cast to NULL, collapsing the
+        # ENTIRE corpus into one NULL component and surviving exactly one
+        # document — silent near-total data loss. Pre-map ids instead.
+        raise ValueError(
+            f"{id_col!r} must be an integral column (got {id_type}): map "
+            "string ids to a dense long (e.g. global_row_number) first"
+        )
     pairs = near_dup_pairs_minhash(
         df, text_col, id_col, n=n, n_hashes=n_hashes, n_bands=n_bands, threshold=threshold
     )
@@ -617,7 +646,10 @@ def repeated_ngram_spans(
     )
     starts = flagged.groupBy(id_col).agg(F.count("*").alias("n_rep_starts"))
     return (
-        df.select(F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens"))
+        # token_count, not size(tokens(...)): blank text must report 0
+        # tokens here, consistent with the accounting packing uses —
+        # size(split('')) is 1 and would skew rep_token_frac denominators
+        df.select(F.col(id_col), token_count(text_col).cast("long").alias("n_tokens"))
         .join(starts, id_col, "left")
         .join(per_doc, id_col, "left")
         .select(
@@ -838,10 +870,20 @@ def prefix_filter_jaccard_pairs(
             ).alias("__set")
         )
         .withColumn("__sz", F.size("__set"))
-        # prefix length: |S| - ceil(θ|S|) + 1
+        # prefix length: |S| - ceil(θ|S|) + 1, with ceil in CONSERVATIVE
+        # fixed point — raw float ceil(θ·|S|) lands one too high whenever
+        # the double product creeps past the exact integer (0.55·20 =
+        # 11.000000000000002 → ceil 12), shortening the prefix and
+        # breaking the zero-miss guarantee. flooring θ to 6dp before the
+        # exact integer ceil can only LENGTHEN the prefix (extra
+        # candidates, killed by the exact verify) — completeness holds.
         .withColumn(
             "__plen",
-            F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int") + 1,
+            F.col("__sz")
+            - F.floor(
+                (F.lit(_t_lo(threshold)) * F.col("__sz") + 999_999) / 1_000_000
+            ).cast("int")
+            + 1,
         )
     )
     # feeds the prefix explode AND both set lookups
@@ -858,10 +900,15 @@ def prefix_filter_jaccard_pairs(
     cand = (
         a.join(b, "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        # size filter: |A| ≥ θ|B| is necessary for J ≥ θ (cheap pre-cut)
+        # size filter: |A| ≥ θ|B| is necessary for J ≥ θ (cheap pre-cut);
+        # integer compare against the FLOORED fixed-point θ — the raw
+        # float product drops the boundary-legal pair (|A|=11, |B|=20 at
+        # θ=0.55: 11 >= 11.000000000000002 is false)
         .filter(
-            (F.col("__za") >= F.lit(threshold) * F.col("__zb"))
-            & (F.col("__zb") >= F.lit(threshold) * F.col("__za"))
+            (F.col("__za").cast("long") * 1_000_000
+             >= F.lit(_t_lo(threshold)) * F.col("__zb").cast("long"))
+            & (F.col("__zb").cast("long") * 1_000_000
+               >= F.lit(_t_lo(threshold)) * F.col("__za").cast("long"))
         )
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
@@ -929,10 +976,16 @@ def containment_pairs(
             ).alias("__set")
         )
         .withColumn("__sz", F.size("__set"))
-        # one-sided prefix: |A| - ceil(θ|A|) + 1 items suffice (pigeonhole)
+        # one-sided prefix: |A| - ceil(θ|A|) + 1 items suffice (pigeonhole);
+        # conservative fixed-point ceil — see prefix_filter_jaccard_pairs
+        # for the float-boundary miss this prevents
         .withColumn(
             "__plen",
-            F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int") + 1,
+            F.col("__sz")
+            - F.floor(
+                (F.lit(_t_lo(threshold)) * F.col("__sz") + 999_999) / 1_000_000
+            ).cast("int")
+            + 1,
         )
     )
     # feeds the prefix explode, full postings, both set lookups
@@ -950,8 +1003,12 @@ def containment_pairs(
     cand = (
         pref_a.join(posts_b, "tok")
         .filter(F.col("doc_a") != F.col("doc_b"))
-        # |A∩B| ≥ θ|A| and |A∩B| ≤ |B|  ⇒  |B| ≥ θ|A| (necessary, cheap)
-        .filter(F.col("__zb") >= F.lit(threshold) * F.col("__za"))
+        # |A∩B| ≥ θ|A| and |A∩B| ≤ |B|  ⇒  |B| ≥ θ|A| (necessary, cheap);
+        # integer compare against floored fixed-point θ — boundary-exact
+        .filter(
+            F.col("__zb").cast("long") * 1_000_000
+            >= F.lit(_t_lo(threshold)) * F.col("__za").cast("long")
+        )
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -205,7 +205,10 @@ def interleave_by_group(
     return (
         df.withColumn("__h", h)
         .withColumn("__r", F.row_number().over(w))
-        .join(F.broadcast(groups), F.col(group_col) == F.col("__g"))
+        # eqNullSafe: a NULL group (missing domain/language — routine in
+        # crawled corpora) must keep its rows; plain == drops every
+        # NULL-group row silently because NULL == NULL is not true
+        .join(F.broadcast(groups), F.col(group_col).eqNullSafe(F.col("__g")))
         .withColumn(
             "interleave_rank",
             (F.col("__r") - 1) * F.lit(n_groups) + F.col("__gidx"),

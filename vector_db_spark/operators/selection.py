@@ -51,6 +51,10 @@ def stochastic_sample_size(n: int, k: int, eps: float) -> int:
     scaled by 1e9), so Spark and the SQL oracle compute the identical
     sample size with no float-boundary divergence."""
     c_fp = int(round(math.log(1.0 / eps) * _FP))
+    if c_fp == 0:
+        # eps so close to 1 that ln(1/eps) rounds to 0 in fixed point —
+        # the sample size (and bucket count n // s) would be 0
+        raise ValueError(f"eps={eps} too close to 1: sample size underflows to 0")
     return -(-(n * c_fp) // (k * _FP))
 
 

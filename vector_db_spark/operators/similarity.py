@@ -270,16 +270,26 @@ def lsh_search(
     vec_col: str = "embedding",
     round_to: int | None = 6,
     multiprobe: bool = False,
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
 ) -> DataFrame:
     """ANN top-k within the union of the query's L buckets. With
     ``multiprobe=True`` each query additionally probes every bucket one
     bit-flip away in each table (``expand_probe_buckets``) — ~(1+h)× the
     candidate volume for strictly higher recall, corpus-side storage
-    unchanged."""
-    cbuckets = hyperplane_lsh_buckets(corpus, vec_col, id_col)
-    qbuckets = hyperplane_lsh_buckets(queries, query_vec_col, query_id_col).withColumnRenamed(
-        query_id_col, "query_id"
+    unchanged.
+
+    ``n_tables``/``n_bits`` default to the oracle-pinned literals (the
+    fixture-scale geometry); at corpus scale pass
+    ``derive_lsh_geometry(n)`` — SCALE.md measured the fixed h=4 as
+    "unusable by construction" at 200 k vectors (16 buckets/table ⇒
+    ~L·n/16 candidates per query)."""
+    cbuckets = hyperplane_lsh_buckets(
+        corpus, vec_col, id_col, n_tables=n_tables, n_bits=n_bits
     )
+    qbuckets = hyperplane_lsh_buckets(
+        queries, query_vec_col, query_id_col, n_tables=n_tables, n_bits=n_bits
+    ).withColumnRenamed(query_id_col, "query_id")
     if multiprobe:
         qbuckets = expand_probe_buckets(qbuckets)
     # dedup collisions on bare (query_id, neighbor_id) ids — carrying the
@@ -495,8 +505,32 @@ def sparse_cosine_pairs(
     )
     norms = (
         w.groupBy(id_col)
-        .agg(F.sum(F.round(F.col("w") * F.col("w") * 1e12).cast("long")).alias("n2"))
-        .select(id_col, F.sqrt(F.col("n2").cast("double") / 1e12).alias("norm"))
+        .agg(
+            F.sum(F.round(F.col("w") * F.col("w") * 1e12).cast("long")).alias("n2"),
+            F.sum(F.col("w") * F.col("w")).alias("__n2d"),
+        )
+        # overflow guard, in-plan (no extra pass): the docstring's |w|
+        # headroom is enforced NOWHERE by the input — a spammy doc with
+        # tf=300 on a rare term reaches w≈3600, whose squared fixed-point
+        # contribution alone exceeds Long.MaxValue. Under ANSI (Spark 4
+        # default) the cast/sum already raise, cryptically; on non-ANSI
+        # clusters they WRAP SILENTLY — this assert is the actionable
+        # message for the former and the only protection for the latter.
+        # A per-doc Σw²·1e12 < 9e18 bound also covers every pair dot by
+        # Cauchy-Schwarz (|Σ wa·wb| ≤ ‖a‖‖b‖).
+        .select(
+            id_col,
+            F.when(
+                F.assert_true(
+                    F.col("__n2d") * 1e12 < F.lit(9.0e18),
+                    F.lit(
+                        "tf-idf weight norm overflows the 1e12 fixed-point "
+                        "long — cap tf or tighten the df cut"
+                    ),
+                ).isNull(),
+                F.sqrt(F.col("n2").cast("double") / 1e12),
+            ).alias("norm"),
+        )
     )
     # The postings table is SMALL (O(docs·terms) rows) but the term
     # self-join EXPANDS it to Σ df² rows — AQE sizes the stream side by

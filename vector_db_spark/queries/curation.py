@@ -32,6 +32,9 @@ from vector_db_spark.queries import register
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 
+# shared quality-score SQL (one definition — see queries/text.py)
+from vector_db_spark.queries.text import _QUALITY_SQL  # noqa: E402  isort: skip
+
 
 def _grams_sql(n: int, src: str = "documents", distinct: bool = False) -> str:
     """DuckDB word-n-gram stream ``(doc_id, g)`` — mirrors
@@ -372,12 +375,15 @@ per AS (
   FROM cov GROUP BY doc_id
 ),
 st AS (SELECT doc_id, COUNT(*) AS n_rep_starts FROM flag GROUP BY doc_id)
-SELECT tk.doc_id, len(tk.t)::BIGINT AS n_tokens,
+SELECT tk.doc_id,
+       (CASE WHEN len(trim(d.text)) = 0 THEN 0 ELSE len(tk.t) END)::BIGINT
+         AS n_tokens,
        COALESCE(st.n_rep_starts, 0)::BIGINT AS n_rep_starts,
        COALESCE(per.n_spans, 0)::BIGINT AS n_spans,
        round(least(COALESCE(per.rep_tokens, 0) * 1.0 / len(tk.t), 1.0), 6)
          AS rep_token_frac
-FROM toks tk LEFT JOIN st USING (doc_id) LEFT JOIN per USING (doc_id)
+FROM toks tk JOIN documents d USING (doc_id)
+LEFT JOIN st USING (doc_id) LEFT JOIN per USING (doc_id)
 """
 
 
@@ -701,9 +707,7 @@ def event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH s AS (
   SELECT doc_id, lang,
-         round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
-             + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6
-         ) AS quality
+         {_QUALITY_SQL} AS quality
   FROM documents
 ), r AS (
   SELECT doc_id, lang, quality,
@@ -955,12 +959,10 @@ def quality_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_weighted_draw",
     extra=True,
-    oracle="""
+    oracle=f"""
 WITH s AS (
   SELECT doc_id,
-         round(0.5 * least(len(string_split_regex(lower(trim(text)), '\\s+')) / 100.0, 1.0)
-             + 0.5 * (CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
-                      / len(string_split_regex(lower(trim(text)), '\\s+'))), 6) AS quality,
+         {_QUALITY_SQL} AS quality,
          ('0x' || substr(md5(doc_id::VARCHAR || ':wsample'), 1, 13))::UBIGINT::DOUBLE
            / 4503599627370496e0 AS u
   FROM documents),

@@ -51,6 +51,17 @@ from vector_db_spark.queries import register
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 
+# the composite quality score, shared by every oracle that replays
+# functions.text.quality_score — ONE definition so the Spark formula and
+# its SQL replica cannot drift. Blank/whitespace-only text scores 0 (the
+# split of '' is [''], which would otherwise score 0.505 and sail past
+# every quality floor).
+_QUALITY_SQL = (
+    "(CASE WHEN len(trim(text)) = 0 THEN 0.0"
+    f" ELSE round(0.5 * least(len({_TOKS}) / 100.0, 1.0)"
+    f" + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) END)"
+)
+
 # --- text statistics ---------------------------------------------------------
 
 @register(
@@ -187,9 +198,7 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_quality",
     oracle=f"""
 SELECT doc_id,
-       round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
-           + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6
-       ) AS quality
+       {_QUALITY_SQL} AS quality
 FROM documents
 """,
 )
@@ -563,8 +572,7 @@ comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
 labeled AS (
   SELECT d.doc_id,
          COALESCE(c.component, d.doc_id) AS component,
-         round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
-             + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) AS quality
+         {_QUALITY_SQL} AS quality
   FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 )
 SELECT doc_id, component, cluster_size, quality FROM (
@@ -587,8 +595,7 @@ def dedup_retain_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH stage1 AS (
   SELECT doc_id, text FROM documents
   WHERE lang = 'en' AND len({_TOKS}) >= 25
-    AND round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
-            + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) >= 0.48
+    AND {_QUALITY_SQL} >= 0.48
 ),
 fp AS (SELECT doc_id, text, md5(array_to_string({_TOKS}, ' ')) AS f FROM stage1),
 keep AS (SELECT f, MIN(doc_id) AS kid FROM fp GROUP BY f),
@@ -608,8 +615,7 @@ losers AS (
   WHERE round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
 )
 SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
-       round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
-           + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) AS quality
+       {_QUALITY_SQL} AS quality
 FROM stage2 WHERE doc_id NOT IN (SELECT doc_b FROM losers)
 """,
 )
@@ -897,8 +903,7 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT doc_id, quality, bucket FROM (
   SELECT doc_id,
-         round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
-             + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) AS quality,
+         {_QUALITY_SQL} AS quality,
          ((strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':cur'), 1, 1)) - 1) * 16
         + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':cur'), 2, 1)) - 1))::INTEGER AS bucket
   FROM documents
@@ -1080,8 +1085,7 @@ _TDP_ORACLE = f"""
 WITH stage1 AS (
   SELECT doc_id, text FROM documents
   WHERE lang = 'en' AND len({_TOKS}) >= 25
-    AND round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
-            + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) >= 0.48
+    AND {_QUALITY_SQL} >= 0.48
 ),
 fp AS (SELECT doc_id, text, md5(array_to_string({_TOKS}, ' ')) AS f FROM stage1),
 keep AS (SELECT f, MIN(doc_id) AS kid FROM fp GROUP BY f),
@@ -1524,8 +1528,7 @@ def tfidf_cosine_pairs_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
     oracle=f"""
 WITH s AS (
-  SELECT round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
-             + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})), 6) AS q,
+  SELECT {_QUALITY_SQL} AS q,
          md5(array_to_string(list_slice({_TOKS}, 1, 5), ' ')) AS fp
   FROM documents),
 lab AS (SELECT q, (count(*) OVER (PARTITION BY fp)) > 1 AS dup FROM s),
