@@ -277,3 +277,62 @@ def test_lsh_search_accepts_derived_geometry(spark, sf_smoke):
     # self-hit still rank 1 under the larger geometry
     firsts = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
     assert all(q_ == n_ for q_, n_ in firsts.items())
+
+
+def test_derive_lsh_geometry_strict_and_multiprobe():
+    """strict=True turns the floor-unattainable clamp into a ValueError
+    (a warning is not an interface — nobody reads executor logs at
+    100 TB); multiprobe=True re-derives L against the d<=1 probe
+    collision probability P = p^h + h*p^(h-1)*(1-p), which holds the
+    same floor within the table budget at corpus sizes where the base
+    geometry cannot."""
+    import math
+
+    import pytest
+
+    from vector_db_spark.operators.similarity import derive_lsh_geometry
+
+    # 5M vectors at floor 0.9: base geometry needs L=31 > 16 -> strict raises
+    with pytest.raises(ValueError, match="recall floor"):
+        derive_lsh_geometry(5_000_000, threshold=0.9, strict=True)
+
+    # multiprobe derivation holds the floor inside the budget, strictly
+    tables, h = derive_lsh_geometry(
+        5_000_000, threshold=0.9, multiprobe=True, strict=True
+    )
+    assert tables <= 16
+    p = 1.0 - math.acos(0.9) / math.pi
+    per = p**h + h * p ** (h - 1) * (1.0 - p)
+    assert 1.0 - (1.0 - per) ** tables >= 0.9 - 1e-12
+
+    # attainable floors are unaffected by strict
+    assert derive_lsh_geometry(500, threshold=0.9, strict=True) == (
+        derive_lsh_geometry(500, threshold=0.9)
+    )
+
+
+def test_embedding_near_dup_auto_multiprobe(spark, sf_smoke):
+    """When the derived base geometry cannot hold the recall floor within
+    the table budget (forced here via corpus_count=5M, where strict base
+    derivation raises — see test above), the default dedup path must
+    auto-escalate to multiprobe rather than warn-and-clamp: the call
+    succeeds, the probe-expanded join still finds a planted exact
+    duplicate (cos=1 shares every bucket), and nothing is invented."""
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.dedup import embedding_near_dup_blocked
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    base = emb.orderBy("vec_id").limit(50)
+    planted = base.orderBy("vec_id").limit(1)
+    dup = planted.selectExpr("vec_id + 1000000 as vec_id", "embedding")
+    corpus = base.unionByName(dup)
+    first_id = planted.first().vec_id
+    out = embedding_near_dup_blocked(
+        corpus, threshold=0.9, corpus_count=5_000_000
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (first_id, first_id + 1_000_000) in pairs
+    # verification is exact within candidates: every emitted pair really
+    # clears the threshold (checked by construction of cos_sim filter),
+    # and ids never pair with themselves
+    assert all(a < b for a, b in pairs)

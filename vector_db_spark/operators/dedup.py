@@ -500,16 +500,33 @@ def embedding_near_dup_blocked(
     geometry GROWS with the corpus (already (5, 5) at n=2000), so callers
     that must stay bit-identical to a pinned oracle (the registered
     ``embedding_near_dup`` query) pass ``n_tables``/``n_bits`` explicitly
-    — passing either knob pins that knob and derives nothing."""
+    — passing either knob pins that knob and derives nothing.
+
+    The recall floor is NOT silently tradable on this default path:
+    geometry derivation runs strict. When the floor needs more tables
+    than the budget allows (past ~300 k vectors at floor 0.9), the
+    blocker AUTO-ESCALATES to multi-probe — one join side expands to
+    every Hamming-distance-1 bucket (``expand_probe_buckets``), the
+    geometry re-derives against the multiprobe collision probability
+    P(d≤1) = p^h + h·p^(h−1)(1−p), and if even that cannot hold the
+    floor the call RAISES instead of quietly missing near-dups."""
     from vector_db_spark.operators import similarity as _sim
     from vector_db_spark.operators.similarity import (
         derive_lsh_geometry,
+        expand_probe_buckets,
         hyperplane_lsh_buckets,
     )
 
+    use_multiprobe = False
     if n_tables is None and n_bits is None:
         n = corpus_count if corpus_count is not None else df.count()
-        n_tables, n_bits = derive_lsh_geometry(n, threshold=threshold)
+        try:
+            n_tables, n_bits = derive_lsh_geometry(n, threshold=threshold, strict=True)
+        except ValueError:
+            n_tables, n_bits = derive_lsh_geometry(
+                n, threshold=threshold, multiprobe=True, strict=True
+            )
+            use_multiprobe = True
     buckets = hyperplane_lsh_buckets(
         df,
         vec_col,
@@ -519,6 +536,12 @@ def embedding_near_dup_blocked(
     )
     a = buckets.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
+    if use_multiprobe:
+        # one side only: probing is symmetric at d≤1 (y ∈ probes(x) ⟺
+        # x ∈ probes(y)), so expanding A alone finds every unordered
+        # pair the analytic recall accounts for, at (1+h)× — not
+        # (1+h)² — candidate volume.
+        a = expand_probe_buckets(a, n_bits if n_bits is not None else _sim.N_BITS)
     cand = (
         a.join(b, ["table_idx", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -657,12 +680,21 @@ def repeated_ngram_spans(
             "n_tokens",
             F.coalesce("n_rep_starts", F.lit(0)).cast("long").alias("n_rep_starts"),
             F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.round(
-                F.least(
-                    F.coalesce("__rep_tokens", F.lit(0)) / F.col("n_tokens"), F.lit(1.0)
-                ),
-                6,
-            ).alias("rep_token_frac"),
+            # n_tokens == 0 (blank/whitespace-only text) must yield 0.0,
+            # matching the oracle's CASE — the raw division is NULL on
+            # non-ANSI (which F.least SKIPS, misreporting 1.0) and raises
+            # DIVIDE_BY_ZERO under Spark 4's ANSI default.
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.least(
+                        F.coalesce("__rep_tokens", F.lit(0)) / F.col("n_tokens"),
+                        F.lit(1.0),
+                    ),
+                    6,
+                )
+            )
+            .alias("rep_token_frac"),
         )
     )
 
@@ -877,11 +909,15 @@ def prefix_filter_jaccard_pairs(
         # breaking the zero-miss guarantee. flooring θ to 6dp before the
         # exact integer ceil can only LENGTHEN the prefix (extra
         # candidates, killed by the exact verify) — completeness holds.
+        # __sz casts to long BEFORE the multiply: t_lo·|S| is int32*int32
+        # otherwise, and a doc with >~2^31/t_lo items wraps (non-ANSI) or
+        # raises ARITHMETIC_OVERFLOW (Spark 4 ANSI default).
         .withColumn(
             "__plen",
             F.col("__sz")
             - F.floor(
-                (F.lit(_t_lo(threshold)) * F.col("__sz") + 999_999) / 1_000_000
+                (F.lit(_t_lo(threshold)) * F.col("__sz").cast("long") + 999_999)
+                / 1_000_000
             ).cast("int")
             + 1,
         )
@@ -978,12 +1014,14 @@ def containment_pairs(
         .withColumn("__sz", F.size("__set"))
         # one-sided prefix: |A| - ceil(θ|A|) + 1 items suffice (pigeonhole);
         # conservative fixed-point ceil — see prefix_filter_jaccard_pairs
-        # for the float-boundary miss this prevents
+        # for the float-boundary miss this prevents (and for why __sz
+        # casts to long before the int32-literal multiply)
         .withColumn(
             "__plen",
             F.col("__sz")
             - F.floor(
-                (F.lit(_t_lo(threshold)) * F.col("__sz") + 999_999) / 1_000_000
+                (F.lit(_t_lo(threshold)) * F.col("__sz").cast("long") + 999_999)
+                / 1_000_000
             ).cast("int")
             + 1,
         )

@@ -170,16 +170,42 @@ class IVFPQIndex:
     _SWAP_TMPS = (".tmp-delete",)
 
     def recover(self) -> dict:
-        """Complete (or discard) any interrupted staged delete swap on
-        either table — see operators/staging.py for the protocol."""
-        from vector_db_spark.operators.staging import recover_staged
+        """Complete (or discard) any interrupted staged delete swap as a
+        PAIR. The corpus plan is the pair's single commit point (see
+        :meth:`delete` for the ordering that makes this sound): if the
+        corpus staging dir carries a plan, BOTH swaps are driven forward
+        (the codes plan was durably written earlier, so it exists); if
+        not, both staging dirs are discarded — a codes plan without a
+        corpus plan never touched a live table and must not be replayed
+        alone, or the pair would diverge."""
+        from vector_db_spark.operators.staging import (
+            _hadoop_fs,
+            execute_swap,
+            read_swap_plan,
+            recover_staged,
+        )
 
-        out = {}
-        for sub in ("corpus", "codes"):
-            got = recover_staged(
-                self.spark, os.path.join(self.path, sub), self._SWAP_TMPS
-            )
-            out.update({f"{sub}{k}": v for k, v in got.items()})
+        corpus_table = os.path.join(self.path, "corpus")
+        codes_table = os.path.join(self.path, "codes")
+        out: dict[str, str] = {}
+        for suffix in self._SWAP_TMPS:
+            corpus_tmp = corpus_table.rstrip("/") + suffix
+            codes_tmp = codes_table.rstrip("/") + suffix
+            if read_swap_plan(self.spark, corpus_tmp) is not None:
+                # pair committed: drive both forward (idempotent)
+                execute_swap(self.spark, codes_table, codes_tmp)
+                execute_swap(self.spark, corpus_table, corpus_tmp)
+                out[f"corpus{suffix}"] = out[f"codes{suffix}"] = "completed"
+            else:
+                # pre-commit: discard any staging (incl. a codes plan —
+                # the pair never committed). recover_staged discards
+                # plan-less tmps; force-discard a planned codes tmp too.
+                jpath, fs = _hadoop_fs(self.spark, codes_tmp)
+                if fs.exists(jpath(codes_tmp)):
+                    fs.delete(jpath(codes_tmp), True)
+                    out[f"codes{suffix}"] = "discarded"
+                got = recover_staged(self.spark, corpus_table, (suffix,))
+                out.update({f"corpus{k}": v for k, v in got.items()})
         return out
 
     def delete(self, ids: list[int]) -> None:
@@ -189,7 +215,14 @@ class IVFPQIndex:
         cluster directories retired (not left stale), and a crash at any
         point either never touched a live table or replays forward through
         :meth:`recover` — live data is never deleted before its
-        replacement is in place."""
+        replacement is in place.
+
+        Pair atomicity: BOTH tables are staged before either plan is
+        written; the codes plan lands first and the corpus plan is the
+        pair's commit point. A crash before the corpus plan → both
+        stagings discarded (old pair intact); after → :meth:`recover`
+        replays both forward. The two tables can never settle on
+        different sides of the delete."""
         from vector_db_spark.operators.staging import execute_swap, write_swap_plan
 
         self.recover()
@@ -203,6 +236,7 @@ class IVFPQIndex:
         clusters = [r.cluster_id for r in affected]
         if not clusters:
             return
+        tables = {}
         for sub, df in (("corpus", self.corpus()), ("codes", self.codes())):
             table = os.path.join(self.path, sub)
             remaining = df.filter(
@@ -210,8 +244,11 @@ class IVFPQIndex:
             )
             tmp = table.rstrip("/") + ".tmp-delete"
             write_clustered(remaining, tmp)
-            write_swap_plan(self.spark, tmp, clusters, [])
-            execute_swap(self.spark, table, tmp)
+            tables[sub] = (table, tmp)
+        write_swap_plan(self.spark, tables["codes"][1], clusters, [])
+        write_swap_plan(self.spark, tables["corpus"][1], clusters, [])  # commit
+        execute_swap(self.spark, *tables["codes"])
+        execute_swap(self.spark, *tables["corpus"])
 
     # -- build ----------------------------------------------------------------
 

@@ -63,6 +63,8 @@ def derive_lsh_geometry(
     max_bits: int = 24,
     min_tables: int = N_TABLES,
     max_tables: int = 16,
+    multiprobe: bool = False,
+    strict: bool = False,
 ) -> tuple[int, int]:
     """Corpus-derived LSH geometry ``(n_tables, n_bits)`` — the SCALE.md
     round-5 rule of thumb made executable instead of documented:
@@ -86,7 +88,19 @@ def derive_lsh_geometry(
     cheap count (or pass one they already have). Bounds: h ∈ [min_bits,
     max_bits] (2^24 buckets ≈ 16M — beyond that, shard the corpus), L ∈
     [min_tables, max_tables] (each table is one more bucket-join pass).
-    Defaults at fixture scale collapse to the oracle-pinned (4, 4)."""
+    Defaults at fixture scale collapse to the oracle-pinned (4, 4).
+
+    ``multiprobe=True`` derives L for a search that ALSO probes every
+    Hamming-distance-1 bucket (:func:`expand_probe_buckets`): the
+    per-table collision probability rises to P(d ≤ 1) = p^h +
+    h·p^(h−1)(1−p), so the same recall floor needs far fewer tables —
+    callers that enable it must actually expand one join side or the
+    analytic floor is fiction. ``strict=True`` turns the
+    floor-unattainable clamp into a ``ValueError`` instead of a
+    ``UserWarning`` — at 100 TB nobody reads executor logs; recall-
+    floor-critical callers (near-dup dedup) use this to fail loudly or
+    auto-escalate to multiprobe rather than silently missing 30%+ of
+    true near-dups."""
     import math
 
     h = min_bits
@@ -96,6 +110,10 @@ def derive_lsh_geometry(
     s = min(1.0, max(threshold, 0.85))
     p = 1.0 - math.acos(s) / math.pi
     per_table = p**h
+    if multiprobe:
+        # probe set = base bucket + h one-bit flips ⇒ a pair collides in
+        # a table when its signatures differ in ≤ 1 of the h bits
+        per_table = p**h + h * p ** (h - 1) * (1.0 - p)
     if per_table >= 1.0 or per_table <= 0.0:
         tables = min_tables
     else:
@@ -104,19 +122,23 @@ def derive_lsh_geometry(
         # the floor is NOT silently tradable: past ~300k vectors the
         # required L exceeds the table budget (L=37 at 5M for floor 0.9),
         # and clamping alone would quietly miss 30%+ of true near-dups.
-        # Surface it and name the mitigations.
+        # Raise (strict) or surface it and name the mitigations.
         achieved = 1.0 - (1.0 - per_table) ** max_tables
+        msg = (
+            f"derive_lsh_geometry: recall floor {recall_floor} needs "
+            f"L={tables} tables at h={h}"
+            f"{' even with multiprobe' if multiprobe else ''}; "
+            f"max_tables={max_tables} achieves analytic recall ≈ "
+            f"{achieved:.2f} at the anchor. Raise max_tables, "
+            "pass multiprobe=True on the search side "
+            "(expand_probe_buckets: ~(1+h)x candidates per table), or "
+            "lower target_bucket_size."
+        )
+        if strict:
+            raise ValueError(msg)
         import warnings
 
-        warnings.warn(
-            f"derive_lsh_geometry: recall floor {recall_floor} needs "
-            f"L={tables} tables at h={h}; clamped to max_tables={max_tables} "
-            f"(analytic recall at the anchor ≈ {achieved:.2f}). Raise "
-            "max_tables, pass multiprobe=True on the search side "
-            "(expand_probe_buckets: ~(1+h)x candidates per table), or "
-            "lower target_bucket_size.",
-            stacklevel=2,
-        )
+        warnings.warn(msg + " (clamped)", stacklevel=2)
     return max(min_tables, min(max_tables, tables)), h
 
 
@@ -503,30 +525,43 @@ def sparse_cosine_pairs(
             ).alias("w"),
         )
     )
+    # overflow guards, in-plan (no extra pass): the docstring's |w|
+    # headroom is enforced NOWHERE by the input — a spammy doc with
+    # tf=300 on a rare term reaches w≈3600, whose squared fixed-point
+    # contribution alone exceeds Long.MaxValue. Two layers, because the
+    # failure points differ:
+    #   1. per-ROW, evaluated BEFORE the long cast (under ANSI the raw
+    #      CAST_OVERFLOW would otherwise fire first and this message
+    #      would never be seen): a single w²·1e12 ≥ 9e18 row raises the
+    #      actionable message on every cluster config.
+    #   2. per-DOC on the double sum: rows individually under the bound
+    #      can still sum past it — on non-ANSI the long SUM wraps
+    #      SILENTLY and this assert is the only protection. (Under ANSI
+    #      that same sum raises a raw ARITHMETIC_OVERFLOW before this
+    #      doc-level assert is reached — layer 1 can't help there; the
+    #      raw error is loud, just not friendly.)
+    # A per-doc Σw²·1e12 < 9e18 bound also covers every pair dot by
+    # Cauchy-Schwarz (|Σ wa·wb| ≤ ‖a‖‖b‖).
+    _sq = F.col("w") * F.col("w") * 1e12
+    _overflow_msg = F.lit(
+        "tf-idf weight norm overflows the 1e12 fixed-point "
+        "long — cap tf or tighten the df cut"
+    )
+    _row_guarded = F.when(
+        F.assert_true(_sq < F.lit(9.0e18), _overflow_msg).isNull(),
+        F.round(_sq).cast("long"),
+    )
     norms = (
         w.groupBy(id_col)
         .agg(
-            F.sum(F.round(F.col("w") * F.col("w") * 1e12).cast("long")).alias("n2"),
+            F.sum(_row_guarded).alias("n2"),
             F.sum(F.col("w") * F.col("w")).alias("__n2d"),
         )
-        # overflow guard, in-plan (no extra pass): the docstring's |w|
-        # headroom is enforced NOWHERE by the input — a spammy doc with
-        # tf=300 on a rare term reaches w≈3600, whose squared fixed-point
-        # contribution alone exceeds Long.MaxValue. Under ANSI (Spark 4
-        # default) the cast/sum already raise, cryptically; on non-ANSI
-        # clusters they WRAP SILENTLY — this assert is the actionable
-        # message for the former and the only protection for the latter.
-        # A per-doc Σw²·1e12 < 9e18 bound also covers every pair dot by
-        # Cauchy-Schwarz (|Σ wa·wb| ≤ ‖a‖‖b‖).
         .select(
             id_col,
             F.when(
                 F.assert_true(
-                    F.col("__n2d") * 1e12 < F.lit(9.0e18),
-                    F.lit(
-                        "tf-idf weight norm overflows the 1e12 fixed-point "
-                        "long — cap tf or tighten the df cut"
-                    ),
+                    F.col("__n2d") * 1e12 < F.lit(9.0e18), _overflow_msg
                 ).isNull(),
                 F.sqrt(F.col("n2").cast("double") / 1e12),
             ).alias("norm"),
