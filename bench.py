@@ -93,6 +93,10 @@ HEADLINE = [
     "interleave_training_order",
     "corpus_governance_report",
     "hnsw_export_stats",
+    # round-7: the scale-safe derived-k export + the native first-seen
+    # path that retires the Python-state floor
+    "hnsw_export_derived_k",
+    "stream_first_seen_native",
     "recall_bytes_frontier",
     "ivf_search_cosine_det",
     "asof_next_order",

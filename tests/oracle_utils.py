@@ -26,15 +26,19 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_cell(v: Any) -> Any:
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    # numeric cells carry a TYPE-CLASS TAG: the driver hashes repr(), so a
+    # Spark BIGINT 250 vs a DuckDB DOUBLE 250.0 is a driver hash MISMATCH
+    # even though 250 == 250.0 — the local gate must be exactly as strict
+    # (the round-7 jl_projection_audit / cms_join_size lesson).
     if isinstance(v, (np.floating, float)):
         f = float(v)
-        return "nan" if math.isnan(f) else f
-    if isinstance(v, np.integer):
-        return int(v)
+        return ("f", "nan" if math.isnan(f) else f)
+    if isinstance(v, (np.integer, int)):
+        return ("i", int(v))
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None)
-    if isinstance(v, np.bool_):
-        return bool(v)
     return v
 
 

@@ -49,35 +49,48 @@ DRIVER_QUERY_BUDGET = 50
 # tests/test_queries_oracle.py under the identical value-hash discipline,
 # and still available to bench.py).
 #
-# Round 6: promote the 16 queued never-driver-seen families
-# (VERDICT r5 item 3 / COVERAGE.md r6 rotation plan); demote the ten r5
-# promotions (all green in CORRECTNESS_r05) plus six multi-round-green
-# rows whose families keep other driver coverage (streaming keeps
-# hourly+ingest; curation keeps decontaminate/pii/hybrid; sketches hand
-# off to the promoted HLL/t-digest rows; dedup keeps exact/jaccard/
-# retain-best).
+# Round 7: promote the 20 queued families still without a driver row
+# (VERDICT r6 item 1 / COVERAGE.md r7 rotation plan) — this COMPLETES the
+# rotation program: after this round every registered family has a hard
+# driver CORRECTNESS row on record. The 16 r6 promotions (all green in
+# CORRECTNESS_r06) rotate back to the extra tier (they register extra=True
+# statically, so dropping them from PROMOTED suffices). Four extra slots
+# come from multi-round-green rows whose families keep other driver
+# coverage: asof_last_order (as-of keeps the promoted asof_nearest_order),
+# ann_lsh_search (ANN-LSH keeps the promoted ann_lsh_multiprobe),
+# near_dup_jaccard (dedup keeps exact-prefix + retain-best + the promoted
+# incremental/winnow/prefix-filter rows), events_json_filter (JSON/semi-
+# structured keeps the r4-green VARIANT row's family; relational keeps
+# pricing_summary + orders_grouping_sets).
 DRIVER_PROMOTED = frozenset(
     {
-        "hll_rollup_users",
-        "digest_price_quantiles",
-        "funnel_conversion",
-        "cohort_retention",
-        "scd2_customer_history",
-        "snapshot_diff_customers",
-        "range_join_user_activity",
-        "fuzzy_typo_pairs",
-        "percolate_alerts",
-        "late_interaction_search",
-        "mmr_diversified",
-        "leakage_safe_split",
-        "table_expectations",
-        "pca_audit",
-        "inverted_bm25_search",
-        "graph_random_walks",
+        # the four r6-new families
+        "record_linkage_customers",
+        "decayed_event_type_scores",
+        "cooccurrence_capped_triangles",
+        "cooccurrence_budget_audit",
+        # never-driver-seen operator families
+        "ann_lsh_multiprobe",
+        "asof_nearest_order",
+        "incremental_dedup",
+        "winnow_dup_candidates",
+        "prefix_filter_jaccard",
+        "association_rules",
+        "udaf_event_median",
+        "udtf_token_positions",
+        "cusum_level_shifts",
+        "ewma_purchase_values",
+        "sq8_search",
+        "jl_projection_audit",
+        "node2vec_biased_walks",
+        "graph_skipgram_pairs",
+        "copurchase_ktruss",
+        "corpus_drift_js",
     }
 )
 DRIVER_DEMOTED = frozenset(
     {
+        # statically-driver rows rotated out in r5/r6 (stay demoted)
         "frequent_event_itemsets",
         "sequential_event_patterns",
         "coverage_exemplar_stochastic",
@@ -94,6 +107,11 @@ DRIVER_DEMOTED = frozenset(
         "kmv_orderkey_overlap",
         "cms_token_freq",
         "mixture_resample",
+        # r7: four more multi-round-green rows yield slots (see above)
+        "asof_last_order",
+        "ann_lsh_search",
+        "near_dup_jaccard",
+        "events_json_filter",
     }
 )
 assert not (DRIVER_PROMOTED & DRIVER_DEMOTED)

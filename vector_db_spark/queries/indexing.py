@@ -25,7 +25,7 @@ from vector_db_spark.functions.distance import euclidean
 from vector_db_spark.functions.text import tokens
 from vector_db_spark.caching import tracked_cache
 from vector_db_spark.io import load_table
-from vector_db_spark.operators.ivf import IVFIndex
+from vector_db_spark.operators.ivf import MIN_POINTS_PER_CLUSTER, IVFIndex
 from vector_db_spark.operators.topk import top_k_per_group
 from vector_db_spark.queries import register
 
@@ -611,31 +611,16 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "hnsw_export_stats",
-    oracle="""
-SELECT label AS cluster_id, count(*)::BIGINT AS n_nodes,
-       TRUE AS level0_complete, TRUE AS degree_cap_ok, TRUE AS connectivity_ok
-FROM embeddings GROUP BY 1
-""",
-    extra=True,
-)
-def hnsw_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition HNSW export (operators/hnsw_export.py) validated by
-    invariant projection: every cluster's graph must contain all its
-    nodes at level 0, respect the M/2M degree caps, and keep ≥ 90 % of
-    nodes in one level-0 component (the reference's structural battery,
-    tests/indexing/test_hnsw.py:155-185) — checked DISTRIBUTED via
-    hash-min components, no driver BFS. n_nodes is exact per cluster."""
+def _hnsw_invariant_stats(emb: DataFrame, *, m: int, cache_key: str) -> DataFrame:
+    """The reference's structural battery (tests/indexing/test_hnsw.py:
+    155-185) over a per-``cluster_id`` HNSW export, DISTRIBUTED: level-0
+    completeness, M/2M degree caps, and ≥ 90 % of each shard's nodes in
+    one level-0 component via hash-min components — no driver BFS."""
     from vector_db_spark.operators.hnsw_export import export_partition_hnsw
     from vector_db_spark.operators.knn_graph import components_from_edges
 
-    m = 8
-    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
-        "label", "cluster_id"
-    )
     g = export_partition_hnsw(emb, m=m, ef_construction=50)
-    g = tracked_cache(g, "q.indexing.hnsw_export.g")
+    g = tracked_cache(g, cache_key)
     l0 = g.filter(F.col("level") == 0)
 
     sizes = emb.groupBy("cluster_id").agg(F.count("*").alias("n_nodes"))
@@ -684,6 +669,80 @@ def hnsw_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("all_shards_connected") == 1).alias("connectivity_ok"),
         )
     )
+
+
+@register(
+    "hnsw_export_stats",
+    oracle="""
+SELECT label AS cluster_id, count(*)::BIGINT AS n_nodes,
+       TRUE AS level0_complete, TRUE AS degree_cap_ok, TRUE AS connectivity_ok
+FROM embeddings GROUP BY 1
+""",
+    extra=True,
+)
+def hnsw_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition HNSW export (operators/hnsw_export.py) validated by
+    invariant projection — see :func:`_hnsw_invariant_stats`. Partitioned
+    by the fixture ``label`` column (FIXED 10-way): kept for oracle
+    stability, but the 10-way parallelism is the measured 22× scale trap
+    (SCALE.md wave-5) — the scale-safe registered artifact is
+    ``hnsw_export_derived_k`` below."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "label", "cluster_id"
+    )
+    return _hnsw_invariant_stats(emb, m=8, cache_key="q.indexing.hnsw_export.g")
+
+
+@register(
+    "hnsw_export_derived_k",
+    extra=True,
+    oracle=f"""
+WITH nk AS (
+  SELECT GREATEST(1, LEAST(count(*) // {MIN_POINTS_PER_CLUSTER},
+                           CAST(round(4 * sqrt(count(*))) AS BIGINT))) AS k
+  FROM embeddings)
+SELECT CAST(('0x' || substr(md5(vec_id::VARCHAR || ':hnswshard'), 1, 15))::UBIGINT
+            % k AS BIGINT) AS cluster_id,
+       count(*)::BIGINT AS n_nodes,
+       TRUE AS level0_complete, TRUE AS degree_cap_ok, TRUE AS connectivity_ok,
+       k::BIGINT AS derived_k
+FROM embeddings CROSS JOIN nk
+GROUP BY 1, 6
+""",
+)
+def hnsw_export_derived_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW export with CORPUS-DERIVED partition count — the scale-safe
+    form of ``hnsw_export_stats`` (VERDICT r6 item 3): k follows
+    ``IVFIndex.derive_k`` (k ≈ 4√n, floored at ~39 points/cluster), so
+    per-cluster kernel work is O((n/k)²) ≈ O(n/16) with k-way
+    parallelism — the wave-6 measured shape (derived k=1789 → 9.16 s at
+    200 k vectors vs 74 s at pinned k=10). Partitioning here is a
+    deterministic md5 shard of the id so the DuckDB oracle replays the
+    EXACT partition membership and the derived k itself (kmeans clusters
+    are the production pairing — ``IVFIndex.build(k=None)`` — but are
+    model-derived and oracle-opaque; the structural battery and the
+    scale shape are identical under any balanced partitioning).
+    Same invariant battery as ``hnsw_export_stats``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = IVFIndex.derive_k(emb.count())
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":hnswshard"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % k
+    )
+    emb = emb.select(
+        "vec_id", "embedding", shard.alias("cluster_id")
+    )
+    return _hnsw_invariant_stats(
+        emb, m=8, cache_key="q.indexing.hnsw_export_derived.g"
+    ).withColumn("derived_k", F.lit(k).cast("long"))
 
 
 # --- cosine ANN via spherical normalization -----------------------------------

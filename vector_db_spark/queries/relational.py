@@ -1421,39 +1421,94 @@ def incremental_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- triangle counting over the part co-occurrence graph ----------------------
 
 
+# the wave-11 demo budget: ≈12 GB of wedge shuffle at 24 B/row — a one-box
+# bill. The uncapped sf0.1 graph audits at 49.2 M wedges (fits); the ×100
+# blow-up audits at 4.92 B (raises with the priced message instead of a
+# 118 GB spill death).
+_COOC_UNCAPPED_WEDGE_BUDGET = 500_000_000
+
+
 @register(
     "part_cooccurrence_triangles",
     extra=True,
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
 n AS (SELECT count(DISTINCT v) AS n_nodes
-      FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e))
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+o AS (
+  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS s,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS t
+  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+od AS (SELECT s, count(*) AS dd FROM o GROUP BY s),
+idg AS (SELECT t, count(*) AS di FROM o GROUP BY t),
+aud AS (
+  SELECT coalesce(sum(coalesce(dd, 0) * coalesce(di, 0)), 0) AS n_wedges
+  FROM od FULL JOIN idg ON od.s = idg.t)
 SELECT n.n_nodes::BIGINT AS n_nodes,
        (SELECT count(*) FROM e)::BIGINT AS n_edges,
        (SELECT count(*) FROM e e1
           JOIN e e2 ON e1.b = e2.a
-          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)::BIGINT AS n_triangles
-FROM n
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)::BIGINT AS n_triangles,
+       aud.n_wedges::BIGINT AS n_wedges,
+       (aud.n_wedges <= {_COOC_UNCAPPED_WEDGE_BUDGET}) AS within_budget
+FROM n CROSS JOIN aud
 """,
 )
 def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count (operators/knn_graph.py triangle_count) of the
     parts-bought-together graph (parts are linked when they share an
     order) — graph analytics over a join-derived edge list, value-checked
-    end to end."""
-    from vector_db_spark.operators.knn_graph import triangle_count
+    end to end, UNCAPPED semantics.
+
+    Preflight-then-join (VERDICT r6 item 4): before the O(wedges) join
+    runs, the O(edges) wedge audit (``cooccurrence_wedge_audit``) prices
+    it — Σ indeg·outdeg under the same (degree, id) orientation, the
+    join's exact shuffle row count. Over budget ⇒ ``ValueError`` naming
+    the bill and the capped alternative (``cooccurrence_capped_triangles``
+    / ``derive_cooccurrence_caps``), never an implicit spill death: the
+    ×100 blow-up audits at 4.92 B wedges ≈ 118 GB shuffle (SCALE.md
+    wave-11) and raises here in O(edges) time. The audit facts ride the
+    result row (``n_wedges``, ``within_budget``) so the oracle checks the
+    preflight arithmetic, not just the count."""
+    from vector_db_spark.operators.knn_graph import (
+        cooccurrence_wedge_audit,
+        triangle_count,
+    )
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    audit = cooccurrence_wedge_audit(li, "l_orderkey", "l_partkey").collect()[0]
+    if audit.n_wedges > _COOC_UNCAPPED_WEDGE_BUDGET:
+        raise ValueError(
+            f"uncapped co-occurrence wedge join prices at {audit.n_wedges:,} "
+            f"rows (> budget {_COOC_UNCAPPED_WEDGE_BUDGET:,}; ≈"
+            f"{audit.n_wedges * 24 / 1e9:.0f} GB shuffle) — use "
+            "derive_cooccurrence_caps / cooccurrence_capped_triangles, or "
+            "raise the budget on a cluster that can hold the spill"
+        )
     edges = (
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     )
-    return triangle_count(edges)
+    return (
+        triangle_count(edges)
+        .crossJoin(
+            F.broadcast(
+                li.sparkSession.createDataFrame(
+                    [(int(audit.n_wedges), bool(audit.n_wedges <= _COOC_UNCAPPED_WEDGE_BUDGET))],
+                    "n_wedges long, within_budget boolean",
+                )
+            )
+        )
+        .select("n_nodes", "n_edges", "n_triangles", "n_wedges", "within_budget")
+    )
 
 
 _COOC_MAX_DF = 37  # p90 of part df at sf0.01/sf0.1 — the hub cut really bites

@@ -320,7 +320,7 @@ est AS (
 exact AS (
   SELECT count(*)::BIGINT AS exact_join FROM oa JOIN ea ON oa.k = ea.k),
 n AS (SELECT (SELECT count(*) FROM oa)::DOUBLE AS na, (SELECT count(*) FROM ea)::DOUBLE AS nb)
-SELECT e.join_size_est, x.exact_join,
+SELECT e.join_size_est::BIGINT AS join_size_est, x.exact_join,
        (e.join_size_est >= x.exact_join) AS never_under,
        (e.join_size_est <= x.exact_join + 2.8e0 / 1024e0 * n.na * n.nb) AS bound_ok
 FROM est e CROSS JOIN exact x CROSS JOIN n
@@ -349,7 +349,7 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb = orders.count(), events.count()
     return est.select(
         "join_size_est",
-        F.lit(exact).alias("exact_join"),
+        F.lit(exact).cast("long").alias("exact_join"),
         (F.col("join_size_est") >= exact).alias("never_under"),
         (
             F.col("join_size_est")

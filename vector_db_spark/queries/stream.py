@@ -23,6 +23,7 @@ from vector_db_spark.streaming.ingest import (
     click_attribution_join_stream,
     dedup_stream,
     first_seen_filter_stream,
+    first_seen_stream,
     hourly_counts_stream,
     ingest_stream,
     read_events_stream,
@@ -111,11 +112,34 @@ SELECT user_id, event_type, event_id, ts FROM (
 """,
 )
 def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator (applyInPandasWithState): first event per
-    (user, event_type). Single bounded batch → equals the global argmin
+    """Custom-state SEAM DEMO (applyInPandasWithState): first event per
+    (user, event_type), exact event-time argmin. Kept registered to pin
+    the custom-state machinery; the DEFAULT first-seen path is the
+    native ``first_seen_stream`` (``stream_first_seen_native`` below) —
+    SCALE.md wave-7/13 measured this Python form at 110 s vs the native
+    form's ~2 s at 100×. Single bounded batch → equals the global argmin
     oracle; cross-batch state is exercised in tests/test_streaming.py."""
     events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     return run_to_memory(first_seen_filter_stream(events), output_mode="append")
+
+
+@register(
+    "stream_first_seen_native",
+    extra=True,
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_first_seen_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen via the DEFAULT native path: ``first_seen_stream``
+    (``dropDuplicatesWithinWatermark`` — JVM state store, no Python
+    state exchange; the wave-7 110 s Python floor retired). The
+    surviving ROW per key is arrival-order-dependent, so the
+    engine-checkable projection is the KEY SET — exactly one survivor
+    per (user_id, event_type), which the oracle reproduces as DISTINCT.
+    Cross-batch dedup of the same machinery is pinned row-exactly by
+    ``stream_dedup_replay``."""
+    events = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = run_to_memory(first_seen_stream(events), output_mode="append")
+    return out.select("user_id", "event_type")
 
 
 @register(

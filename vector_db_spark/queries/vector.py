@@ -719,7 +719,7 @@ def recall_bytes_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jl_projection_audit",
     oracle="""
-SELECT count(*)::BIGINT / 2 AS n_pairs,
+SELECT CAST(count(*) / 2 AS BIGINT) AS n_pairs,
        64::BIGINT AS in_dim, 16::BIGINT AS out_dim,
        TRUE AS mean_distortion_ok, TRUE AS max_distortion_ok
 FROM embeddings
