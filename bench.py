@@ -238,8 +238,11 @@ def main() -> None:
     # is the steady-state number the regression gate should track.
     # Entries with a PERF.md-documented wide band get a third sample —
     # their min-of-2 still spanned >1.5× across passes.
+    # round-7: the five r6 bench movers get a third sample to separate
+    # tenancy noise from real regression (VERDICT r6 item 6)
     min3 = {"tfidf_cosine_pairs_cut", "coverage_exemplar_docs",
-            "coverage_exemplar_stochastic", "copurchase_ppr_expansion"}
+            "coverage_exemplar_stochastic", "copurchase_ppr_expansion",
+            "near_dup_jaccard", "incremental_dedup", "association_rules"}
     for name in HEADLINE:
         if name not in QUERIES:
             continue

@@ -328,6 +328,24 @@ def test_strict_decoder_raises(media):
         sample_video_frames(media, decoder="strict")
 
 
+def test_real_decoder_import_gated(media):
+    """decoder='real' is the actual PIL wiring (scripts/real_model_run.py):
+    without pillow it must raise the actionable NotImplementedError at
+    PLAN time, not die inside an executor; with pillow installed this test
+    is vacuous (the seam is then exercised by the opt-in script)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow installed — seam covered by real_model_run.py")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="pillow|PIL"):
+        decode_image_features(media, decoder="real")
+    # dim guard fires before the import gate
+    with pytest.raises(ValueError, match="divide 256"):
+        decode_image_features(media, decoder="real", dim=7)
+
+
 def test_resize_and_frame_sampling_fake(spark, media):
     resized = resize_images(media, 32, 32, decoder="fake").collect()
     assert all(len(r.payload) == 32 * 32 // 64 for r in resized)

@@ -62,29 +62,69 @@ def decode_image_features(
 ) -> DataFrame:
     """(media_id, features array<float>): decode + feature-extract images.
 
-    Real implementation point: replace the kernel body with
-    PIL.Image.open(io.BytesIO(payload)) → resize → model forward. The
-    Spark plumbing (binary Arrow batches in, fixed-dim float arrays out,
-    one pass, no shuffle) is identical either way.
+    Three decoders, same Spark plumbing (binary Arrow batches in,
+    fixed-dim float arrays out, one pass, no shuffle):
+
+    - ``"strict"`` (default): raise — refusing to silently fake in a
+      pipeline that asked for real features.
+    - ``"fake"``: md5-seeded deterministic pseudo-features — CI plumbing.
+    - ``"real"``: PIL decode → grayscale → ``dim``-bin L1-normalized
+      luminance histogram. Import-gated like the sentence-transformers
+      embedder; exercised by scripts/real_model_run.py where the model
+      stack exists (swap the histogram for a model forward for learned
+      features — the kernel shape is the wiring point).
     """
     if decoder == "strict":
         raise NotImplementedError(
             "image decoding requires PIL/torchvision, not installed in this "
-            "environment; use decoder='fake' for plumbing tests"
+            "environment; use decoder='fake' for plumbing tests or "
+            "decoder='real' where PIL is installed"
         )
-    if decoder != "fake":
-        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "real":
+        if 256 % dim:
+            raise ValueError(f"dim must divide 256 for histogram pooling, got {dim}")
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - not in CI
+            raise NotImplementedError(
+                "decoder='real' requires PIL; pip install pillow or use "
+                "decoder='fake' for plumbing tests"
+            ) from exc
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].values,
-                    "features": [_fake_features(p, dim) for p in pdf["payload"]],
-                }
-            )
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+            import io as _io
+
+            from PIL import Image
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                feats = []
+                for p in pdf["payload"]:
+                    img = Image.open(_io.BytesIO(p)).convert("L")
+                    hist = np.asarray(img.histogram(), dtype=np.float64)
+                    pooled = hist.reshape(dim, 256 // dim).sum(axis=1)
+                    total = pooled.sum() or 1.0
+                    feats.append([float(x) for x in pooled / total])
+                yield pd.DataFrame(
+                    {"media_id": pdf["media_id"].values, "features": feats}
+                )
+
+    elif decoder == "fake":
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].values,
+                        "features": [_fake_features(p, dim) for p in pdf["payload"]],
+                    }
+                )
+
+    else:
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     return df.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
         kernel, "media_id long, features array<float>"
