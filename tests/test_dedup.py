@@ -163,3 +163,29 @@ def test_dedup_retain_best_rejects_string_ids(spark):
     )
     with pytest.raises(ValueError, match="integral column"):
         dedup_retain_best(df)
+
+
+def test_prefix_filter_large_set_no_int32_overflow(spark):
+    """r6 ADVICE (high): t_lo(θ)·|S| was int32×int32 — a doc with more than
+    ~2^31/t_lo distinct items (>2684 at θ=0.8) raised ARITHMETIC_OVERFLOW
+    under Spark 4's ANSI default (and wrapped __plen negative on non-ANSI,
+    crashing F.slice / breaking the zero-miss guarantee). 3000-item twin
+    docs must simply pair at J=1.0."""
+    from vector_db_spark.operators.dedup import (
+        containment_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    items = [f"tok{i:05d}" for i in range(3000)]
+    rows = [(1, s) for s in items] + [(2, s) for s in items]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(sh, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(sh, threshold=0.8).collect()
+    }
+    assert cont == {(1, 2): 1.0, (2, 1): 1.0}

@@ -129,3 +129,89 @@ def test_add_then_delete_lifecycle(spark, sf_smoke, tmp_path):
     assert idx.corpus().count() == n0
     ids2 = {r.neighbor_id for r in idx.search(q, k=2, n_probe=1, refine=4).collect()}
     assert all(i < 1_000_000 for i in ids2)
+
+
+def test_delete_pair_atomicity_precommit_crash(spark, sf_smoke, tmp_path):
+    """Crash window BETWEEN the two plan writes (codes plan durable, corpus
+    plan not): the pair never committed — recover() must DISCARD both
+    stagings (including the planned codes tmp), leaving both tables on the
+    old side of the delete. A recover that replayed the codes plan alone
+    would leave ids searchable in corpus but absent from codes — the
+    permanent inconsistency the r6 ADVICE flagged."""
+    from vector_db_spark.operators.staging import write_swap_plan
+    from vector_db_spark.io import write_clustered
+    import os
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "idx"), k_coarse=4, n_chunks=8, k_codes=16
+    )
+    n0 = idx.codes().count()
+    victim = [int(idx.codes().first().vec_id)]
+    clusters = [
+        r.cluster_id
+        for r in idx.codes()
+        .filter(F.col("vec_id").isin(victim))
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    ]
+    # reproduce delete()'s staging exactly, then "crash" before the corpus
+    # plan (the pair commit point) is written
+    for sub, df in (("corpus", idx.corpus()), ("codes", idx.codes())):
+        table = os.path.join(idx.path, sub)
+        remaining = df.filter(
+            F.col("cluster_id").isin(clusters) & ~F.col("vec_id").isin(victim)
+        )
+        write_clustered(remaining, table.rstrip("/") + ".tmp-delete")
+    write_swap_plan(
+        spark, os.path.join(idx.path, "codes").rstrip("/") + ".tmp-delete",
+        clusters, [],
+    )
+    got = idx.recover()
+    assert got.get("codes.tmp-delete") == "discarded"
+    # both tables untouched: the victim survives in BOTH
+    assert idx.codes().filter(F.col("vec_id").isin(victim)).count() == 1
+    assert idx.corpus().filter(F.col("vec_id").isin(victim)).count() == 1
+    assert idx.codes().count() == n0 and idx.corpus().count() == n0
+    # tmp dirs gone — read path is clean
+    assert not os.path.exists(os.path.join(idx.path, "codes.tmp-delete"))
+    assert not os.path.exists(os.path.join(idx.path, "corpus.tmp-delete"))
+
+
+def test_delete_pair_atomicity_postcommit_crash(spark, sf_smoke, tmp_path):
+    """Crash AFTER both plans are written but before either swap executes:
+    the pair committed — recover() must drive BOTH tables forward to the
+    deleted state."""
+    from vector_db_spark.operators.staging import write_swap_plan
+    from vector_db_spark.io import write_clustered
+    import os
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "idx"), k_coarse=4, n_chunks=8, k_codes=16
+    )
+    n0 = idx.codes().count()
+    victim = [int(idx.codes().first().vec_id)]
+    clusters = [
+        r.cluster_id
+        for r in idx.codes()
+        .filter(F.col("vec_id").isin(victim))
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    ]
+    for sub, df in (("corpus", idx.corpus()), ("codes", idx.codes())):
+        table = os.path.join(idx.path, sub)
+        remaining = df.filter(
+            F.col("cluster_id").isin(clusters) & ~F.col("vec_id").isin(victim)
+        )
+        tmp = table.rstrip("/") + ".tmp-delete"
+        write_clustered(remaining, tmp)
+        write_swap_plan(spark, tmp, clusters, [])
+    got = idx.recover()
+    assert got.get("codes.tmp-delete") == "completed"
+    assert got.get("corpus.tmp-delete") == "completed"
+    assert idx.codes().filter(F.col("vec_id").isin(victim)).count() == 0
+    assert idx.corpus().filter(F.col("vec_id").isin(victim)).count() == 0
+    assert idx.codes().count() == n0 - 1 and idx.corpus().count() == n0 - 1

@@ -61,6 +61,18 @@ def test_short_doc_yields_no_grams(spark):
     assert all(r.n_spans == 0 for r in out)
 
 
+def test_blank_doc_reports_zero_repetition(spark):
+    """Blank/whitespace-only text has n_tokens == 0: rep_token_frac must be
+    0.0 — not NULL-skipped-to-1.0 (non-ANSI) or DIVIDE_BY_ZERO (ANSI), the
+    r6 ADVICE divide-by-zero edge — matching the DuckDB oracle's CASE."""
+    docs = _docs(spark, ["", "   ", "real words repeated here real words repeated here ok"])
+    out = {r.doc_id: r for r in repeated_ngram_spans(docs, n=8, min_docs=2).collect()}
+    for blank_id in (0, 1):
+        assert out[blank_id].n_tokens == 0
+        assert out[blank_id].rep_token_frac == 0.0
+        assert out[blank_id].n_spans == 0
+
+
 def _vecs(spark, rows):
     return spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, cluster_id int"
