@@ -86,6 +86,14 @@ def build_scd_blowup(spark) -> None:
 
 
 def run(spark, qs, names, big_dir, runs) -> dict:
+    """Timed consumer is count(rows) PLUS a hash-fold over every output
+    column — a bare .count() lets Catalyst PRUNE expression-only work
+    (a Window whose outputs nobody reads is removed entirely), which
+    under-reports window/projection queries: wave-14 first measured
+    ewma_purchase_values "flat at ×100" because the count never computed
+    the EWMA; the hash-fold form shows the true 1.8×."""
+    from pyspark.sql import functions as F
+
     from scale_curve import warn_shapes
 
     results = {}
@@ -95,8 +103,15 @@ def run(spark, qs, names, big_dir, runs) -> dict:
             shapes = warn_shapes(qs[name](spark, sf_dir))
             best, n = float("inf"), 0
             for _ in range(runs):
+                # query construction INSIDE the timer: streaming entries do
+                # their work in run_to_memory during construction
                 t0 = time.perf_counter()
-                n = qs[name](spark, sf_dir).count()
+                df = qs[name](spark, sf_dir)
+                got = df.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.hash(*df.columns)).alias("h"),
+                ).collect()[0]
+                n = got.n
                 best = min(best, time.perf_counter() - t0)
             row[label] = {"sec": round(best, 2), "rows": n, "warn_shapes": shapes}
             print(f"# {name} {label}: {best:.2f}s rows={n} shapes={shapes}", flush=True)
