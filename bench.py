@@ -41,6 +41,7 @@ HEADLINE = [
     "doc_repetition",
     "boilerplate_frac",
     "decontaminate_ngrams",
+    "embedding_decontaminate",
     "hybrid_search",
     "incremental_dedup",
     # round-3 additions: RAG chunking, binary quantization, MMR rerank

@@ -189,3 +189,31 @@ def test_prefix_filter_large_set_no_int32_overflow(spark):
         for r in containment_pairs(sh, threshold=0.8).collect()
     }
     assert cont == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_embedding_decontaminate_flags_planted_leak(spark, sf_smoke):
+    """A corpus vector that IS a benchmark vector (cosine 1.0) must be
+    flagged; an orthogonal one must not; every corpus row reports exactly
+    one max_benchmark_sim."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.dedup import embedding_decontaminate
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") < 5)
+    # corpus: 20 clean rows + one exact copy of benchmark vector 0
+    leak = bench.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 777_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 25)).unionByName(
+        leak
+    )
+    out = {r.vec_id: r for r in embedding_decontaminate(
+        corpus, bench, threshold=0.99
+    ).collect()}
+    assert len(out) == 21
+    assert out[777_000].contaminated and out[777_000].max_benchmark_sim == 1.0
+    assert all(
+        not r.contaminated for vid, r in out.items() if vid != 777_000
+    )

@@ -184,6 +184,8 @@ _WARN_ALLOW: dict[str, set[str]] = {
     # crossJoin of two ONE-ROW aggregates + scalar finish
     "rendezvous_shard_stability": {"nested-loop-join", "single-partition-exchange"},
     "digest_price_quantiles": {"nested-loop-join"},
+    # broadcast of the (small-by-nature) benchmark suite onto the corpus
+    "embedding_decontaminate": {"nested-loop-join"},
     "embedding_isotropy": {"nested-loop-join", "single-partition-exchange"},
     "embedding_near_dup_brute": {"nested-loop-join"},
     "event_key_skew": {"nested-loop-join", "single-partition-exchange"},

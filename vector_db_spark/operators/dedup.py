@@ -559,6 +559,47 @@ def embedding_near_dup_blocked(
     )
 
 
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC train/benchmark decontamination — the embedding-space twin
+    of ``decontaminate_ngrams``: flag every corpus vector whose cosine to
+    ANY benchmark vector reaches ``threshold`` (paraphrased benchmark
+    leakage that n-gram overlap misses). One row per corpus vector:
+    ``(id, max_benchmark_sim, contaminated)``.
+
+    Scale posture: benchmark suites are SMALL by nature (10³-10⁴ rows),
+    so the benchmark side broadcasts and the corpus is scored in ONE
+    map-side pass (corpus × |benchmark| cosine evaluations, partial-agg
+    max per id — the corpus never shuffles, no candidate explosion). At
+    benchmark sizes where corpus×|B| row-visits stop being a scan-cost
+    multiple, block both sides through the hyperplane-LSH machinery
+    (``embedding_near_dup_blocked`` geometry) instead — the broadcast
+    form is deliberately exact because decontamination is a recall-
+    critical cut: a missed leak poisons an eval."""
+    b = F.broadcast(benchmark.select(F.col(vec_col).alias("__bv")))
+    return (
+        corpus.select(id_col, vec_col)
+        .join(b)
+        .select(
+            id_col,
+            F.round(cosine_similarity(vec_col, "__bv"), 6).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__s").alias("max_benchmark_sim"))
+        .select(
+            id_col,
+            "max_benchmark_sim",
+            (F.col("max_benchmark_sim") >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

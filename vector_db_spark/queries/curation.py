@@ -126,6 +126,38 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_decontaminate",
+    extra=True,
+    oracle=f"""
+WITH b AS (SELECT embedding FROM embeddings WHERE vec_id % {_TEST_MOD} = 0),
+s AS (
+  SELECT c.vec_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS s
+  FROM embeddings c CROSS JOIN b
+  WHERE c.vec_id % {_TEST_MOD} <> 0)
+SELECT vec_id, max(s) AS max_benchmark_sim,
+       max(s) >= 0.9 AS contaminated
+FROM s GROUP BY vec_id
+""",
+)
+def embedding_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (operators/dedup.py embedding_decontaminate):
+    the ``vec_id % 37 == 0`` slice stands in for a benchmark suite; every
+    remaining corpus vector reports its max cosine to the suite and a
+    ≥ 0.9 contamination flag — the paraphrase-leakage cut n-gram overlap
+    (``decontaminate_ngrams``) misses. Broadcast-exact: the benchmark side
+    is small by nature, the corpus never shuffles."""
+    from vector_db_spark.operators.dedup import embedding_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_decontaminate(
+        emb.filter(F.col("vec_id") % _TEST_MOD != 0),
+        emb.filter(F.col("vec_id") % _TEST_MOD == 0),
+        threshold=0.9,
+    )
+
+
 # --- PII / denylist scrubbing ------------------------------------------------
 
 _DENY = ("hash", "join", "merge")
