@@ -217,3 +217,37 @@ def test_embedding_decontaminate_flags_planted_leak(spark, sf_smoke):
     assert all(
         not r.contaminated for vid, r in out.items() if vid != 777_000
     )
+
+
+def test_embedding_decontaminate_blocked_catches_exact_leak(spark, sf_smoke):
+    """Blocked decontamination: an exact benchmark copy (cos 1.0 shares
+    every bucket) MUST collide and flag; blocked similarities are a subset
+    of the exact form's (blocking never invents candidates)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.dedup import (
+        embedding_decontaminate,
+        embedding_decontaminate_blocked,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") < 5)
+    leak = bench.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 777_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 25)).unionByName(
+        leak
+    )
+    exact = {r.vec_id: r.max_benchmark_sim for r in embedding_decontaminate(
+        corpus, bench, threshold=0.99
+    ).collect()}
+    blocked = {r.vec_id: r for r in embedding_decontaminate_blocked(
+        corpus, bench, threshold=0.99, corpus_count=21
+    ).collect()}
+    assert blocked[777_000].contaminated
+    assert blocked[777_000].max_benchmark_sim == 1.0
+    # subset law: every blocked similarity equals the exact max only when
+    # the max candidate collided; it can never EXCEED the exact max
+    for vid, r in blocked.items():
+        assert r.max_benchmark_sim <= exact[vid]

@@ -600,6 +600,89 @@ def embedding_decontaminate(
     )
 
 
+def embedding_decontaminate_blocked(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_tables: int | None = None,
+    n_bits: int | None = None,
+    corpus_count: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The LSH-blocked scale path of :func:`embedding_decontaminate`, for
+    benchmark suites too large to broadcast-score exactly: BOTH sides are
+    bucketed by the seeded hyperplanes and a corpus vector is cosine-
+    verified only against benchmark vectors sharing a bucket in any
+    table (candidate volume Σ per-bucket corpus×benchmark, never
+    corpus×|B|). Output rows exist only for corpus ids with ≥ 1 bucket
+    collision — collision-free ids are analytically below the recall
+    floor at the contamination threshold, i.e. reported clean.
+
+    Approximate by construction with the SAME recall analytics as
+    near-dup blocking (decontamination anchors at s ≥ threshold, the
+    easy regime for hyperplane LSH); geometry defaults derive from the
+    corpus count STRICT with auto-multiprobe escalation, exactly like
+    :func:`embedding_near_dup_blocked` — a floor the table budget cannot
+    hold raises rather than silently missing leaks."""
+    from vector_db_spark.operators import similarity as _sim
+    from vector_db_spark.operators.similarity import (
+        derive_lsh_geometry,
+        expand_probe_buckets,
+        hyperplane_lsh_buckets,
+    )
+
+    use_multiprobe = False
+    if n_tables is None and n_bits is None:
+        n = corpus_count if corpus_count is not None else corpus.count()
+        try:
+            n_tables, n_bits = derive_lsh_geometry(
+                n, threshold=threshold, strict=True
+            )
+        except ValueError:
+            n_tables, n_bits = derive_lsh_geometry(
+                n, threshold=threshold, multiprobe=True, strict=True
+            )
+            use_multiprobe = True
+    nt = n_tables if n_tables is not None else _sim.N_TABLES
+    nb = n_bits if n_bits is not None else _sim.N_BITS
+    cb = hyperplane_lsh_buckets(corpus, vec_col, id_col, n_tables=nt, n_bits=nb)
+    bb = hyperplane_lsh_buckets(benchmark, vec_col, id_col, n_tables=nt, n_bits=nb)
+    if use_multiprobe:
+        # benchmark side expands (it is the smaller side): d≤1 probing is
+        # symmetric, so one-side expansion realizes the multiprobe recall
+        bb = expand_probe_buckets(
+            bb.select(F.col(id_col), "table_idx", "bucket"), nb
+        )
+    cand = (
+        cb.select(F.col(id_col).alias("__cid"), "table_idx", "bucket")
+        .join(
+            bb.select(F.col(id_col).alias("__bid"), "table_idx", "bucket"),
+            ["table_idx", "bucket"],
+        )
+        .select("__cid", "__bid")
+        .distinct()
+    )
+    cv = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    bv = benchmark.select(F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bv"))
+    return (
+        cand.join(cv, "__cid")
+        .join(bv, "__bid")
+        .select(
+            F.col("__cid").alias(id_col),
+            F.round(cosine_similarity("__cv", "__bv"), 6).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__s").alias("max_benchmark_sim"))
+        .select(
+            id_col,
+            "max_benchmark_sim",
+            (F.col("max_benchmark_sim") >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1802,10 +1802,18 @@ def copurchase_ppr_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rank")
     ).collect()[0][0]
     n_nodes = nodes.count()
+    # concentration bar: 5× the seeds' uniform share, CAPPED at the 0.15
+    # teleport-mass floor — the uncapped bar exceeds 1.0 (unsatisfiable)
+    # once n_nodes < 5·n_seeds (sf0.001: 40 nodes ⇒ bar 1.25; found by
+    # the round-7 sf0.001 parity sweep). PPR with restart β=0.15 holds
+    # seed mass ≥ β analytically (π = β·s + (1−β)Pᵀπ), so the capped bar
+    # is feasible at every scale while staying 5× uniform wherever that
+    # is the tighter test (n_nodes ≥ 334).
+    bar = min(5 * 10.0 / n_nodes, 0.15)
     return ppr.agg(
         F.count("*").cast("long").alias("n_nodes"),
         (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("rank_sum_ok"),
-        F.lit(seed_mass > 5 * 10.0 / n_nodes).alias("concentrated_ok"),
+        F.lit(seed_mass > bar).alias("concentrated_ok"),
         F.lit(near_mass > 0.5).alias("hop2_mass_ok"),
     )
 

@@ -976,6 +976,47 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_decontaminate_blocked",
+    extra=True,
+    oracle=f"""
+WITH buckets AS ({_LSH_BUCKETS_SQL}),
+cb AS (SELECT * FROM buckets WHERE vec_id % 37 <> 0),
+bb AS (SELECT * FROM buckets WHERE vec_id % 37 = 0),
+cand AS (
+  SELECT DISTINCT cb.vec_id AS cid, bb.vec_id AS bid
+  FROM cb JOIN bb ON cb.table_idx = bb.table_idx AND cb.bucket = bb.bucket),
+s AS (
+  SELECT c.cid AS vec_id,
+         round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS s
+  FROM cand c
+  JOIN embeddings x ON x.vec_id = c.cid
+  JOIN embeddings y ON y.vec_id = c.bid)
+SELECT vec_id, max(s) AS max_benchmark_sim, max(s) >= 0.9 AS contaminated
+FROM s GROUP BY vec_id
+""",
+)
+def embedding_decontaminate_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked semantic decontamination (the scale path of
+    ``embedding_decontaminate`` for benchmark suites too big to
+    broadcast): both sides bucketed by the oracle-pinned hyperplanes,
+    cosine verified only within bucket collisions. Knobs pinned to the
+    plane literals for the same reason as ``embedding_near_dup``; the
+    production no-knob path derives geometry strictly with
+    auto-multiprobe."""
+    from vector_db_spark.operators.dedup import embedding_decontaminate_blocked
+    from vector_db_spark.operators.similarity import N_BITS, N_TABLES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_decontaminate_blocked(
+        emb.filter(F.col("vec_id") % 37 != 0),
+        emb.filter(F.col("vec_id") % 37 == 0),
+        threshold=0.9,
+        n_tables=N_TABLES,
+        n_bits=N_BITS,
+    )
+
+
+@register(
     "embedding_near_dup_brute",
     extra=True,
     oracle="""
