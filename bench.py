@@ -244,6 +244,16 @@ def main() -> None:
     min3 = {"tfidf_cosine_pairs_cut", "coverage_exemplar_docs",
             "coverage_exemplar_stochastic", "copurchase_ppr_expansion",
             "near_dup_jaccard", "incremental_dedup", "association_rules"}
+    # Consumer choice, deliberate: .count() — the SAME consumer the frozen
+    # r01/r02 baseline rows were measured with, so the 2x regression gate
+    # compares like with like. A bare count lets Catalyst prune unread
+    # expression-only work (an unused Window/projection vanishes), so
+    # window/projection-heavy rows under-measure in ABSOLUTE terms — the
+    # scale-curve scripts, whose purpose is detecting super-linear WORK,
+    # use the full-evaluation agg(count, sum(hash(*cols))) consumer
+    # instead (scripts/scale_wave12.run, protocol note in SCALE.md
+    # wave-14). Changing bench's consumer would invalidate every
+    # cross-round band in PERF.md; don't, unless the baseline is re-run.
     for name in HEADLINE:
         if name not in QUERIES:
             continue

@@ -251,3 +251,18 @@ def test_embedding_decontaminate_blocked_catches_exact_leak(spark, sf_smoke):
     # the max candidate collided; it can never EXCEED the exact max
     for vid, r in blocked.items():
         assert r.max_benchmark_sim <= exact[vid]
+
+
+def test_embedding_decontaminate_empty_benchmark_keeps_contract(spark, sf_smoke):
+    """An EMPTY benchmark (upstream filter matched nothing) must still
+    yield one row per corpus vector — max sim NULL, contaminated false —
+    so a keep-clean pipeline keeps the corpus instead of dropping it."""
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.dedup import embedding_decontaminate
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    out = embedding_decontaminate(emb.limit(20), emb.filter(F.lit(False))).collect()
+    assert len(out) == 20
+    assert all(not r.contaminated and r.max_benchmark_sim is None for r in out)

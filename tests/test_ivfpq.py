@@ -215,3 +215,48 @@ def test_delete_pair_atomicity_postcommit_crash(spark, sf_smoke, tmp_path):
     assert idx.codes().filter(F.col("vec_id").isin(victim)).count() == 0
     assert idx.corpus().filter(F.col("vec_id").isin(victim)).count() == 0
     assert idx.codes().count() == n0 - 1 and idx.corpus().count() == n0 - 1
+
+
+def test_recover_completes_legacy_mid_execution_codes_swap(spark, sf_smoke, tmp_path):
+    """A codes staging dir WITH a plan that already holds old-cluster_id=
+    dirs was mid-execution under the legacy per-table protocol (its corpus
+    half had fully swapped) — those dirs are the only copies of retired
+    live data. recover() must complete that swap FORWARD; force-deleting
+    it would permanently lose codes clusters the corpus still has."""
+    import os
+
+    from vector_db_spark.operators.staging import write_swap_plan
+    from vector_db_spark.io import write_clustered
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "idx"), k_coarse=4, n_chunks=8, k_codes=16
+    )
+    n0 = idx.codes().count()
+    victim = [int(idx.codes().first().vec_id)]
+    clusters = [
+        r.cluster_id
+        for r in idx.codes()
+        .filter(F.col("vec_id").isin(victim))
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    ]
+    codes_table = os.path.join(idx.path, "codes")
+    tmp = codes_table.rstrip("/") + ".tmp-delete"
+    remaining = idx.codes().filter(
+        F.col("cluster_id").isin(clusters) & ~F.col("vec_id").isin(victim)
+    )
+    write_clustered(remaining, tmp)
+    write_swap_plan(spark, tmp, clusters, [])
+    # simulate execute_swap's first rename: live dir moved INTO staging
+    c = clusters[0]
+    os.rename(
+        os.path.join(codes_table, f"cluster_id={c}"),
+        os.path.join(tmp, f"old-cluster_id={c}"),
+    )
+    got = idx.recover()
+    assert got.get("codes.tmp-delete") == "completed"
+    assert idx.codes().filter(F.col("vec_id").isin(victim)).count() == 0
+    assert idx.codes().count() == n0 - 1
+    assert not os.path.exists(tmp)

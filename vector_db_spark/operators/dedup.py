@@ -512,7 +512,7 @@ def embedding_near_dup_blocked(
     floor the call RAISES instead of quietly missing near-dups."""
     from vector_db_spark.operators import similarity as _sim
     from vector_db_spark.operators.similarity import (
-        derive_lsh_geometry,
+        derive_strict_geometry,
         expand_probe_buckets,
         hyperplane_lsh_buckets,
     )
@@ -520,13 +520,9 @@ def embedding_near_dup_blocked(
     use_multiprobe = False
     if n_tables is None and n_bits is None:
         n = corpus_count if corpus_count is not None else df.count()
-        try:
-            n_tables, n_bits = derive_lsh_geometry(n, threshold=threshold, strict=True)
-        except ValueError:
-            n_tables, n_bits = derive_lsh_geometry(
-                n, threshold=threshold, multiprobe=True, strict=True
-            )
-            use_multiprobe = True
+        n_tables, n_bits, use_multiprobe = derive_strict_geometry(
+            n, threshold=threshold
+        )
     buckets = hyperplane_lsh_buckets(
         df,
         vec_col,
@@ -581,9 +577,16 @@ def embedding_decontaminate(
     multiple, block both sides through the hyperplane-LSH machinery
     (``embedding_near_dup_blocked`` geometry) instead — the broadcast
     form is deliberately exact because decontamination is a recall-
-    critical cut: a missed leak poisons an eval."""
+    critical cut: a missed leak poisons an eval.
+
+    The one-row-per-corpus-vector contract holds even for an EMPTY
+    benchmark (an upstream filter that matched nothing): scores
+    left-join back onto the corpus ids, so every row still gets a
+    verdict — ``max_benchmark_sim`` NULL, ``contaminated`` false — and a
+    pipeline keeping ``~contaminated`` rows keeps the whole corpus
+    instead of silently dropping it."""
     b = F.broadcast(benchmark.select(F.col(vec_col).alias("__bv")))
-    return (
+    scored = (
         corpus.select(id_col, vec_col)
         .join(b)
         .select(
@@ -592,10 +595,16 @@ def embedding_decontaminate(
         )
         .groupBy(id_col)
         .agg(F.max("__s").alias("max_benchmark_sim"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(scored, id_col, "left")
         .select(
             id_col,
             "max_benchmark_sim",
-            (F.col("max_benchmark_sim") >= threshold).alias("contaminated"),
+            F.coalesce(
+                F.col("max_benchmark_sim") >= threshold, F.lit(False)
+            ).alias("contaminated"),
         )
     )
 
@@ -628,7 +637,7 @@ def embedding_decontaminate_blocked(
     hold raises rather than silently missing leaks."""
     from vector_db_spark.operators import similarity as _sim
     from vector_db_spark.operators.similarity import (
-        derive_lsh_geometry,
+        derive_strict_geometry,
         expand_probe_buckets,
         hyperplane_lsh_buckets,
     )
@@ -636,15 +645,9 @@ def embedding_decontaminate_blocked(
     use_multiprobe = False
     if n_tables is None and n_bits is None:
         n = corpus_count if corpus_count is not None else corpus.count()
-        try:
-            n_tables, n_bits = derive_lsh_geometry(
-                n, threshold=threshold, strict=True
-            )
-        except ValueError:
-            n_tables, n_bits = derive_lsh_geometry(
-                n, threshold=threshold, multiprobe=True, strict=True
-            )
-            use_multiprobe = True
+        n_tables, n_bits, use_multiprobe = derive_strict_geometry(
+            n, threshold=threshold
+        )
     nt = n_tables if n_tables is not None else _sim.N_TABLES
     nb = n_bits if n_bits is not None else _sim.N_BITS
     cb = hyperplane_lsh_buckets(corpus, vec_col, id_col, n_tables=nt, n_bits=nb)

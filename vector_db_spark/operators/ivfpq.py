@@ -197,13 +197,29 @@ class IVFPQIndex:
                 execute_swap(self.spark, corpus_table, corpus_tmp)
                 out[f"corpus{suffix}"] = out[f"codes{suffix}"] = "completed"
             else:
-                # pre-commit: discard any staging (incl. a codes plan —
-                # the pair never committed). recover_staged discards
-                # plan-less tmps; force-discard a planned codes tmp too.
+                # pre-commit: the pair never committed — discard staging.
+                # EXCEPTION: a planned codes tmp that already holds
+                # old-cluster_id= dirs was mid-EXECUTION (only
+                # execute_swap creates those, and under the pair protocol
+                # codes executes only after the corpus plan exists — so
+                # this state can only come from the legacy per-table
+                # protocol, whose corpus half had already fully swapped).
+                # Those dirs are the ONLY copies of retired live data:
+                # deleting them destroys clusters the corpus still has.
+                # Complete that swap forward instead of discarding it.
                 jpath, fs = _hadoop_fs(self.spark, codes_tmp)
                 if fs.exists(jpath(codes_tmp)):
-                    fs.delete(jpath(codes_tmp), True)
-                    out[f"codes{suffix}"] = "discarded"
+                    has_plan = read_swap_plan(self.spark, codes_tmp) is not None
+                    mid_execution = has_plan and any(
+                        st.getPath().getName().startswith("old-cluster_id=")
+                        for st in fs.listStatus(jpath(codes_tmp))
+                    )
+                    if mid_execution:
+                        execute_swap(self.spark, codes_table, codes_tmp)
+                        out[f"codes{suffix}"] = "completed"
+                    else:
+                        fs.delete(jpath(codes_tmp), True)
+                        out[f"codes{suffix}"] = "discarded"
                 got = recover_staged(self.spark, corpus_table, (suffix,))
                 out.update({f"corpus{k}": v for k, v in got.items()})
         return out

@@ -530,6 +530,16 @@ def cooccurrence_wedge_audit(
         max_basket_size=max_basket_size,
         assume_distinct_pairs=assume_distinct_pairs,
     )
+    return wedge_audit_from_edges(e)
+
+
+def wedge_audit_from_edges(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """The degree-tally half of :func:`cooccurrence_wedge_audit`, for
+    callers that already hold the undirected edge list (so audit and
+    downstream :func:`triangle_count` share ONE edge definition)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     # BOTH degree tallies in one streamed pass over the oriented edges:
     # explode each edge into its two endpoint rows tagged out/in, one
     # vertex-keyed aggregation, one scalar finish. Deliberately NO

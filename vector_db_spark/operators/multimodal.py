@@ -100,7 +100,16 @@ def decode_image_features(
                 if pdf.empty:
                     continue
                 feats = []
-                for p in pdf["payload"]:
+                for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    # MEDIA_SCHEMA allows NULL payloads (externalized
+                    # blobs); a real decode of nothing is an actionable
+                    # error, not an opaque executor TypeError
+                    if p is None:
+                        raise ValueError(
+                            f"media_id {mid}: NULL payload cannot be "
+                            "decoded — filter null payloads (or resolve "
+                            "URIs to bytes) before decoder='real'"
+                        )
                     img = Image.open(_io.BytesIO(p)).convert("L")
                     hist = np.asarray(img.histogram(), dtype=np.float64)
                     pooled = hist.reshape(dim, 256 // dim).sum(axis=1)

@@ -142,6 +142,28 @@ def derive_lsh_geometry(
     return max(min_tables, min(max_tables, tables)), h
 
 
+def derive_strict_geometry(
+    n: int, *, threshold: float = 0.9, **kwargs
+) -> tuple[int, int, bool]:
+    """The recall-floor-critical derivation policy, shared by every
+    blocked-dedup/decontamination default path: derive strictly; when the
+    base geometry cannot hold the floor within the table budget,
+    AUTO-ESCALATE to multiprobe (re-deriving L against the d≤1 collision
+    probability) — still strict, so a floor even multiprobe cannot hold
+    raises instead of silently missing pairs. Returns
+    ``(n_tables, n_bits, use_multiprobe)``; when ``use_multiprobe`` is
+    True the caller MUST expand one join side via
+    :func:`expand_probe_buckets` or the analytic recall is fiction."""
+    try:
+        t, h = derive_lsh_geometry(n, threshold=threshold, strict=True, **kwargs)
+        return t, h, False
+    except ValueError:
+        t, h = derive_lsh_geometry(
+            n, threshold=threshold, multiprobe=True, strict=True, **kwargs
+        )
+        return t, h, True
+
+
 def _bucket_expr(
     vec_col: str, table_idx: int, planes: list[list[list[float]]] | None = None
 ) -> Column:

@@ -1477,12 +1477,17 @@ def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     result row (``n_wedges``, ``within_budget``) so the oracle checks the
     preflight arithmetic, not just the count."""
     from vector_db_spark.operators.knn_graph import (
-        cooccurrence_wedge_audit,
+        cooccurrence_edges,
         triangle_count,
+        wedge_audit_from_edges,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    audit = cooccurrence_wedge_audit(li, "l_orderkey", "l_partkey").collect()[0]
+    # ONE edge definition feeds the preflight audit and the wedge join
+    # (lineage recompute, deliberately uncached: wave-11 measured pinning
+    # the edge set LOSES to shuffle-file re-reads at the ×100 shape)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    audit = wedge_audit_from_edges(edges).collect()[0]
     if audit.n_wedges > _COOC_UNCAPPED_WEDGE_BUDGET:
         raise ValueError(
             f"uncapped co-occurrence wedge join prices at {audit.n_wedges:,} "
@@ -1491,23 +1496,14 @@ def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "derive_cooccurrence_caps / cooccurrence_capped_triangles, or "
             "raise the budget on a cluster that can hold the spill"
         )
-    edges = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    )
-    return (
-        triangle_count(edges)
-        .crossJoin(
-            F.broadcast(
-                li.sparkSession.createDataFrame(
-                    [(int(audit.n_wedges), bool(audit.n_wedges <= _COOC_UNCAPPED_WEDGE_BUDGET))],
-                    "n_wedges long, within_budget boolean",
-                )
-            )
-        )
-        .select("n_nodes", "n_edges", "n_triangles", "n_wedges", "within_budget")
+    return triangle_count(edges).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.lit(int(audit.n_wedges)).cast("long").alias("n_wedges"),
+        F.lit(bool(audit.n_wedges <= _COOC_UNCAPPED_WEDGE_BUDGET)).alias(
+            "within_budget"
+        ),
     )
 
 
