@@ -574,10 +574,13 @@ def embedding_decontaminate(
     map-side pass (corpus × |benchmark| cosine evaluations, partial-agg
     max per id — the corpus never shuffles, no candidate explosion). At
     benchmark sizes where corpus×|B| row-visits stop being a scan-cost
-    multiple, block both sides through the hyperplane-LSH machinery
-    (``embedding_near_dup_blocked`` geometry) instead — the broadcast
-    form is deliberately exact because decontamination is a recall-
-    critical cut: a missed leak poisons an eval.
+    multiple, use :func:`embedding_decontaminate_blocked` instead — the
+    broadcast form is deliberately exact because decontamination is a
+    recall-critical cut: a missed leak poisons an eval. MEASURED
+    (SCALE.md wave-14c): at 194 k corpus × 5.4 k benchmark this exact
+    form is 1.05 B cosines = 763 s on local[32] while the blocked form
+    covers the same corpus in 6.1 s — when the suite grows with the
+    corpus, the wall is real.
 
     The one-row-per-corpus-vector contract holds even for an EMPTY
     benchmark (an upstream filter that matched nothing): scores
