@@ -266,3 +266,20 @@ def test_embedding_decontaminate_empty_benchmark_keeps_contract(spark, sf_smoke)
     out = embedding_decontaminate(emb.limit(20), emb.filter(F.lit(False))).collect()
     assert len(out) == 20
     assert all(not r.contaminated and r.max_benchmark_sim is None for r in out)
+
+
+def test_embedding_decontaminate_pair_budget_guard(spark, sf_smoke):
+    """pair_budget prices corpus x |benchmark| BEFORE scoring: over budget
+    raises naming the bill and the blocked alternative; within budget the
+    call proceeds normally."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.dedup import embedding_decontaminate
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    corpus, bench = emb.limit(30), emb.limit(10)
+    with pytest.raises(ValueError, match="pair_budget|blocked"):
+        embedding_decontaminate(corpus, bench, pair_budget=100)
+    assert embedding_decontaminate(corpus, bench, pair_budget=1000).count() == 30

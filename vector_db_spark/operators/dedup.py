@@ -562,6 +562,7 @@ def embedding_decontaminate(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """SEMANTIC train/benchmark decontamination — the embedding-space twin
     of ``decontaminate_ngrams``: flag every corpus vector whose cosine to
@@ -587,7 +588,24 @@ def embedding_decontaminate(
     left-join back onto the corpus ids, so every row still gets a
     verdict — ``max_benchmark_sim`` NULL, ``contaminated`` false — and a
     pipeline keeping ``~contaminated`` rows keeps the whole corpus
-    instead of silently dropping it."""
+    instead of silently dropping it.
+
+    ``pair_budget`` is the preflight-then-run guard (same pattern as the
+    co-occurrence wedge budget): when set, the corpus×|B| cosine bill is
+    priced from two cheap counts BEFORE any scoring, and an over-budget
+    call raises naming the bill and the blocked alternative — never an
+    hours-long surprise (the wave-14c wall)."""
+    if pair_budget is not None:
+        nc, nb = corpus.count(), benchmark.count()
+        if nc * nb > pair_budget:
+            raise ValueError(
+                f"exact decontamination prices at {nc:,}×{nb:,} = "
+                f"{nc * nb:,} cosine evaluations (> pair_budget "
+                f"{pair_budget:,}; measured ~1.4M cosines/s/core at dim "
+                "64, SCALE.md wave-14c) — use "
+                "embedding_decontaminate_blocked, shrink the benchmark, "
+                "or raise the budget"
+            )
     b = F.broadcast(benchmark.select(F.col(vec_col).alias("__bv")))
     scored = (
         corpus.select(id_col, vec_col)
