@@ -260,3 +260,46 @@ def test_recover_completes_legacy_mid_execution_codes_swap(spark, sf_smoke, tmp_
     assert idx.codes().filter(F.col("vec_id").isin(victim)).count() == 0
     assert idx.codes().count() == n0 - 1
     assert not os.path.exists(tmp)
+
+
+def test_recover_completes_legacy_committed_unexecuted_codes_swap(
+    spark, sf_smoke, tmp_path
+):
+    """Legacy per-table state with the plan written but execution NOT yet
+    started (no old-cluster_id= dirs) and no corpus staging dir (legacy's
+    corpus half had fully swapped and reclaimed its tmp): the codes plan
+    is committed legacy work — recover() must drive it forward, not
+    classify it as pre-commit pair staging and delete it (which would
+    leave deleted ids searchable in codes forever)."""
+    import os
+
+    from vector_db_spark.operators.staging import write_swap_plan
+    from vector_db_spark.io import write_clustered
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = IVFPQIndex.build(
+        spark, emb, str(tmp_path / "idx"), k_coarse=4, n_chunks=8, k_codes=16
+    )
+    n0 = idx.codes().count()
+    victim = [int(idx.codes().first().vec_id)]
+    clusters = [
+        r.cluster_id
+        for r in idx.codes()
+        .filter(F.col("vec_id").isin(victim))
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    ]
+    codes_table = os.path.join(idx.path, "codes")
+    tmp = codes_table.rstrip("/") + ".tmp-delete"
+    remaining = idx.codes().filter(
+        F.col("cluster_id").isin(clusters) & ~F.col("vec_id").isin(victim)
+    )
+    write_clustered(remaining, tmp)
+    write_swap_plan(spark, tmp, clusters, [])
+    # no corpus tmp, no old- dirs: the committed-but-unexecuted legacy state
+    got = idx.recover()
+    assert got.get("codes.tmp-delete") == "completed"
+    assert idx.codes().filter(F.col("vec_id").isin(victim)).count() == 0
+    assert idx.codes().count() == n0 - 1
+    assert not os.path.exists(tmp)

@@ -563,6 +563,8 @@ def embedding_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pair_budget: int | None = None,
+    corpus_count: int | None = None,
+    benchmark_count: int | None = None,
 ) -> DataFrame:
     """SEMANTIC train/benchmark decontamination — the embedding-space twin
     of ``decontaminate_ngrams``: flag every corpus vector whose cosine to
@@ -583,20 +585,23 @@ def embedding_decontaminate(
     covers the same corpus in 6.1 s — when the suite grows with the
     corpus, the wall is real.
 
-    The one-row-per-corpus-vector contract holds even for an EMPTY
-    benchmark (an upstream filter that matched nothing): scores
-    left-join back onto the corpus ids, so every row still gets a
-    verdict — ``max_benchmark_sim`` NULL, ``contaminated`` false — and a
-    pipeline keeping ``~contaminated`` rows keeps the whole corpus
-    instead of silently dropping it.
+    The one-row-per-distinct-corpus-id contract holds even for an EMPTY
+    benchmark (an upstream filter that matched nothing): that case
+    short-circuits to an all-clean verdict table — ``max_benchmark_sim``
+    NULL, ``contaminated`` false — so a pipeline keeping ``~contaminated``
+    rows keeps the whole corpus instead of silently dropping it. The
+    common (non-empty) path stays the single cross-score + aggregation:
+    no extra corpus pass rides the hot path for the edge case.
 
     ``pair_budget`` is the preflight-then-run guard (same pattern as the
     co-occurrence wedge budget): when set, the corpus×|B| cosine bill is
-    priced from two cheap counts BEFORE any scoring, and an over-budget
-    call raises naming the bill and the blocked alternative — never an
-    hours-long surprise (the wave-14c wall)."""
+    priced BEFORE any scoring — pass ``corpus_count``/``benchmark_count``
+    when you already hold them to skip the count jobs — and an
+    over-budget call raises naming the bill and the blocked alternative,
+    never an hours-long surprise (the wave-14c wall)."""
     if pair_budget is not None:
-        nc, nb = corpus.count(), benchmark.count()
+        nc = corpus_count if corpus_count is not None else corpus.count()
+        nb = benchmark_count if benchmark_count is not None else benchmark.count()
         if nc * nb > pair_budget:
             raise ValueError(
                 f"exact decontamination prices at {nc:,}×{nb:,} = "
@@ -606,8 +611,19 @@ def embedding_decontaminate(
                 "embedding_decontaminate_blocked, shrink the benchmark, "
                 "or raise the budget"
             )
+    empty = (
+        benchmark_count == 0
+        if benchmark_count is not None
+        else benchmark.isEmpty()
+    )
+    if empty:
+        return corpus.select(id_col).distinct().select(
+            id_col,
+            F.lit(None).cast("double").alias("max_benchmark_sim"),
+            F.lit(False).alias("contaminated"),
+        )
     b = F.broadcast(benchmark.select(F.col(vec_col).alias("__bv")))
-    scored = (
+    return (
         corpus.select(id_col, vec_col)
         .join(b)
         .select(
@@ -616,10 +632,6 @@ def embedding_decontaminate(
         )
         .groupBy(id_col)
         .agg(F.max("__s").alias("max_benchmark_sim"))
-    )
-    return (
-        corpus.select(id_col)
-        .join(scored, id_col, "left")
         .select(
             id_col,
             "max_benchmark_sim",
@@ -702,7 +714,12 @@ def embedding_decontaminate_blocked(
         .select(
             id_col,
             "max_benchmark_sim",
-            (F.col("max_benchmark_sim") >= threshold).alias("contaminated"),
+            # NULL-safe like the exact twin: a candidate set whose every
+            # cosine is NULL (null/zero-norm partners) must read clean,
+            # not NULL — `~contaminated` filters drop NULL rows silently
+            F.coalesce(
+                F.col("max_benchmark_sim") >= threshold, F.lit(False)
+            ).alias("contaminated"),
         )
     )
 

@@ -197,24 +197,25 @@ class IVFPQIndex:
                 execute_swap(self.spark, corpus_table, corpus_tmp)
                 out[f"corpus{suffix}"] = out[f"codes{suffix}"] = "completed"
             else:
-                # pre-commit: the pair never committed — discard staging.
-                # EXCEPTION: a planned codes tmp that already holds
-                # old-cluster_id= dirs was mid-EXECUTION (only
-                # execute_swap creates those, and under the pair protocol
-                # codes executes only after the corpus plan exists — so
-                # this state can only come from the legacy per-table
-                # protocol, whose corpus half had already fully swapped).
-                # Those dirs are the ONLY copies of retired live data:
-                # deleting them destroys clusters the corpus still has.
-                # Complete that swap forward instead of discarding it.
+                # No corpus plan. A PLANNED codes tmp here is one of two
+                # states, disambiguated by whether a corpus STAGING dir
+                # exists: under the pair protocol delete() stages BOTH
+                # tmps before writing either plan, so corpus-tmp-present
+                # means pre-commit pair staging (discard both); corpus-
+                # tmp-ABSENT can only be the legacy per-table protocol
+                # (its corpus half had already fully swapped and removed
+                # its tmp) — that codes plan is COMMITTED legacy work
+                # and must be driven forward, whether or not execution
+                # started (old-cluster_id= dirs inside the tmp are the
+                # only copies of retired live data; deleting them
+                # destroys clusters the corpus still has).
                 jpath, fs = _hadoop_fs(self.spark, codes_tmp)
                 if fs.exists(jpath(codes_tmp)):
                     has_plan = read_swap_plan(self.spark, codes_tmp) is not None
-                    mid_execution = has_plan and any(
-                        st.getPath().getName().startswith("old-cluster_id=")
-                        for st in fs.listStatus(jpath(codes_tmp))
+                    legacy_committed = has_plan and not fs.exists(
+                        jpath(corpus_tmp)
                     )
-                    if mid_execution:
+                    if legacy_committed:
                         execute_swap(self.spark, codes_table, codes_tmp)
                         out[f"codes{suffix}"] = "completed"
                     else:
