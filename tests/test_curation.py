@@ -261,6 +261,35 @@ def test_percolate_conjunction_semantics(spark):
     assert got == {(1, "q1"), (1, "q2"), (2, "q2")}
 
 
+def test_percolate_routed_vocab_parity(spark, sf_smoke):
+    """A subscription vocabulary past max_literal_vocab skips the plan
+    literal + driver collect and routes through un-hinted joins — same
+    rows either way (the guard added for the wave-14b scaled shape)."""
+    from tests.test_plans import plan_of
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.hybrid import percolate
+    from vector_db_spark.queries import all_queries
+
+    docs = load_table(spark, sf_smoke, "documents")
+    stored = spark.createDataFrame(
+        [("q1", ["hash", "join"]), ("q2", ["stream", "window", "batch"])],
+        "query_id string, terms array<string>",
+    )
+    lit_df = percolate(docs, stored)
+    routed_df = percolate(docs, stored, max_literal_vocab=0)
+    assert "array_intersect" in plan_of(lit_df)
+    assert "array_intersect" not in plan_of(routed_df)
+    lit = sorted(map(tuple, lit_df.collect()))
+    routed = sorted(map(tuple, routed_df.collect()))
+    assert lit == routed and len(lit) > 0
+    # the scaled registered row derives subscriptions from the corpus and
+    # its match volume scales with it: every subscription matches ≥ 1 doc
+    scaled = all_queries()["percolate_scaled_subscriptions"](spark, sf_smoke)
+    per_q = {r["query_id"]: r["n"] for r in
+             scaled.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert len(per_q) == 8 and all(v >= 1 for v in per_q.values())
+
+
 def test_group_safe_split_no_leakage_and_fractions(spark, sf_smoke):
     from vector_db_spark.io import load_table
     from vector_db_spark.operators.curation import group_safe_split

@@ -225,6 +225,10 @@ _WARN_ALLOW: dict[str, set[str]] = {
         "single-partition-exchange",
     },
     "part_cooccurrence_triangles": {"nested-loop-join", "single-partition-exchange"},
+    # subscription rank window runs AFTER the TakeOrdered top-2n cut, so
+    # the one-task stage holds 2·n_subs rows (n_docs/32), never the
+    # corpus vocabulary
+    "percolate_scaled_subscriptions": {"unpartitioned-window"},
     "pq_adc_kmeans": {"nested-loop-join", "single-partition-exchange"},
     "qty_price_corr": {"single-partition-exchange"},
     "quality_dup_auc": {"single-partition-exchange", "unpartitioned-window"},

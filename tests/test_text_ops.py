@@ -423,6 +423,35 @@ def test_incremental_dedup_broadcasts_batch_side(spark, sf_smoke):
     assert plan_of(df).count("BroadcastHashJoin") >= 2
 
 
+def test_incremental_dedup_routes_oversized_batch(spark, sf_smoke):
+    """A batch past max_broadcast_batch must NOT ride any broadcast hint
+    (VERDICT r7 item 2 — the knn_join guard pattern): with the auto-
+    broadcast estimator disabled, the routed plan is hint-free (pure
+    shuffle joins), while the small-batch plan keeps its hinted
+    broadcasts — and both routes return identical rows."""
+    from tests.test_plans import plan_of
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    routed_df = incremental_dedup(corpus, batch, max_broadcast_batch=0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # hint-stripped regime: every remaining BroadcastHashJoin is an
+        # explicit F.broadcast — the routed plan must have none
+        assert plan_of(routed_df).count("BroadcastHashJoin") == 0
+        broad_df = incremental_dedup(corpus, batch)  # probe says small
+        assert plan_of(broad_df).count("BroadcastHashJoin") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    routed = sorted(map(tuple, routed_df.collect()), key=lambda t: t[0])
+    broad = sorted(map(tuple, broad_df.collect()), key=lambda t: t[0])
+    assert routed == broad and len(routed) > 0
+
+
 def test_lsh_bucket_kernel_matches_expression(spark, sf_correctness):
     """The Arrow-batched bucket kernel must emit the exact buckets the
     native-expression (oracle-mirrored) form defines."""

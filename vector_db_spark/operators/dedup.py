@@ -187,25 +187,34 @@ def jaccard_verify(
     pairs: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    *,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs only, via per-doc shingle
-    SETS: cut the shingle stream to candidate docs (broadcast semi-join —
-    candidate pairs are tiny by construction), regroup each surviving
-    doc's shingles into one array, then score every pair map-side with
-    ``array_intersect`` — |A∪B| falls out of the two set sizes.
+    SETS: cut the shingle stream to candidate docs (semi-join), regroup
+    each surviving doc's shingles into one array, then score every pair
+    with ``array_intersect`` — |A∪B| falls out of the two set sizes.
 
-    One small shuffle total (the per-candidate-doc regroup); the pair
-    scoring is two broadcast joins plus a codegen'd intersect — no
-    (doc, shingle)-keyed corpus join, no per-pair aggregation shuffle.
-    Per-doc arrays are bounded by document length, the same bound the
-    exploded form already carried per group."""
+    One small shuffle total (the per-candidate-doc regroup) plus the pair
+    scoring joins — no (doc, shingle)-keyed corpus join, no per-pair
+    aggregation shuffle. Per-doc arrays are bounded by document length,
+    the same bound the exploded form already carried per group.
+
+    ``broadcast`` picks the physical strategy for the candidate-pair
+    joins: True hints the pair/doc-cut tables onto the broadcast side
+    (candidate pairs are tiny in the self-dedup shape), False leaves
+    them un-hinted so Catalyst/AQE route a corpus-shaped candidate set
+    through plain shuffle equi-joins instead of dying on the 8 GB
+    broadcast ceiling — callers with a size probe (``incremental_dedup``)
+    pass the probe's verdict through."""
+    hint = F.broadcast if broadcast else (lambda d: d)
     cand_docs = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
     sets = (
-        sh.join(F.broadcast(cand_docs), id_col, "left_semi")
+        sh.join(hint(cand_docs), id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("__sh"))
     )
@@ -213,8 +222,8 @@ def jaccard_verify(
     b = sets.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb"))
     n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     return (
-        a.join(F.broadcast(pairs), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        a.join(hint(pairs), "doc_a")
+        .join(hint(b), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -332,6 +341,7 @@ def incremental_dedup(
     n_bands: int = 4,
     threshold: float = 0.5,
     prefix_tokens: int | None = None,
+    max_broadcast_batch: int = 100_000,
 ) -> DataFrame:
     """Dedup an **incoming batch against an already-indexed corpus** — the
     production shape of corpus maintenance (a daily crawl landing on a
@@ -346,20 +356,35 @@ def incremental_dedup(
     ``is_new`` = neither matched. Ids must be disjoint across the two
     inputs (they share one id space in a real corpus).
 
-    Scale posture — the batch is small, the corpus is not, so every join
-    puts the batch on the broadcast side and the corpus side **streams
-    map-side with zero shuffle**: fingerprints probe a broadcast batch-fp
-    table; band keys are derived map-side on the corpus stream and probe
-    broadcast batch band keys; Jaccard verification touches only candidate
-    docs (broadcast semi-join cut, as in :func:`jaccard_verify`). At
-    cluster scale the corpus signature/band table would be a *persisted*
-    incremental index (written once per batch append, exactly like the IVF
-    corpus) — the plan shape here is identical, minus the re-derivation."""
+    Scale posture — the batch is *usually* small and the corpus is not,
+    so in the common shape every join puts the batch on the broadcast
+    side and the corpus side **streams map-side with zero shuffle**:
+    fingerprints probe a broadcast batch-fp table; band keys are derived
+    map-side on the corpus stream and probe broadcast batch band keys;
+    Jaccard verification touches only candidate docs (semi-join cut, as
+    in :func:`jaccard_verify`). That smallness is ENFORCED, not trusted
+    (the knn_join guard pattern, operators/knn.py): the batch row count
+    is probed with a ``limit(max+1).count()`` — O(threshold), never a
+    full count of an unbounded input — and past ``max_broadcast_batch``
+    rows (a backfill, a merged crawl) every batch-side hint is dropped so
+    the fp/band/verify joins run as plain shuffle equi-joins under
+    Catalyst/AQE instead of dying on the 8 GB broadcast ceiling with an
+    opaque OOM. Both routes produce identical rows (parity-tested); the
+    routed form costs the shuffles the broadcast form avoided — measured
+    at a corpus-shaped batch in SCALE.md wave-15. At cluster scale the
+    corpus signature/band table would be a *persisted* incremental index
+    (written once per batch append, exactly like the IVF corpus) — the
+    plan shape here is identical, minus the re-derivation."""
+    small = (
+        incoming.select(id_col).limit(max_broadcast_batch + 1).count()
+        <= max_broadcast_batch
+    )
+    hint = F.broadcast if small else (lambda d: d)
     fp = doc_fingerprint(text_col, prefix_tokens)
     ex_fp = existing.select(F.col(id_col).alias("__ex_id"), fp.alias("fingerprint"))
     in_fp = incoming.select(F.col(id_col), fp.alias("fingerprint"))
     exact = (
-        ex_fp.join(F.broadcast(in_fp), "fingerprint")
+        ex_fp.join(hint(in_fp), "fingerprint")
         .groupBy(id_col)
         .agg(F.min("__ex_id").alias("dup_exact_of"))
     )
@@ -378,13 +403,17 @@ def incremental_dedup(
     cand = (
         ex_bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
         .join(
-            F.broadcast(in_bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")),
+            hint(in_bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")),
             ["band", "band_key"],
         )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    near = jaccard_verify(in_sh.unionByName(ex_sh), cand, id_col, threshold)
+    # candidate volume scales with the batch side, so the verify joins
+    # inherit the same routing verdict as the fp/band probes
+    near = jaccard_verify(
+        in_sh.unionByName(ex_sh), cand, id_col, threshold, broadcast=small
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))

@@ -236,6 +236,7 @@ def percolate(
     text_col: str = "text",
     query_id_col: str = "query_id",
     terms_col: str = "terms",
+    max_literal_vocab: int = 10_000,
 ) -> DataFrame:
     """(doc_id, query_id): which stored conjunctive term queries match each
     document — search INVERTED: the queries are the persisted table and
@@ -243,39 +244,58 @@ def percolate(
     ``foreachBatch`` and each micro-batch of new docs triggers its
     matching subscriptions).
 
-    Plan: the stored-query term table broadcasts (subscriptions are small
-    next to a corpus — their union'd term set rides the plan as a
-    literal); each doc intersects its distinct tokens with that term set
-    MAP-SIDE, so only matching terms are ever exploded or shuffled — the
-    corpus contributes O(matched terms) rows, not O(all tokens). One
-    partial-aggregated count per (doc, query) compared to the query's
-    term arity — a match means EVERY term hit. No crossJoin, no regex
-    over queries×docs."""
+    Plan, small-vocabulary regime (≤ ``max_literal_vocab`` distinct
+    subscription terms): the stored-query term table broadcasts and its
+    union'd term set rides the plan as a literal; each doc intersects its
+    distinct tokens with that term set MAP-SIDE, so only matching terms
+    are ever exploded or shuffled — the corpus contributes O(matched
+    terms) rows, not O(all tokens). One partial-aggregated count per
+    (doc, query) compared to the query's term arity — a match means
+    EVERY term hit. No crossJoin, no regex over queries×docs.
+
+    The smallness is probed, not trusted (the knn_join guard pattern):
+    the distinct-term probe is a ``limit(max+1)`` whose collect IS the
+    vocabulary fetch when it fits. Past the threshold — multi-tenant
+    subscription tables growing with the corpus (SCALE.md wave-14b's
+    true matching-volume shape) — the literal/collect path is skipped
+    entirely: doc tokens explode distinct and the term/arity joins run
+    un-hinted, so Catalyst/AQE broadcast the subscription side while it
+    fits and shuffle past that, instead of building a plan literal of
+    unbounded width on the driver. Both regimes emit identical rows."""
     q_terms = stored.select(
         query_id_col, F.explode(terms_col).alias("tok")
     )
     q_arity = stored.select(
         query_id_col, F.size(terms_col).alias("__need")
     )
-    # bounded by the subscription table's vocabulary (the same smallness
-    # assumption that lets q_terms broadcast)
-    vocab = sorted({r["tok"] for r in q_terms.select("tok").distinct().collect()})
-    matched = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_intersect(
-                F.array_distinct(tokens(text_col)),
-                F.array(*[F.lit(t) for t in vocab]),
-            )
-        ).alias("tok"),
-    )
+    # probe IS the fetch in the small regime: at most max+1 distinct terms
+    # ever reach the driver, never an unbounded subscription vocabulary
+    probe = q_terms.select("tok").distinct().limit(max_literal_vocab + 1).collect()
+    small = len(probe) <= max_literal_vocab
+    if small:
+        vocab = sorted({r["tok"] for r in probe})
+        matched = docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_intersect(
+                    F.array_distinct(tokens(text_col)),
+                    F.array(*[F.lit(t) for t in vocab]),
+                )
+            ).alias("tok"),
+        )
+    else:
+        matched = docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
+    hint = F.broadcast if small else (lambda d: d)
     hits = (
-        matched.join(F.broadcast(q_terms), "tok")
+        matched.join(hint(q_terms), "tok")
         .groupBy(id_col, query_id_col)
         .agg(F.count("*").alias("__got"))
     )
     return (
-        hits.join(F.broadcast(q_arity), query_id_col)
+        hits.join(hint(q_arity), query_id_col)
         .filter(F.col("__got") == F.col("__need"))
         .select(id_col, query_id_col)
     )

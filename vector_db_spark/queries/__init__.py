@@ -49,43 +49,44 @@ DRIVER_QUERY_BUDGET = 50
 # tests/test_queries_oracle.py under the identical value-hash discipline,
 # and still available to bench.py).
 #
-# Round 7: promote the 20 queued families still without a driver row
-# (VERDICT r6 item 1 / COVERAGE.md r7 rotation plan) — this COMPLETES the
-# rotation program: after this round every registered family has a hard
-# driver CORRECTNESS row on record. The 16 r6 promotions (all green in
-# CORRECTNESS_r06) rotate back to the extra tier (they register extra=True
-# statically, so dropping them from PROMOTED suffices). Four extra slots
-# come from multi-round-green rows whose families keep other driver
-# coverage: asof_last_order (as-of keeps the promoted asof_nearest_order),
-# ann_lsh_search (ANN-LSH keeps the promoted ann_lsh_multiprobe),
-# near_dup_jaccard (dedup keeps exact-prefix + retain-best + the promoted
-# incremental/winnow/prefix-filter rows), events_json_filter (JSON/semi-
-# structured keeps the r4-green VARIANT row's family; relational keeps
-# pricing_summary + orders_grouping_sets).
+# Round 8: promote the four r7-new registrations (VERDICT r7 item 1 /
+# COVERAGE.md r8 rotation plan) — embedding_decontaminate (the one FAMILY
+# with no driver row, leading), its blocked scale twin, and the two
+# scale-safe artifact twins whose families have older driver rows but
+# whose driver-checked artifact should be the scale-safe form
+# (hnsw_export_derived_k, stream_first_seen_native). Four r7 promotions
+# yield slots, preferring rows whose family keeps other driver coverage:
+# cooccurrence_budget_audit (family keeps cooccurrence_capped_triangles),
+# udaf_event_median / udtf_token_positions (single-purpose surface pins,
+# green in CORRECTNESS_r07), sq8_search (hands back to the PQ/OPQ/BQ
+# quantization-ladder driver rows). All rotate cleanly: every one of the
+# eight registers extra=True statically, so membership here is the whole
+# edit. The 16 remaining r7 promotions keep their slots (green r07).
 DRIVER_PROMOTED = frozenset(
     {
         # the four r6-new families
         "record_linkage_customers",
         "decayed_event_type_scores",
         "cooccurrence_capped_triangles",
-        "cooccurrence_budget_audit",
-        # never-driver-seen operator families
+        # never-driver-seen operator families (r7 wave, staying)
         "ann_lsh_multiprobe",
         "asof_nearest_order",
         "incremental_dedup",
         "winnow_dup_candidates",
         "prefix_filter_jaccard",
         "association_rules",
-        "udaf_event_median",
-        "udtf_token_positions",
         "cusum_level_shifts",
         "ewma_purchase_values",
-        "sq8_search",
         "jl_projection_audit",
         "node2vec_biased_walks",
         "graph_skipgram_pairs",
         "copurchase_ktruss",
         "corpus_drift_js",
+        # r8 wave: the four r7-new registrations
+        "embedding_decontaminate",
+        "embedding_decontaminate_blocked",
+        "hnsw_export_derived_k",
+        "stream_first_seen_native",
     }
 )
 DRIVER_DEMOTED = frozenset(
@@ -112,6 +113,13 @@ DRIVER_DEMOTED = frozenset(
         "ann_lsh_search",
         "near_dup_jaccard",
         "events_json_filter",
+        # r8: four r7 promotions rotate back after going green in r07
+        # (they register extra=True statically — listed here for the
+        # ledger record; removal from PROMOTED is what rotates them)
+        "cooccurrence_budget_audit",
+        "udaf_event_median",
+        "udtf_token_positions",
+        "sq8_search",
     }
 )
 assert not (DRIVER_PROMOTED & DRIVER_DEMOTED)

@@ -126,19 +126,29 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the exact form prices corpus×|benchmark| cosine evaluations before any
+# scoring (SCALE.md wave-14c: ~1.4M cosines/s/core at dim 64, so this
+# budget caps the exact path at ~35 s of single-core work — the blocked
+# twin takes over past it). sf0.1 bills ~107 k pairs, sf0.01 ~6.8 k.
+_EDECON_PAIR_BUDGET = 50_000_000
+
 @register(
     "embedding_decontaminate",
     extra=True,
     oracle=f"""
 WITH b AS (SELECT embedding FROM embeddings WHERE vec_id % {_TEST_MOD} = 0),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_TEST_MOD} <> 0),
+aud AS (SELECT (SELECT count(*) FROM c) * (SELECT count(*) FROM b) AS pair_bill),
 s AS (
   SELECT c.vec_id,
          round(list_cosine_similarity(c.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS s
-  FROM embeddings c CROSS JOIN b
-  WHERE c.vec_id % {_TEST_MOD} <> 0)
+  FROM c CROSS JOIN b)
 SELECT vec_id, max(s) AS max_benchmark_sim,
-       max(s) >= 0.9 AS contaminated
-FROM s GROUP BY vec_id
+       max(s) >= 0.9 AS contaminated,
+       aud.pair_bill::BIGINT AS pair_bill,
+       (aud.pair_bill <= {_EDECON_PAIR_BUDGET}) AS within_budget
+FROM s CROSS JOIN aud
+GROUP BY vec_id, aud.pair_bill
 """,
 )
 def embedding_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,14 +157,37 @@ def embedding_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining corpus vector reports its max cosine to the suite and a
     ≥ 0.9 contamination flag — the paraphrase-leakage cut n-gram overlap
     (``decontaminate_ngrams``) misses. Broadcast-exact: the benchmark side
-    is small by nature, the corpus never shuffles."""
+    is small by nature, the corpus never shuffles.
+
+    Preflight-then-score (VERDICT r7 item 3, the triangles template,
+    queries/relational.py part_cooccurrence_triangles): the corpus×|B|
+    cosine bill is counted BEFORE any scoring and passed to the operator
+    as ``pair_budget`` — an over-budget call raises naming the bill and
+    the blocked alternative (wave-14c measured why: 763 s when the suite
+    scales with the corpus vs 6.1 s blocked), never an hours-long
+    surprise. The audit facts ride the result rows (``pair_bill``,
+    ``within_budget``) so the oracle checks the preflight arithmetic,
+    not just the verdicts."""
     from vector_db_spark.operators.dedup import embedding_decontaminate
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_decontaminate(
-        emb.filter(F.col("vec_id") % _TEST_MOD != 0),
-        emb.filter(F.col("vec_id") % _TEST_MOD == 0),
+    corpus = emb.filter(F.col("vec_id") % _TEST_MOD != 0)
+    benchmark = emb.filter(F.col("vec_id") % _TEST_MOD == 0)
+    nc, nb = corpus.count(), benchmark.count()
+    out = embedding_decontaminate(
+        corpus,
+        benchmark,
         threshold=0.9,
+        pair_budget=_EDECON_PAIR_BUDGET,
+        corpus_count=nc,
+        benchmark_count=nb,
+    )
+    return out.select(
+        "vec_id",
+        "max_benchmark_sim",
+        "contaminated",
+        F.lit(nc * nb).cast("long").alias("pair_bill"),
+        F.lit(nc * nb <= _EDECON_PAIR_BUDGET).alias("within_budget"),
     )
 
 
@@ -702,6 +735,85 @@ def percolate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     stored = spark.createDataFrame(
         _PERC_QUERIES, "query_id string, terms array<string>"
+    )
+    return percolate(docs, stored)
+
+
+# subscriptions per corpus: one two-term conjunction per 64 docs (floor 8),
+# built from the corpus's top document-frequency tokens — deterministic,
+# oracle-replayable, and the match volume genuinely scales with the corpus
+# (wave-14b's finding, now registered instead of script-only)
+_PERC_SCALE_DOCS_PER_SUB = 64
+_PERC_SCALE_MIN_SUBS = 8
+
+
+@register(
+    "percolate_scaled_subscriptions",
+    extra=True,
+    oracle=f"""
+WITH dt AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+nd AS (SELECT greatest({_PERC_SCALE_MIN_SUBS},
+                       count(*) // {_PERC_SCALE_DOCS_PER_SUB}) AS n_subs
+       FROM documents),
+dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+rk AS (SELECT tok, row_number() OVER (ORDER BY df DESC, tok ASC) AS rn
+       FROM dfreq),
+subs AS (SELECT 'q' || CAST((rn - 1) // 2 AS VARCHAR) AS query_id, tok
+         FROM rk CROSS JOIN nd WHERE rn <= 2 * nd.n_subs),
+ar AS (SELECT query_id, count(*) AS need FROM subs GROUP BY query_id),
+hits AS (SELECT dt.doc_id, s.query_id, count(*) AS got
+         FROM dt JOIN subs s USING (tok) GROUP BY 1, 2)
+SELECT h.doc_id, h.query_id
+FROM hits h JOIN ar USING (query_id) WHERE h.got = ar.need
+""",
+)
+def percolate_scaled_subscriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation whose SUBSCRIPTION side scales with the corpus (VERDICT
+    r7 item 7 — wave-14b's true matching-volume curve as a registered,
+    oracled row instead of a script-only measurement): one two-term
+    conjunctive subscription per 64 corpus documents (floor 8), built
+    from the corpus's own top document-frequency tokens (rank 2i, 2i+1
+    pair up; ties broken by token), so both the stored-query table AND
+    the match volume grow ×k when the corpus grows ×k — the multi-tenant
+    alerting deployment shape. The subscription derivation is pure
+    DataFrame ops (df-rank → TakeOrdered cut → pair-up), and
+    ``percolate``'s probed vocabulary guard picks the physical plan:
+    literal map-side intersect at this geometry, un-hinted joins once a
+    blown-up corpus pushes the derived vocabulary past the literal
+    threshold (measured in SCALE.md wave-15b)."""
+    from pyspark.sql import Window
+
+    from vector_db_spark.functions.text import tokens
+    from vector_db_spark.operators.hybrid import percolate
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_subs = max(
+        _PERC_SCALE_MIN_SUBS, docs.count() // _PERC_SCALE_DOCS_PER_SUB
+    )
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    # top-2n df cut via orderBy+limit (TakeOrdered — no global window over
+    # the full vocabulary); the rank window then runs over 2n rows only
+    top = (
+        dt.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(2 * n_subs)
+    )
+    rk = top.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.desc("df"), F.asc("tok")))
+        .alias("rn"),
+    )
+    stored = (
+        rk.groupBy(((F.col("rn") - 1) / 2).cast("long").alias("__qi"))
+        .agg(F.collect_list("tok").alias("terms"))
+        .select(
+            F.concat(F.lit("q"), F.col("__qi").cast("string")).alias("query_id"),
+            "terms",
+        )
     )
     return percolate(docs, stored)
 
