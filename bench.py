@@ -1,10 +1,28 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+CLI (round-8, VERDICT r7 item 4):
+
+    python bench.py                        # full sweep (the driver's call):
+                                           # builds + canary + every headline
+                                           # row, writes BENCH_DETAIL.json
+    python bench.py name1 name2 --min-of 3 # selective re-check: times ONLY
+                                           # the named rows (min-of-N),
+                                           # stdout/stderr only — BENCH_DETAIL
+                                           # is never touched
+    python bench.py --skip-builds nameN    # selective, skipping the warm-up
+                                           # builds (rows that don't read the
+                                           # per-process model caches)
+
+Unknown names fail fast listing near-misses, so a typo'd re-check can't
+silently run the 5-minute sweep (the old behavior for ANY argv).
 """
 
 from __future__ import annotations
 
+import argparse
+import difflib
 import json
 import os
 import sys
@@ -71,6 +89,9 @@ HEADLINE = [
     "incremental_hourly_counts",
     "weighted_sample_quality",
     "percolate_alerts",
+    # round-8: the subscription-scaled percolation form (wave-14b's true
+    # matching-volume curve, registered)
+    "percolate_scaled_subscriptions",
     "table_expectations",
     "cluster_topic_terms",
     "part_link_prediction",
@@ -169,6 +190,9 @@ HEADLINE = [
     "quality_weighted_draw",
     "udaf_event_median",
     "udtf_token_positions",
+    # round-8: the blocked decontamination scale twin took a driver slot —
+    # bench its row alongside the exact (priced) form
+    "embedding_decontaminate_blocked",
     # round-4: Python DataSource connectors + VARIANT metadata
     "pyds_jsonl_roundtrip",
     "pyds_stream_replay",
@@ -198,11 +222,52 @@ HEADLINE = [
     # checked every round
 ]
 
+# entries with a PERF.md-documented wide band get a third sample — their
+# min-of-2 still spanned >1.5× across passes (see main() for the rationale)
+MIN3 = {
+    "tfidf_cosine_pairs_cut", "coverage_exemplar_docs",
+    "coverage_exemplar_stochastic", "copurchase_ppr_expansion",
+    "near_dup_jaccard", "incremental_dedup", "association_rules",
+}
 
-def _time_builds(spark, timings: dict[str, float]) -> None:
-    """One-time index builds, timed as their own bench entries so the
-    regression gate tracks steady-state search (the *_kmeans query numbers
-    below run against the warm per-process caches these calls populate)."""
+
+def _canary(timings_out: dict[str, float]) -> None:
+    """Tenancy canary (VERDICT r7 item 5): a fixed, seeded, CPU-bound
+    matmul of constant size timed alongside the suite, so BENCH_rN totals
+    can be normalized across the box's documented co-tenant band instead
+    of argued from PERF.md history. Same min-of protocol as the query
+    rows (min-of-3 — the canary exists to expose the load the mins could
+    NOT shed). Recorded top-level in BENCH_DETAIL as ``canary_matmul_sec``
+    (never in the query map or the headline total). Idle-box reference:
+    ~0.45 s (PERF.md round-8)."""
+    import numpy as np
+
+    a = np.random.default_rng(8).standard_normal((1024, 1024))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = a
+        for _ in range(8):
+            acc = a @ a
+        float(acc[0, 0])  # consume
+        best = min(best, time.perf_counter() - t0)
+    timings_out["canary_matmul_sec"] = round(best, 3)
+    print(f"# canary_matmul: {timings_out['canary_matmul_sec']}s", file=sys.stderr)
+
+
+def _time_builds(spark, builds: dict[str, float]) -> None:
+    """One-time index builds, timed as their own section so the regression
+    gate tracks steady-state search (the *_kmeans query numbers run against
+    the warm per-process caches these calls populate).
+
+    HIGH-VARIANCE by construction (VERDICT r7 item 6): each build runs
+    exactly ONCE per process — a second sample would hit the per-process
+    model cache and time nothing — so these are single cold samples with
+    no min-of protection, and PERF.md round-7 measured ivfpq_build swinging
+    3.8→20.3 s under co-tenant load. They are therefore recorded in a
+    separate ``builds`` section of BENCH_DETAIL, EXCLUDED from the headline
+    total and from gate ratios; read them against the canary, not against
+    each other across rounds."""
     from vector_db_spark.queries.curation import _inverted_index
     from vector_db_spark.queries.indexing import _als_model, _ivfpq_index, _kmeans_index
     from vector_db_spark.queries.pquant import _opq_model, _pq_model
@@ -217,11 +282,45 @@ def _time_builds(spark, timings: dict[str, float]) -> None:
     ):
         t0 = time.perf_counter()
         build(spark, SF_DIR)
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        builds[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {builds[name]}s", file=sys.stderr)
+
+
+def _parse_args() -> argparse.Namespace:
+    ap = argparse.ArgumentParser(
+        description="Headline-query benchmark. No names = the driver's "
+        "full sweep (writes BENCH_DETAIL.json); names = selective "
+        "re-check (stdout/stderr only)."
+    )
+    ap.add_argument("names", nargs="*", help="query names to time (subset run)")
+    ap.add_argument(
+        "--min-of", type=int, default=0, metavar="N",
+        help="samples per query, min reported (default: per-query policy — "
+        "2, or 3 for the documented wide-band rows)",
+    )
+    ap.add_argument(
+        "--skip-builds", action="store_true",
+        help="selective runs only: skip the index-build warm-up (rows that "
+        "read the per-process model caches will pay the build in-row)",
+    )
+    args = ap.parse_args()
+    known = set(HEADLINE) | set(QUERIES)
+    unknown = [n for n in args.names if n not in known]
+    if unknown:
+        hints = {
+            n: difflib.get_close_matches(n, sorted(known), n=3, cutoff=0.5)
+            for n in unknown
+        }
+        ap.error(f"unknown query names: {hints}")
+    if args.skip_builds and not args.names:
+        ap.error("--skip-builds is for selective runs (the full sweep's "
+                 "steady-state numbers depend on the build warm-up)")
+    return args
 
 
 def main() -> None:
+    args = _parse_args()
+    selective = bool(args.names)
     spark = get_spark("bench")
     # warm the JVM, parquet footer cache, AND the Python UDF workers once,
     # outside timing — first Arrow exchange pays worker fork + import cost
@@ -232,18 +331,17 @@ def main() -> None:
         df.count()
     knn_self(load_table(spark, SF_DIR, "embeddings"), 1, n_queries=1).count()
 
-    timings: dict[str, float] = {}
-    _time_builds(spark, timings)
+    extras: dict[str, float] = {}
+    _canary(extras)
+    builds: dict[str, float] = {}
+    if not (selective and args.skip_builds):
+        _time_builds(spark, builds)
+
     # two timed runs per query, min reported: the machine shares CPU with
     # other tenants and a single sample regularly inflates 1.5-3×; min-of-2
     # is the steady-state number the regression gate should track.
     # Entries with a PERF.md-documented wide band get a third sample —
-    # their min-of-2 still spanned >1.5× across passes.
-    # round-7: the five r6 bench movers get a third sample to separate
-    # tenancy noise from real regression (VERDICT r6 item 6)
-    min3 = {"tfidf_cosine_pairs_cut", "coverage_exemplar_docs",
-            "coverage_exemplar_stochastic", "copurchase_ppr_expansion",
-            "near_dup_jaccard", "incremental_dedup", "association_rules"}
+    # their min-of-2 still spanned >1.5× across passes (MIN3 above).
     # Consumer choice, deliberate: .count() — the SAME consumer the frozen
     # r01/r02 baseline rows were measured with, so the 2x regression gate
     # compares like with like. A bare count lets Catalyst prune unread
@@ -254,11 +352,14 @@ def main() -> None:
     # instead (scripts/scale_wave12.run, protocol note in SCALE.md
     # wave-14). Changing bench's consumer would invalidate every
     # cross-round band in PERF.md; don't, unless the baseline is re-run.
-    for name in HEADLINE:
+    run_list = args.names if selective else HEADLINE
+    timings: dict[str, float] = {}
+    for name in run_list:
         if name not in QUERIES:
             continue
+        samples = args.min_of or (3 if name in MIN3 else 2)
         best, n = float("inf"), 0
-        for _ in range(3 if name in min3 else 2):
+        for _ in range(samples):
             t0 = time.perf_counter()
             n = QUERIES[name](spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
@@ -274,17 +375,25 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # r8 protocol (VERDICT r7 items 5+6): builds are single cold
+        # samples (high variance, excluded from the total and from gate
+        # ratios); the canary is the constant-work tenancy reference
+        "builds": builds,
+        "canary_matmul_sec": extras["canary_matmul_sec"],
         "sf": float(sf),
     }
     print(json.dumps(detail), file=sys.stderr)
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-            "w",
-        ) as f:
-            json.dump(detail, f, indent=1)
-    except OSError as e:
-        print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
+    if not selective:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+                ),
+                "w",
+            ) as f:
+                json.dump(detail, f, indent=1)
+        except OSError as e:
+            print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -293,6 +402,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": detail["sf"],
                 "n_queries": len(timings),
+                "canary": detail["canary_matmul_sec"],
             }
         )
     )

@@ -283,3 +283,24 @@ def test_embedding_decontaminate_pair_budget_guard(spark, sf_smoke):
     with pytest.raises(ValueError, match="pair_budget|blocked"):
         embedding_decontaminate(corpus, bench, pair_budget=100)
     assert embedding_decontaminate(corpus, bench, pair_budget=1000).count() == 30
+
+
+def test_registered_decontaminate_row_carries_budget(spark, sf_smoke, monkeypatch):
+    """The DRIVER-CHECKED exact decontamination row runs the preflight
+    itself (VERDICT r7 item 2 closure — the triangles template): the
+    audit facts ride every row, and shrinking the module budget below
+    the fixture's bill makes the registered query RAISE, proving the
+    guard is in the artifact, not just the operator."""
+    import pytest
+
+    from vector_db_spark.queries import all_queries
+    from vector_db_spark.queries import curation as cur
+
+    q = all_queries()["embedding_decontaminate"]
+    rows = q(spark, sf_smoke).collect()
+    assert rows and all(r.within_budget for r in rows)
+    bill = rows[0].pair_bill
+    assert bill > 0 and all(r.pair_bill == bill for r in rows)
+    monkeypatch.setattr(cur, "_EDECON_PAIR_BUDGET", bill - 1)
+    with pytest.raises(ValueError, match="pair_budget|blocked"):
+        q(spark, sf_smoke)
