@@ -14,6 +14,14 @@
      auto-routes; before this round the same call would have force-
      broadcast a 250 k-doc shingle/band table into every task.
 
+   - x100 SMALL batch, broadcast vs forced-routed: the measurement that
+     justifies the broadcast DEFAULT — with a 5 k-doc batch against the
+     500 k-doc corpus, the broadcast path streams the corpus map-side
+     while forced routing shuffles the full corpus shingle/band tables.
+     (At x1 both sides are fixture-small and routing is within noise of
+     broadcast — the default's value only shows when the corpus side is
+     big.)
+
 2. **percolate_scaled_subscriptions ×1 → ×100** (VERDICT r7 item 7): the
    registered subscription-scaled percolation row. Subscriptions derive
    from the corpus (1 per 64 docs), so ×100 docs ⇒ ×100 subscriptions
@@ -22,6 +30,17 @@
    literal-intersect plan to the routed join plan automatically. The
    true matching-volume curve wave-14b measured script-only, now on the
    registered artifact.
+
+   Blow-up caveat: the shared /tmp/scale100 blow-up SUFFIXES tokens per
+   copy (dedup-realistic, wave-12), which here pairs same-base tokens
+   from DIFFERENT copies into one conjunction — zero matches, the exact
+   artifact wave-12/14b documented for the fixture subscriptions. This
+   wave therefore builds a plain-duplication documents blow-up
+   (/tmp/scale100dup: text unchanged, doc_id strided) — every token's
+   df scales ×100 uniformly, the ×1 token ranking is preserved as a
+   prefix, so the first 78 subscriptions are the ×1 ones matching ×100
+   docs each, and the remaining 7 734 dig deeper into the vocabulary —
+   the multi-tenant growth shape.
 
 Protocol identical to waves 10-14: min of N timed runs, full-evaluation
 ``agg(count, sum(hash(*)))`` consumer, warn-shape flip check across
@@ -44,6 +63,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF1 = "/root/testdata/sf0.1"
 OUT_A = "/tmp/scale100"
+OUT_DUP = "/tmp/scale100dup"
+COPIES = 100
+STRIDE = 10_000_000
+
+
+def build_dup_blowup(spark) -> None:
+    """documents ×100 with text UNCHANGED (doc_id strided) — the blow-up
+    for measurements that need real token match volume, not the
+    dedup-realistic disjoint shards of scale_curve.build_blowup."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.io import load_table
+
+    if _os.path.isdir(_os.path.join(OUT_DUP, "documents.parquet")):
+        print(f"# dup blow-up at {OUT_DUP} already present — reusing", flush=True)
+        return
+    cp = spark.range(COPIES).select(F.col("id").cast("long").alias("__c"))
+    docs = load_table(spark, SF1, "documents").crossJoin(F.broadcast(cp))
+    out = docs.select(
+        (F.col("doc_id") + F.col("__c") * STRIDE).alias("doc_id"),
+        *[c for c in load_table(spark, SF1, "documents").columns if c != "doc_id"],
+    )
+    out.repartition(32).write.mode("overwrite").parquet(
+        _os.path.join(OUT_DUP, "documents.parquet")
+    )
 
 
 def _consume(df):
@@ -117,10 +163,33 @@ def main() -> None:
         print(f"# incdedup x100 corpus-shaped: {sec_c}s rows={n_c} "
               f"batch={n_batch} (auto-routed)", flush=True)
 
+        # the measurement that justifies the broadcast DEFAULT: a
+        # daily-crawl-sized batch against the big corpus — broadcast
+        # streams the corpus map-side, forced routing shuffles it
+        co_big = docs100.filter(F.col("doc_id") % 100 != 0)
+        ba_small = docs100.filter(F.col("doc_id") % 100 == 0)
+        n_small = ba_small.count()
+        sec_bb, n_bb = _timed(lambda: incremental_dedup(co_big, ba_small), args.runs)
+        sec_br, n_br = _timed(
+            lambda: incremental_dedup(co_big, ba_small, max_broadcast_batch=0),
+            args.runs,
+        )
+        assert n_bb == n_br, (n_bb, n_br)
+        results["incdedup_x100_smallbatch_broadcast_vs_routed"] = {
+            "batch_rows": n_small,
+            "broadcast_sec": sec_bb,
+            "routed_sec": sec_br,
+            "rows": n_bb,
+            "routed_over_broadcast": round(sec_br / max(sec_bb, 1e-9), 2),
+        }
+        print(f"# incdedup x100 small-batch: broadcast {sec_bb}s / routed "
+              f"{sec_br}s batch={n_small}", flush=True)
+
     if args.part in ("percolate", "all"):
+        build_dup_blowup(spark)
         q = all_queries()["percolate_scaled_subscriptions"]
         row = {}
-        for label, sf_dir in (("x1", SF1), ("x100", OUT_A)):
+        for label, sf_dir in (("x1", SF1), ("x100", OUT_DUP)):
             sec, n = _timed(lambda: q(spark, sf_dir), args.runs)
             row[label] = {"sec": sec, "rows": n}
             print(f"# percolate_scaled {label}: {sec}s matches={n}", flush=True)

@@ -92,6 +92,12 @@ def test_minhash_near_dup_finds_planted_pair(spark):
     assert any({p.doc_a, p.doc_b} == {3, 20} for p in pairs), pairs
     for p in pairs:
         assert p.jaccard >= 0.5
+    # candidate sets past max_broadcast_pairs route to shuffle verify
+    # joins (same guard family as incremental_dedup) — identical pairs
+    routed = near_dup_pairs_minhash(
+        df, threshold=0.5, max_broadcast_pairs=0
+    ).collect()
+    assert sorted(map(tuple, routed)) == sorted(map(tuple, pairs))
 
 
 def test_dedup_retain_best_transitive_chain(spark):

@@ -172,24 +172,35 @@ def decontaminate_ngrams(
     text_col: str = "text",
     *,
     n: int = 4,
+    max_broadcast_shingles: int = 5_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: flag every training document sharing at
     least one ``n``-gram with the held-out/test corpus (the GPT-3/PaLM
     n-gram-overlap protocol; production pipelines use 8-13-gram windows —
     the fixture documents are ~50 tokens, so the query uses 4).
 
-    The test-side shingle set is tiny relative to the corpus, so it is
-    deduplicated and **broadcast**; the training shingle stream is probed
-    map-side — no corpus-sized shuffle at all. Returns every train doc
-    with its hit count and a ``contaminated`` flag (hit count 0 = clean),
-    so the output is a stable full-corpus audit table.
+    The test-side shingle set is *usually* tiny relative to the corpus,
+    so it is deduplicated and **broadcast**, and the training shingle
+    stream is probed map-side — no corpus-sized shuffle at all. Like
+    ``incremental_dedup``/``embedding_decontaminate``, that smallness is
+    probed rather than trusted (a benchmark suite that grows with the
+    corpus is exactly the wave-14c trap): a ``limit(max+1)`` count on the
+    deduplicated test shingles — O(threshold) work on the small side
+    only — drops the broadcast hint past ``max_broadcast_shingles`` so
+    an oversized suite degrades to a shuffle equi-join under
+    Catalyst/AQE instead of hitting the broadcast ceiling. Returns every
+    train doc with its hit count and a ``contaminated`` flag (hit count
+    0 = clean), so the output is a stable full-corpus audit table.
     """
     train_sh = shingle_table(train, text_col, id_col, n=n)
     test_sh = test.select(
         F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle")
     ).distinct()
+    small = (
+        test_sh.limit(max_broadcast_shingles + 1).count() <= max_broadcast_shingles
+    )
     hits = (
-        train_sh.join(F.broadcast(test_sh), "shingle")
+        train_sh.join(F.broadcast(test_sh) if small else test_sh, "shingle")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hit_shingles"))
     )

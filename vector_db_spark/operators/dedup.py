@@ -246,20 +246,33 @@ def near_dup_pairs_minhash(
     n_hashes: int = 8,
     n_bands: int = 4,
     threshold: float = 0.5,
+    max_broadcast_pairs: int = 100_000,
 ) -> DataFrame:
     """The full MinHash+LSH near-dup pipeline: shingle → sign → band →
     candidate join → exact Jaccard verify. Never enumerates O(n²) pairs.
 
     The shingle table feeds the signatures AND both sides of the verify
     join — cached so it materializes once (at cluster scale: persist to
-    Parquet instead; same plan shape)."""
+    Parquet instead; same plan shape).
+
+    The verify-stage broadcasts assume the candidate-pair set is small
+    (Σ bucket² keeps it so on healthy corpora) — but a degenerate corpus
+    (boilerplate-heavy, near-identical shards) concentrates one bucket
+    and the pair set grows toward n². Same guard as ``incremental_dedup``:
+    a ``limit(max+1)`` probe on the (cached) candidate table — O(probe),
+    and the verify re-reads the cache it warmed — drops the broadcast
+    hints past ``max_broadcast_pairs`` so the verify degrades to shuffle
+    equi-joins instead of broadcasting an n²-shaped pair table."""
     sh = tracked_cache(shingle_table(df, text_col, id_col, n), "dedup.neardup.sh")
     wide = minhash_wide(sh, id_col, n_hashes)
     # candidates are consumed twice by the verify (doc cut + pair join)
     cands = tracked_cache(
         lsh_candidate_pairs(wide, id_col, n_bands), "dedup.neardup.cands"
     )
-    return jaccard_verify(sh, cands, id_col, threshold)
+    small = (
+        cands.limit(max_broadcast_pairs + 1).count() <= max_broadcast_pairs
+    )
+    return jaccard_verify(sh, cands, id_col, threshold, broadcast=small)
 
 
 def dedup_retain_best(

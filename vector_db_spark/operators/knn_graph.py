@@ -788,6 +788,23 @@ def label_propagation(
     return labels.select(F.col("src").alias("id"), "label")
 
 
+# past this many nodes the per-node degree table stops riding broadcast
+# hints in the link predictors (same guard family as knn.py's 1M-row
+# allowed_ids bound): a billion-node graph must shuffle its degree join,
+# not replicate a node-sized table to every executor
+_MAX_BROADCAST_NODES = 1_000_000
+
+
+def _deg_hint(deg: DataFrame):
+    """Probe the node count (limit-probe over the degree aggregate, whose
+    input edge table is already checkpointed — O(threshold), not a full
+    count) and return the join hint the probe's verdict earns."""
+    small = (
+        deg.limit(_MAX_BROADCAST_NODES + 1).count() <= _MAX_BROADCAST_NODES
+    )
+    return F.broadcast if small else (lambda d: d)
+
+
 def link_prediction_jaccard(
     edges: DataFrame,
     src_col: str = "src",
@@ -803,8 +820,11 @@ def link_prediction_jaccard(
     Spark shape: candidate pairs come from the wedge join (two nodes can
     only share a neighbor if a path of length 2 connects them — never
     nodes²); existing edges are removed with one anti-join; degrees
-    broadcast (node-sized). Ties break (jaccard desc, a, b) for a
-    deterministic top-n.
+    broadcast while the node count stays under 1 M (probed on the
+    already-checkpointed edge table — O(limit) — and un-hinted past it,
+    so a billion-node graph shuffles its degree join instead of
+    replicating a node-sized table to every executor). Ties break
+    (jaccard desc, a, b) for a deterministic top-n.
 
     **Scale knob — ``sources``.** The all-pairs wedge volume is Σ deg²
     (~300 M at sf0.1's dense co-purchase graph: 68 s measured, and
@@ -822,6 +842,7 @@ def link_prediction_jaccard(
         .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    hint = _deg_hint(deg)
     # wedges through the shared neighbor m: (a, m) + (m, b)
     a_side = e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
     if sources is not None:
@@ -842,8 +863,8 @@ def link_prediction_jaccard(
         "left_anti",
     )
     scored = (
-        non_edges.join(F.broadcast(deg.select(F.col("src").alias("a"), F.col("d").alias("da"))), "a")
-        .join(F.broadcast(deg.select(F.col("src").alias("b"), F.col("d").alias("db"))), "b")
+        non_edges.join(hint(deg.select(F.col("src").alias("a"), F.col("d").alias("da"))), "a")
+        .join(hint(deg.select(F.col("src").alias("b"), F.col("d").alias("db"))), "b")
         .select(
             "a",
             "b",
@@ -886,6 +907,7 @@ def link_prediction_adamic_adar(
         .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    hint = _deg_hint(deg)
     a_side = e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
     if sources is not None:
         src_ids = sources.select(F.col(sources.columns[0]).alias("a")).distinct()
@@ -896,7 +918,7 @@ def link_prediction_adamic_adar(
     wedges = (
         a_side.join(e.select(F.col("src").alias("m"), F.col("dst").alias("b")), "m")
         .filter(pair_cond)
-        .join(F.broadcast(deg.select(F.col("src").alias("m"), F.col("d").alias("dm"))), "m")
+        .join(hint(deg.select(F.col("src").alias("m"), F.col("d").alias("dm"))), "m")
     )
     common = wedges.groupBy("a", "b").agg(
         F.count("*").alias("common"),
