@@ -231,28 +231,29 @@ MIN3 = {
 }
 
 
-def _canary(timings_out: dict[str, float]) -> None:
-    """Tenancy canary (VERDICT r7 item 5): a fixed, seeded, CPU-bound
-    matmul of constant size timed alongside the suite, so BENCH_rN totals
-    can be normalized across the box's documented co-tenant band instead
-    of argued from PERF.md history. Same min-of protocol as the query
-    rows (min-of-3 — the canary exists to expose the load the mins could
-    NOT shed). Recorded top-level in BENCH_DETAIL as ``canary_matmul_sec``
-    (never in the query map or the headline total). Idle-box reference:
-    ~0.45 s (PERF.md round-8)."""
+def _canary_sample() -> float:
+    """One sample of the tenancy canary (VERDICT r7 item 5): a fixed,
+    seeded, CPU-bound matmul of constant size (~17 GFLOP through the
+    BLAS threadpool). Samples are taken at the sweep start AND
+    interleaved every ``_CANARY_EVERY`` queries — a single start-of-run
+    sample can miss a co-tenant arriving mid-sweep; the interleaved
+    series measures the tenancy of THIS run's span. BENCH_DETAIL records
+    the full series (``canary_samples``) plus the min
+    (``canary_matmul_sec``, the top-level scalar the compact stdout line
+    echoes — idle reference ~0.10 s, PERF.md round-8). Never in the
+    query map or the headline total."""
     import numpy as np
 
     a = np.random.default_rng(8).standard_normal((1024, 1024))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        acc = a
-        for _ in range(8):
-            acc = a @ a
-        float(acc[0, 0])  # consume
-        best = min(best, time.perf_counter() - t0)
-    timings_out["canary_matmul_sec"] = round(best, 3)
-    print(f"# canary_matmul: {timings_out['canary_matmul_sec']}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    acc = a
+    for _ in range(8):
+        acc = a @ a
+    float(acc[0, 0])  # consume
+    return round(time.perf_counter() - t0, 3)
+
+
+_CANARY_EVERY = 40
 
 
 def _time_builds(spark, builds: dict[str, float]) -> None:
@@ -331,8 +332,8 @@ def main() -> None:
         df.count()
     knn_self(load_table(spark, SF_DIR, "embeddings"), 1, n_queries=1).count()
 
-    extras: dict[str, float] = {}
-    _canary(extras)
+    canary_samples = [_canary_sample()]
+    print(f"# canary_matmul[0]: {canary_samples[0]}s", file=sys.stderr)
     builds: dict[str, float] = {}
     if not (selective and args.skip_builds):
         _time_builds(spark, builds)
@@ -354,6 +355,7 @@ def main() -> None:
     # cross-round band in PERF.md; don't, unless the baseline is re-run.
     run_list = args.names if selective else HEADLINE
     timings: dict[str, float] = {}
+    n_timed = 0
     for name in run_list:
         if name not in QUERIES:
             continue
@@ -365,6 +367,15 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        n_timed += 1
+        if n_timed % _CANARY_EVERY == 0:
+            canary_samples.append(_canary_sample())
+            print(
+                f"# canary_matmul[{len(canary_samples) - 1}]: "
+                f"{canary_samples[-1]}s",
+                file=sys.stderr,
+            )
+    canary_samples.append(_canary_sample())
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     # The driver captures only a short tail of stdout, so the final line must
@@ -377,9 +388,11 @@ def main() -> None:
         "queries": timings,
         # r8 protocol (VERDICT r7 items 5+6): builds are single cold
         # samples (high variance, excluded from the total and from gate
-        # ratios); the canary is the constant-work tenancy reference
+        # ratios); the canary is the constant-work tenancy reference —
+        # min as the scalar, the interleaved series for load-over-time
         "builds": builds,
-        "canary_matmul_sec": extras["canary_matmul_sec"],
+        "canary_matmul_sec": min(canary_samples),
+        "canary_samples": canary_samples,
         "sf": float(sf),
     }
     print(json.dumps(detail), file=sys.stderr)
