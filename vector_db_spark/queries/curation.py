@@ -780,7 +780,8 @@ def percolate_scaled_subscriptions(spark: SparkSession, sf_dir: str) -> DataFram
     ``percolate``'s probed vocabulary guard picks the physical plan:
     literal map-side intersect at this geometry, un-hinted joins once a
     blown-up corpus pushes the derived vocabulary past the literal
-    threshold (measured in SCALE.md wave-15b)."""
+    threshold (measured in SCALE.md wave-15: ×100 corpus ⇒ ×100
+    subscriptions ⇒ exactly ×100 matches at 3.1× wall, routed plan)."""
     from pyspark.sql import Window
 
     from vector_db_spark.functions.text import tokens
