@@ -101,13 +101,13 @@ def _consume(df):
 
 
 def _timed(fn, runs):
-    best, n = float("inf"), 0
+    best, n, h = float("inf"), 0, None
     for _ in range(runs):
         t0 = time.perf_counter()
         got = _consume(fn())
-        n = got.n
+        n, h = got.n, got.h
         best = min(best, time.perf_counter() - t0)
-    return round(best, 2), n
+    return round(best, 2), n, h
 
 
 def main() -> None:
@@ -135,11 +135,11 @@ def main() -> None:
         docs1 = load_table(spark, SF1, "documents")
         co1 = docs1.filter(F.col("doc_id") % 5 != 0)
         ba1 = docs1.filter(F.col("doc_id") % 5 == 0)
-        sec_b, n_b = _timed(lambda: incremental_dedup(co1, ba1), args.runs)
-        sec_r, n_r = _timed(
+        sec_b, n_b, h_b = _timed(lambda: incremental_dedup(co1, ba1), args.runs)
+        sec_r, n_r, h_r = _timed(
             lambda: incremental_dedup(co1, ba1, max_broadcast_batch=0), args.runs
         )
-        assert n_b == n_r, (n_b, n_r)
+        assert (n_b, h_b) == (n_r, h_r), ((n_b, h_b), (n_r, h_r))
         results["incdedup_x1_smallbatch"] = {
             "broadcast_sec": sec_b,
             "routed_sec": sec_r,
@@ -153,7 +153,7 @@ def main() -> None:
         co100 = docs100.filter(F.col("doc_id") % 2 != 0)
         ba100 = docs100.filter(F.col("doc_id") % 2 == 0)
         n_batch = ba100.count()
-        sec_c, n_c = _timed(lambda: incremental_dedup(co100, ba100), args.runs)
+        sec_c, n_c, _ = _timed(lambda: incremental_dedup(co100, ba100), args.runs)
         results["incdedup_x100_corpus_shaped_batch"] = {
             "sec": sec_c,
             "rows": n_c,
@@ -169,12 +169,12 @@ def main() -> None:
         co_big = docs100.filter(F.col("doc_id") % 100 != 0)
         ba_small = docs100.filter(F.col("doc_id") % 100 == 0)
         n_small = ba_small.count()
-        sec_bb, n_bb = _timed(lambda: incremental_dedup(co_big, ba_small), args.runs)
-        sec_br, n_br = _timed(
+        sec_bb, n_bb, h_bb = _timed(lambda: incremental_dedup(co_big, ba_small), args.runs)
+        sec_br, n_br, h_br = _timed(
             lambda: incremental_dedup(co_big, ba_small, max_broadcast_batch=0),
             args.runs,
         )
-        assert n_bb == n_br, (n_bb, n_br)
+        assert (n_bb, h_bb) == (n_br, h_br), ((n_bb, h_bb), (n_br, h_br))
         results["incdedup_x100_smallbatch_broadcast_vs_routed"] = {
             "batch_rows": n_small,
             "broadcast_sec": sec_bb,
@@ -190,7 +190,7 @@ def main() -> None:
         q = all_queries()["percolate_scaled_subscriptions"]
         row = {}
         for label, sf_dir in (("x1", SF1), ("x100", OUT_DUP)):
-            sec, n = _timed(lambda: q(spark, sf_dir), args.runs)
+            sec, n, _ = _timed(lambda: q(spark, sf_dir), args.runs)
             row[label] = {"sec": sec, "rows": n}
             print(f"# percolate_scaled {label}: {sec}s matches={n}", flush=True)
         row["ratio"] = round(row["x100"]["sec"] / max(row["x1"]["sec"], 1e-9), 2)

@@ -529,3 +529,46 @@ def test_prefix_filter_jaccard_complete_on_random_sets(sets, threshold):
             if j >= threshold:
                 want[(a, b)] = j
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 12), min_size=0, max_size=10),
+        min_size=1,
+        max_size=15,
+    ),
+    subs=st.lists(
+        st.sets(st.integers(0, 12), min_size=1, max_size=3),
+        min_size=1,
+        max_size=6,
+    ),
+    force_routed=st.booleans(),
+)
+def test_percolate_conjunctions_match_python(docs, subs, force_routed):
+    """Percolation vs plain-Python conjunction matching on random token
+    streams — duplicate tokens inside a document count once, a query
+    matches iff EVERY term appears, and the literal-vocab and routed
+    plans (max_literal_vocab=0) emit identical rows."""
+    from vector_db_spark.operators.hybrid import percolate
+
+    spark = _get_spark()
+    ddf = spark.createDataFrame(
+        [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    sdf = spark.createDataFrame(
+        [(f"q{i}", [f"w{t}" for t in terms]) for i, terms in enumerate(subs)],
+        "query_id string, terms array<string>",
+    )
+    kwargs = {"max_literal_vocab": 0} if force_routed else {}
+    got = {(r.doc_id, r.query_id) for r in percolate(ddf, sdf, **kwargs).collect()}
+    want = set()
+    for i, toks in enumerate(docs):
+        # tokens() splits lower(trim(text)) on \s+ — an empty doc still
+        # yields the [''] token, which matches no wN term
+        tokset = {f"w{t}" for t in toks}
+        for j, terms in enumerate(subs):
+            if {f"w{t}" for t in terms} <= tokset:
+                want.add((i, f"q{j}"))
+    assert got == want
