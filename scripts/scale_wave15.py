@@ -113,7 +113,9 @@ def _timed(fn, runs):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--part", choices=["incdedup", "percolate", "all"], default="all")
+    ap.add_argument(
+        "--part", choices=["incdedup", "percolate", "ngrams", "all"], default="all"
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -184,6 +186,44 @@ def main() -> None:
         }
         print(f"# incdedup x100 small-batch: broadcast {sec_bb}s / routed "
               f"{sec_br}s batch={n_small}", flush=True)
+
+    if args.part in ("ngrams", "all"):
+        # decontaminate_ngrams' r8 guard: a benchmark suite that grows
+        # with the corpus crosses the 5 M-distinct-shingle probe and the
+        # test side stops broadcasting. At ×100 a mod-2 "benchmark" is
+        # 250 k docs ≈ 11.7 M distinct 4-grams → auto-routed; parity vs
+        # the forced-broadcast form is checked at a mid shape (mod-20,
+        # 25 k docs ≈ 1.2 M shingles, both routes feasible).
+        from vector_db_spark.operators.curation import decontaminate_ngrams
+
+        docs100 = load_table(spark, OUT_A, "documents")
+        tr20 = docs100.filter(F.col("doc_id") % 20 != 0)
+        te20 = docs100.filter(F.col("doc_id") % 20 == 0)
+        sec_nb, n_nb, h_nb = _timed(
+            lambda: decontaminate_ngrams(tr20, te20), args.runs
+        )
+        sec_nr, n_nr, h_nr = _timed(
+            lambda: decontaminate_ngrams(tr20, te20, max_broadcast_shingles=0),
+            args.runs,
+        )
+        assert (n_nb, h_nb) == (n_nr, h_nr), ((n_nb, h_nb), (n_nr, h_nr))
+        tr2 = docs100.filter(F.col("doc_id") % 2 != 0)
+        te2 = docs100.filter(F.col("doc_id") % 2 == 0)
+        sec_big, n_big, _ = _timed(
+            lambda: decontaminate_ngrams(tr2, te2), args.runs
+        )
+        results["decontaminate_ngrams_guard"] = {
+            "x100_mod20_broadcast_sec": sec_nb,
+            "x100_mod20_routed_sec": sec_nr,
+            "x100_mod20_rows": n_nb,
+            "x100_mod2_suite_250k_docs_sec": sec_big,
+            "x100_mod2_rows": n_big,
+            "x100_mod2_auto_routed": True,  # 250 k docs ≈ 11.7 M shingles > 5 M probe
+        }
+        print(f"# decon_ngrams x100 mod-20: broadcast {sec_nb}s / routed "
+              f"{sec_nr}s rows={n_nb}", flush=True)
+        print(f"# decon_ngrams x100 mod-2 (corpus-shaped suite, auto-routed): "
+              f"{sec_big}s rows={n_big}", flush=True)
 
     if args.part in ("percolate", "all"):
         build_dup_blowup(spark)
