@@ -305,6 +305,8 @@ def _parse_args() -> argparse.Namespace:
         "read the per-process model caches will pay the build in-row)",
     )
     args = ap.parse_args()
+    if args.min_of < 0:
+        ap.error("--min-of must be >= 1 (0/omitted = per-query policy)")
     known = set(HEADLINE) | set(QUERIES)
     unknown = [n for n in args.names if n not in known]
     if unknown:
