@@ -62,6 +62,9 @@ HEADLINE = [
     "embedding_decontaminate",
     "hybrid_search",
     "incremental_dedup",
+    # round-8: the persisted-signature-index probe (build amortized like
+    # the other *_build caches; the row times the steady-state probe)
+    "incremental_dedup_indexed",
     # round-3 additions: RAG chunking, binary quantization, MMR rerank
     "chunk_manifest",
     "chunk_semantic_search",

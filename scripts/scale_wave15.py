@@ -114,7 +114,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
-        "--part", choices=["incdedup", "percolate", "ngrams", "all"], default="all"
+        "--part",
+        choices=["incdedup", "percolate", "ngrams", "index", "all"],
+        default="all",
     )
     args = ap.parse_args()
 
@@ -186,6 +188,39 @@ def main() -> None:
         }
         print(f"# incdedup x100 small-batch: broadcast {sec_bb}s / routed "
               f"{sec_br}s batch={n_small}", flush=True)
+
+    if args.part in ("index", "all"):
+        # the persisted signature index (operators/dedup_index.py) vs the
+        # re-deriving operator at ×100, same mod-5 split as the registered
+        # queries: the probe reads persisted fingerprint/band/shingle
+        # tables instead of re-md5ing the corpus text per batch. The win
+        # is scale-borne (at sf0.1 fixed costs hide it — PERF.md r8); the
+        # one-time build amortizes across every future batch.
+        import tempfile
+
+        from vector_db_spark.operators.dedup_index import DedupIndex
+
+        docsA = load_table(spark, OUT_A, "documents")
+        coA = docsA.filter(F.col("doc_id") % 5 != 0)
+        baA = docsA.filter(F.col("doc_id") % 5 == 0)
+        t0 = time.perf_counter()
+        idx = DedupIndex.build(
+            spark, coA, tempfile.mkdtemp(prefix="didx100_") + "/index"
+        )
+        build_sec = round(time.perf_counter() - t0, 2)
+        sec_rd, n_rd, h_rd = _timed(lambda: incremental_dedup(coA, baA), args.runs)
+        sec_ix, n_ix, h_ix = _timed(lambda: idx.probe(baA), args.runs)
+        assert (n_rd, h_rd) == (n_ix, h_ix), ((n_rd, h_rd), (n_ix, h_ix))
+        results["incdedup_x100_indexed_vs_rederive"] = {
+            "build_once_sec": build_sec,
+            "rederive_sec": sec_rd,
+            "indexed_probe_sec": sec_ix,
+            "rows": n_rd,
+            "speedup": round(sec_rd / max(sec_ix, 1e-9), 2),
+        }
+        print(f"# incdedup x100 index: build {build_sec}s, rederive {sec_rd}s, "
+              f"probe {sec_ix}s ({round(sec_rd / max(sec_ix, 1e-9), 1)}x)",
+              flush=True)
 
     if args.part in ("ngrams", "all"):
         # decontaminate_ngrams' r8 guard: a benchmark suite that grows

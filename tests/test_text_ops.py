@@ -458,6 +458,42 @@ def test_incremental_dedup_routes_oversized_batch(spark, sf_smoke):
     assert routed == broad and len(routed) > 0
 
 
+def test_dedup_index_probe_matches_rederive_and_appends(spark, sf_smoke, tmp_path):
+    """The persisted signature index (operators/dedup_index.py) must be
+    result-identical to the re-deriving operator: (a) build→probe equals
+    incremental_dedup on the same split; (b) build-on-half + append-half
+    equals a build over the union (append is exact, not approximate);
+    (c) a reopened-from-path handle (fresh object, params read back from
+    params.json) probes identically — the S9/S10 reopen contract."""
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.dedup import incremental_dedup
+    from vector_db_spark.operators.dedup_index import DedupIndex
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    def key(df):
+        return sorted(map(tuple, df.collect()), key=lambda t: t[0])
+
+    want = key(incremental_dedup(corpus, batch, threshold=0.5))
+
+    idx = DedupIndex.build(spark, corpus, str(tmp_path / "idx"))
+    assert key(idx.probe(batch, threshold=0.5)) == want
+
+    # incremental lifecycle: half the corpus at build, half appended
+    idx2 = DedupIndex.build(
+        spark, corpus.filter(F.col("doc_id") % 2 == 1), str(tmp_path / "idx2")
+    )
+    idx2.append(corpus.filter(F.col("doc_id") % 2 == 0))
+    assert key(idx2.probe(batch, threshold=0.5)) == want
+
+    # reopen from path: params.json drives the geometry, not the builder
+    reopened = DedupIndex(spark, str(tmp_path / "idx"))
+    assert (reopened.n, reopened.n_hashes, reopened.n_bands) == (3, 8, 4)
+    assert key(reopened.probe(batch, threshold=0.5)) == want
+
+
 def test_lsh_bucket_kernel_matches_expression(spark, sf_correctness):
     """The Arrow-batched bucket kernel must emit the exact buckets the
     native-expression (oracle-mirrored) form defines."""

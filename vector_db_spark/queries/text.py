@@ -469,10 +469,12 @@ def near_dup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INC_MOD = 5  # doc_id % 5 == 0 → the "incoming batch"; rest → the corpus
 
-@register(
-    "incremental_dedup",
-    extra=True,
-    oracle=f"""
+# ONE oracle for both incremental-dedup registrations: the re-deriving
+# operator and the persisted-index probe compute the same math on the
+# same split, so the same SQL verifies both (the index only removes the
+# corpus-side re-derivation — a result difference means the index is
+# stale or the geometry drifted, exactly what the shared oracle catches)
+_INC_DEDUP_ORACLE = f"""
 WITH ex AS (SELECT * FROM documents WHERE doc_id % {_INC_MOD} <> 0),
 inc AS (SELECT * FROM documents WHERE doc_id % {_INC_MOD} = 0),
 exact AS (
@@ -517,18 +519,58 @@ SELECT i.doc_id, x.dup_exact_of, nb.dup_near_of, nb.near_jaccard,
 FROM (SELECT doc_id FROM inc) i
 LEFT JOIN exact x USING (doc_id)
 LEFT JOIN near_best nb USING (doc_id)
-""",
-)
+"""
+
+
+@register("incremental_dedup", extra=True, oracle=_INC_DEDUP_ORACLE)
 def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incoming-batch-vs-corpus dedup (the corpus-maintenance shape): the
     ``doc_id % 5 == 0`` slice plays the fresh crawl, the rest the indexed
-    corpus. Every join broadcasts the batch side; the corpus never
-    shuffles (operators/dedup.py:incremental_dedup)."""
+    corpus. Batch smallness is probed (r8): small batches broadcast and
+    the corpus never shuffles; corpus-shaped batches route to shuffle
+    joins (operators/dedup.py:incremental_dedup)."""
     docs = load_table(spark, sf_dir, "documents")
     return incremental_dedup(
         docs.filter(F.col("doc_id") % _INC_MOD != 0),
         docs.filter(F.col("doc_id") % _INC_MOD == 0),
         threshold=0.5,
+    )
+
+
+_DEDUP_INDEX_CACHE: dict[str, object] = {}
+
+
+def _dedup_index(spark: SparkSession, sf_dir: str):
+    """One signature-index build per (process, sf_dir) — a real
+    deployment builds the index once and probes many batches against it
+    (the same amortization pattern as ``_kmeans_index``)."""
+    if sf_dir not in _DEDUP_INDEX_CACHE:
+        import tempfile
+
+        from vector_db_spark.operators.dedup_index import DedupIndex
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="dedup_idx_") + "/index"
+        _DEDUP_INDEX_CACHE[sf_dir] = DedupIndex.build(
+            spark, docs.filter(F.col("doc_id") % _INC_MOD != 0), path
+        )
+    return _DEDUP_INDEX_CACHE[sf_dir]
+
+
+@register("incremental_dedup_indexed", extra=True, oracle=_INC_DEDUP_ORACLE)
+def incremental_dedup_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME batch-vs-corpus dedup served from the PERSISTED signature
+    index (operators/dedup_index.py DedupIndex) — the production shape
+    ``incremental_dedup``'s docstring promises: fingerprints, band keys,
+    and shingles are built once and reopened from Parquet, so a probe
+    never re-derives (or even reads) the corpus text. Identical output
+    contract and ORACLE as ``incremental_dedup`` — the driver hash proves
+    index-vs-rederive equivalence, the same way ``inverted_bm25_search``
+    proves index-vs-scan equivalence for BM25."""
+    idx = _dedup_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return idx.probe(
+        docs.filter(F.col("doc_id") % _INC_MOD == 0), threshold=0.5
     )
 
 
