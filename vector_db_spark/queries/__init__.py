@@ -62,6 +62,18 @@ DRIVER_QUERY_BUDGET = 50
 # quantization-ladder driver rows). All rotate cleanly: every one of the
 # eight registers extra=True statically, so membership here is the whole
 # edit. The 16 remaining r7 promotions keep their slots (green r07).
+#
+# Round 9: promote the two r8-new registrations (VERDICT r8 item 1 /
+# COVERAGE.md r9 rotation plan) — incremental_dedup_indexed (shares
+# incremental_dedup's oracle SQL, so its driver hash is an
+# index-vs-rederive equivalence proof for the persisted DedupIndex) and
+# percolate_scaled_subscriptions (the matching-volume curve as a hard
+# driver row; percolation's older percolate_alerts row is r0x-era). Two
+# r8 promotions yield slots, each family keeping other r08-green driver
+# coverage: embedding_decontaminate_blocked (family keeps the exact
+# form's row with its pair_budget audit facts) and
+# stream_first_seen_native (streaming keeps stream_hourly_counts and
+# stream_ingest_cluster_counts).
 DRIVER_PROMOTED = frozenset(
     {
         # the four r6-new families
@@ -82,11 +94,12 @@ DRIVER_PROMOTED = frozenset(
         "graph_skipgram_pairs",
         "copurchase_ktruss",
         "corpus_drift_js",
-        # r8 wave: the four r7-new registrations
+        # r8 wave: r7-new registrations still holding slots
         "embedding_decontaminate",
-        "embedding_decontaminate_blocked",
         "hnsw_export_derived_k",
-        "stream_first_seen_native",
+        # r9 wave: the two r8-new registrations
+        "incremental_dedup_indexed",
+        "percolate_scaled_subscriptions",
     }
 )
 DRIVER_DEMOTED = frozenset(
@@ -120,6 +133,10 @@ DRIVER_DEMOTED = frozenset(
         "udaf_event_median",
         "udtf_token_positions",
         "sq8_search",
+        # r9: two r8 promotions rotate back after going green in r08
+        # (extra=True statically; removal from PROMOTED is the rotation)
+        "embedding_decontaminate_blocked",
+        "stream_first_seen_native",
     }
 )
 assert not (DRIVER_PROMOTED & DRIVER_DEMOTED)
