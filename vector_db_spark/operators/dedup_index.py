@@ -17,15 +17,36 @@ Layout at ``<path>/``:
 - ``params.json`` — the signature geometry (n, n_hashes, n_bands,
   prefix_tokens, column names). Probes and appends MUST reuse the build
   geometry or band keys stop matching; reopening reads it back so a
-  mismatched probe is impossible by construction.
+  mismatched probe is impossible by construction. ``n_buckets`` lives
+  here too — an append with a different bucketing would silently break
+  pruning, so it is pinned the same way.
 - ``fingerprints`` — (id, fingerprint): the exact-dup probe table.
 - ``bands`` — (id, band, band_key): the LSH candidate probe table.
 - ``shingles`` — (id, shingle): what the exact-Jaccard verify reads.
   This is the corpus-sized artifact (≈ n× the token stream); the probe
-  cuts it to candidate docs with a semi-join before any aggregation. At
-  cluster scale, bucket it by the id column (``bucketBy`` + table
-  catalog) so the candidate cut prunes file groups instead of scanning;
-  the plan shape is identical.
+  cuts it to candidate docs with a semi-join before any aggregation.
+
+**Bucketed layout** (r9): every store is written hash-clustered into
+``n_buckets`` directory partitions (``__bucket = pmod(xxhash64(key),
+n_buckets)`` + ``partitionBy``), keyed by what the probe joins on —
+shingles by the id column (the candidate-doc semi-join key), bands by
+``band_key`` (the LSH candidate equi-join key), fingerprints by the
+fingerprint (the exact-dup equi-join key).
+Probes first collect the DISTINCT bucket values their probe keys hash
+to (a driver-side list bounded by ``n_buckets``, never by data size)
+and push ``__bucket IN (...)`` into the scan, so Spark's partition
+pruning skips whole file groups instead of scanning the corpus-sized
+store per batch. Directory partitioning (not ``bucketBy`` + table
+catalog) keeps the reopen-from-path contract metastore-free: a fresh
+session reads the layout straight off the filesystem, and the pruning
+filter works in any regime (a catalog bucket spec prunes only via
+bucket-join planning). A tiny daily batch touches a few buckets; a
+corpus-shaped batch degenerates to all buckets — i.e. exactly the
+pre-r9 full scan, never worse. Correctness is layout-independent: a
+matching row's join key hashes to a probed bucket by construction.
+``n_buckets`` is pinned in ``params.json`` like the signature geometry;
+indexes written before the field existed read back as unbucketed and
+probe with full scans (back-compat).
 
 Probe semantics are IDENTICAL to ``incremental_dedup`` (same oracle SQL
 verifies both registered queries) — the index only removes the
@@ -66,6 +87,8 @@ class DedupIndex:
         self.n_hashes: int = p["n_hashes"]
         self.n_bands: int = p["n_bands"]
         self.prefix_tokens: int | None = p["prefix_tokens"]
+        # absent in pre-r9 indexes -> unbucketed layout, probes full-scan
+        self.n_buckets: int | None = p.get("n_buckets")
 
     # -- paths ------------------------------------------------------------
 
@@ -96,6 +119,7 @@ class DedupIndex:
         n_hashes: int = 8,
         n_bands: int = 4,
         prefix_tokens: int | None = None,
+        n_buckets: int | None = 64,
     ) -> "DedupIndex":
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "params.json"), "w") as f:
@@ -107,6 +131,7 @@ class DedupIndex:
                     "n_hashes": n_hashes,
                     "n_bands": n_bands,
                     "prefix_tokens": prefix_tokens,
+                    "n_buckets": n_buckets,
                 },
                 f,
             )
@@ -114,23 +139,58 @@ class DedupIndex:
         idx._write(corpus, mode="overwrite")
         return idx
 
+    def _bucket_of(self, key_col: str) -> "F.Column":
+        """Hash-bucket assignment — MUST be the same expression at write
+        and probe time or pruning would drop matching rows."""
+        assert self.n_buckets is not None
+        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets))
+
+    def _store_write(
+        self, df: DataFrame, key_col: str, path: str, mode: str
+    ) -> None:
+        """Persist one store hash-clustered by its probe-join key. The
+        ``repartition(__bucket)`` shuffle keeps the file count O(n_buckets)
+        per write instead of O(tasks × n_buckets) — the same clustered-write
+        trade the IVF builder makes (operators/ivf.py O(k)-file write)."""
+        if self.n_buckets is None:
+            df.write.mode(mode).parquet(path)
+            return
+        (
+            df.withColumn("__bucket", self._bucket_of(key_col))
+            .repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode(mode)
+            .parquet(path)
+        )
+
     def _write(self, docs: DataFrame, *, mode: str) -> None:
-        """Derive the three signature tables map-side and persist them.
-        The shingle stream is cached for the span of the write (it feeds
-        both the minhash signatures and the shingle store — without the
-        cache the explode+md5 lineage runs twice)."""
+        """Derive the three signature tables map-side and persist them
+        bucketed by their probe keys. The shingle stream is cached for the
+        span of the write (it feeds both the minhash signatures and the
+        shingle store — without the cache the explode+md5 lineage runs
+        twice)."""
         fp = doc_fingerprint(self.text_col, self.prefix_tokens)
-        docs.select(self.id_col, fp.alias("fingerprint")).write.mode(mode).parquet(
-            self.fingerprints_path
+        self._store_write(
+            docs.select(self.id_col, fp.alias("fingerprint")),
+            "fingerprint",
+            self.fingerprints_path,
+            mode,
         )
         sh = tracked_cache(
             shingle_table(docs, self.text_col, self.id_col, self.n),
             "dedup_index.write.sh",
         )
-        band_keys(
-            minhash_wide(sh, self.id_col, self.n_hashes), self.id_col, self.n_bands
-        ).write.mode(mode).parquet(self.bands_path)
-        sh.write.mode(mode).parquet(self.shingles_path)
+        self._store_write(
+            band_keys(
+                minhash_wide(sh, self.id_col, self.n_hashes),
+                self.id_col,
+                self.n_bands,
+            ),
+            "band_key",
+            self.bands_path,
+            mode,
+        )
+        self._store_write(sh, self.id_col, self.shingles_path, mode)
 
     def append(self, batch: DataFrame) -> None:
         """Add an accepted batch's signatures (the post-``probe`` step of
@@ -142,14 +202,43 @@ class DedupIndex:
 
     # -- tables -------------------------------------------------------------
 
-    def fingerprints(self) -> DataFrame:
-        return self.spark.read.parquet(self.fingerprints_path)
+    def _read(self, path: str, probe_keys: DataFrame | None = None) -> DataFrame:
+        """Open one store; with ``probe_keys`` (a one-column DataFrame of
+        the values the caller will join on), push ``__bucket IN (...)``
+        into the scan so partition pruning skips non-matching file groups.
+        The bucket list is collected driver-side but is bounded by
+        ``n_buckets`` (the DISTINCT of a pmod), never by data size — the
+        same bounded-literal pattern as the repo's probed broadcasts. The
+        returned schema never carries ``__bucket``."""
+        df = self.spark.read.parquet(path)
+        if (
+            self.n_buckets is not None
+            and probe_keys is not None
+            and "__bucket" in df.columns
+        ):
+            key_col = probe_keys.columns[0]
+            buckets = [
+                r["__b"]
+                for r in probe_keys.select(
+                    self._bucket_of(key_col).alias("__b")
+                )
+                .distinct()
+                .collect()
+            ]
+            if not buckets:  # empty probe side -> nothing can join
+                df = df.filter(F.lit(False))
+            elif len(buckets) < self.n_buckets:
+                df = df.filter(F.col("__bucket").isin(buckets))
+        return df.drop("__bucket")
 
-    def bands(self) -> DataFrame:
-        return self.spark.read.parquet(self.bands_path)
+    def fingerprints(self, probe_keys: DataFrame | None = None) -> DataFrame:
+        return self._read(self.fingerprints_path, probe_keys)
 
-    def shingles(self) -> DataFrame:
-        return self.spark.read.parquet(self.shingles_path)
+    def bands(self, probe_keys: DataFrame | None = None) -> DataFrame:
+        return self._read(self.bands_path, probe_keys)
+
+    def shingles(self, probe_keys: DataFrame | None = None) -> DataFrame:
+        return self._read(self.shingles_path, probe_keys)
 
     # -- probe ----------------------------------------------------------------
 
@@ -164,9 +253,15 @@ class DedupIndex:
         one row per incoming document: ``(id, dup_exact_of, dup_near_of,
         near_jaccard, is_new)``, byte-identical to the re-deriving
         operator on the same data (shared oracle SQL). The corpus text is
-        never touched: the exact probe reads the fingerprint store, the
-        candidate probe reads the band store, and the Jaccard verify
-        reads the shingle store cut to candidate docs."""
+        never touched, and neither is most of the corpus-sized store:
+        each store read is partition-pruned to the buckets the probe's
+        own join keys hash to — the exact probe scans only fingerprint
+        buckets the batch's fingerprints occupy, the candidate probe only
+        band-key buckets the batch's band keys occupy, and the Jaccard
+        verify only shingle buckets of candidate corpus docs. The probe
+        sides that feed both a bucket collection and a join (``in_fp``,
+        ``in_bands``, ``cand``) are cached so the collection warms the
+        cache the join reuses."""
         id_col = self.id_col
         small = (
             incoming.select(id_col).limit(max_broadcast_batch + 1).count()
@@ -174,9 +269,12 @@ class DedupIndex:
         )
         hint = F.broadcast if small else (lambda d: d)
         fp = doc_fingerprint(self.text_col, self.prefix_tokens)
-        in_fp = incoming.select(F.col(id_col), fp.alias("fingerprint"))
+        in_fp = tracked_cache(
+            incoming.select(F.col(id_col), fp.alias("fingerprint")),
+            "dedup_index.probe.in_fp",
+        )
         exact = (
-            self.fingerprints()
+            self.fingerprints(probe_keys=in_fp.select("fingerprint"))
             .select(F.col(id_col).alias("__ex_id"), "fingerprint")
             .join(hint(in_fp), "fingerprint")
             .groupBy(id_col)
@@ -187,11 +285,14 @@ class DedupIndex:
             shingle_table(incoming, self.text_col, id_col, self.n),
             "dedup_index.probe.in_sh",
         )
-        in_bands = band_keys(
-            minhash_wide(in_sh, id_col, self.n_hashes), id_col, self.n_bands
+        in_bands = tracked_cache(
+            band_keys(
+                minhash_wide(in_sh, id_col, self.n_hashes), id_col, self.n_bands
+            ),
+            "dedup_index.probe.in_bands",
         )
-        cand = (
-            self.bands()
+        cand = tracked_cache(
+            self.bands(probe_keys=in_bands.select("band_key"))
             .select(F.col(id_col).alias("doc_b"), "band", "band_key")
             .join(
                 hint(
@@ -202,10 +303,14 @@ class DedupIndex:
                 ["band", "band_key"],
             )
             .select("doc_a", "doc_b")
-            .distinct()
+            .distinct(),
+            "dedup_index.probe.cand",
         )
         near = jaccard_verify(
-            in_sh.unionByName(self.shingles()), cand, id_col, threshold,
+            in_sh.unionByName(self.shingles(probe_keys=cand.select("doc_b"))),
+            cand,
+            id_col,
+            threshold,
             broadcast=small,
         )
         w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))
