@@ -309,7 +309,7 @@ def _parse_args() -> argparse.Namespace:
     )
     args = ap.parse_args()
     if args.min_of < 0:
-        ap.error("--min-of must be >= 1 (0/omitted = per-query policy)")
+        ap.error("--min-of must be >= 0 (0/omitted = per-query policy)")
     known = set(HEADLINE) | set(QUERIES)
     unknown = [n for n in args.names if n not in known]
     if unknown:
@@ -388,6 +388,12 @@ def main() -> None:
     # goes to stderr and BENCH_DETAIL.json for humans and the judge.
     detail = {
         "metric": "headline_queries_total_wall",
+        # protocol 2 = the r8 redefinition: one-shot *_build rows live in
+        # the separate "builds" section and are EXCLUDED from "value"
+        # (pre-r8 rounds folded them in). The explicit version keeps
+        # cross-round tooling from silently comparing the two
+        # definitions under the unchanged metric name.
+        "protocol": 2,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
@@ -416,6 +422,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
+                "protocol": 2,
                 "value": detail["value"],
                 "unit": "sec",
                 "sf": detail["sf"],

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vector_db_spark.caching import tracked_cache
 from vector_db_spark.functions.text import shingles, tokens
 from vector_db_spark.io import ensure_parallelism
 from vector_db_spark.operators.dedup import shingle_table
@@ -185,17 +186,25 @@ def decontaminate_ngrams(
     ``incremental_dedup``/``embedding_decontaminate``, that smallness is
     probed rather than trusted (a benchmark suite that grows with the
     corpus is exactly the wave-14c trap): a ``limit(max+1)`` count on the
-    deduplicated test shingles — O(threshold) work on the small side
-    only — drops the broadcast hint past ``max_broadcast_shingles`` so
+    deduplicated test shingles — which are CACHED first, so the probe
+    materializes the explode+distinct once and the contamination join
+    reuses it (the distinct must scan the full test side before the
+    limit applies, so an uncached probe would pay that shuffle twice) —
+    drops the broadcast hint past ``max_broadcast_shingles`` so
     an oversized suite degrades to a shuffle equi-join under
     Catalyst/AQE instead of hitting the broadcast ceiling. Returns every
     train doc with its hit count and a ``contaminated`` flag (hit count
     0 = clean), so the output is a stable full-corpus audit table.
     """
     train_sh = shingle_table(train, text_col, id_col, n=n)
-    test_sh = test.select(
-        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("shingle")
-    ).distinct()
+    test_sh = tracked_cache(
+        test.select(
+            F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias(
+                "shingle"
+            )
+        ).distinct(),
+        "curation.decontaminate.test_sh",
+    )
     small = (
         test_sh.limit(max_broadcast_shingles + 1).count() <= max_broadcast_shingles
     )

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_db_spark.caching import tracked_cache
 from vector_db_spark.functions.distance import euclidean
 
 
@@ -796,13 +797,18 @@ _MAX_BROADCAST_NODES = 1_000_000
 
 
 def _deg_hint(deg: DataFrame):
-    """Probe the node count (limit-probe over the degree aggregate, whose
-    input edge table is already checkpointed — O(threshold), not a full
-    count) and return the join hint the probe's verdict earns."""
+    """Cache the degree table, probe its node count (limit-probe), and
+    return ``(hint, cached_deg)``. The cache makes the probe pay for
+    itself: deg is consumed again by each scoring join branch, and
+    without it the limit-probe would run the degree aggregation one
+    extra time (the limit cannot short-circuit the groupBy shuffle
+    behind it) and each branch would re-shuffle it once more. Callers
+    MUST join the returned frame, not the one they passed in."""
+    deg = tracked_cache(deg, "knn_graph.linkpred.deg")
     small = (
         deg.limit(_MAX_BROADCAST_NODES + 1).count() <= _MAX_BROADCAST_NODES
     )
-    return F.broadcast if small else (lambda d: d)
+    return (F.broadcast if small else (lambda d: d)), deg
 
 
 def link_prediction_jaccard(
@@ -820,9 +826,10 @@ def link_prediction_jaccard(
     Spark shape: candidate pairs come from the wedge join (two nodes can
     only share a neighbor if a path of length 2 connects them — never
     nodes²); existing edges are removed with one anti-join; degrees
-    broadcast while the node count stays under 1 M (probed on the
-    already-checkpointed edge table — O(limit) — and un-hinted past it,
-    so a billion-node graph shuffles its degree join instead of
+    broadcast while the node count stays under 1 M (the degree table is
+    cached, the probe materializes it, and the scoring joins reuse the
+    cache — one degree aggregation total; un-hinted past the bound, so
+    a billion-node graph shuffles its degree join instead of
     replicating a node-sized table to every executor). Ties break
     (jaccard desc, a, b) for a deterministic top-n.
 
@@ -842,7 +849,7 @@ def link_prediction_jaccard(
         .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
-    hint = _deg_hint(deg)
+    hint, deg = _deg_hint(deg)
     # wedges through the shared neighbor m: (a, m) + (m, b)
     a_side = e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
     if sources is not None:
@@ -907,7 +914,7 @@ def link_prediction_adamic_adar(
         .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
-    hint = _deg_hint(deg)
+    hint, deg = _deg_hint(deg)
     a_side = e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
     if sources is not None:
         src_ids = sources.select(F.col(sources.columns[0]).alias("a")).distinct()
