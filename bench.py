@@ -65,6 +65,10 @@ HEADLINE = [
     # round-8: the persisted-signature-index probe (build amortized like
     # the other *_build caches; the row times the steady-state probe)
     "incremental_dedup_indexed",
+    # round-9: the end-to-end maintenance composition; the cycle itself
+    # is one-shot (corpus_maintenance_cycle in the builds section), the
+    # row re-reads the measured facts
+    "corpus_maintenance_audit",
     # round-3 additions: RAG chunking, binary quantization, MMR rerank
     "chunk_manifest",
     "chunk_semantic_search",
@@ -275,6 +279,7 @@ def _time_builds(spark, builds: dict[str, float]) -> None:
     from vector_db_spark.queries.curation import _inverted_index
     from vector_db_spark.queries.indexing import _als_model, _ivfpq_index, _kmeans_index
     from vector_db_spark.queries.pquant import _opq_model, _pq_model
+    from vector_db_spark.queries.text import _maintenance_facts
 
     for name, build in (
         ("ivf_kmeans_build", _kmeans_index),
@@ -283,6 +288,7 @@ def _time_builds(spark, builds: dict[str, float]) -> None:
         ("opq_build", _opq_model),
         ("inverted_index_build", _inverted_index),
         ("als_build", _als_model),
+        ("corpus_maintenance_cycle", _maintenance_facts),
     ):
         t0 = time.perf_counter()
         build(spark, SF_DIR)

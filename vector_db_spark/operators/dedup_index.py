@@ -48,6 +48,26 @@ matching row's join key hashes to a probed bucket by construction.
 indexes written before the field existed read back as unbucketed and
 probe with full scans (back-compat).
 
+**Transactional appends** (layout v2): each store is partitioned
+``(__bucket, __txn)`` — the txn level makes appends **exactly-once
+under streaming replay** via the ``VersionedTable.append(txn_id)``
+pattern (operators/versioned.py, the Delta `txn` idea) adapted to a
+directory-partitioned layout: an append with a ``txn_id`` writes its
+rows under ``__txn=<txn_id>`` partitions in **dynamic partition
+overwrite** mode, so a replayed foreachBatch epoch (crash between the
+sink's write and the checkpoint's epoch commit) REPLACES exactly its
+own partitions instead of duplicating them — idempotence holds even
+when the crash hit mid-write of one of the three stores, the window a
+bare marker check cannot cover. A committed-txn marker
+(``_txns/<txn>.json``, written after all three stores land) makes the
+common full-replay case O(1): marker present ⇒ the epoch is a no-op.
+Replay determinism is the streaming-checkpoint contract (same source
+offsets ⇒ same batch ⇒ same bucket partitions); one live writer per
+index, as with every table format. Layout v1 indexes (flat or
+bucket-only directories) remain readable but are append-frozen —
+mixing partition depths would break Spark's partition discovery — so
+``append`` on them raises with a rebuild instruction.
+
 Probe semantics are IDENTICAL to ``incremental_dedup`` (same oracle SQL
 verifies both registered queries) — the index only removes the
 re-derivation. The batch side keeps the r8 probed-broadcast guard:
@@ -89,6 +109,11 @@ class DedupIndex:
         self.prefix_tokens: int | None = p["prefix_tokens"]
         # absent in pre-r9 indexes -> unbucketed layout, probes full-scan
         self.n_buckets: int | None = p.get("n_buckets")
+        # absent -> layout v1 (no __txn partition level): readable, but
+        # append-frozen (see module docstring)
+        self.layout: int = p.get("layout", 1)
+        for store_path, _ in self._stores():  # heal any crashed compaction
+            self._recover_compaction(store_path)
 
     # -- paths ------------------------------------------------------------
 
@@ -132,11 +157,12 @@ class DedupIndex:
                     "n_bands": n_bands,
                     "prefix_tokens": prefix_tokens,
                     "n_buckets": n_buckets,
+                    "layout": 2,
                 },
                 f,
             )
         idx = cls(spark, path)
-        idx._write(corpus, mode="overwrite")
+        idx._write(corpus, txn="build", overwrite=True)
         return idx
 
     def _bucket_of(self, key_col: str) -> "F.Column":
@@ -146,24 +172,30 @@ class DedupIndex:
         return F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets))
 
     def _store_write(
-        self, df: DataFrame, key_col: str, path: str, mode: str
+        self, df: DataFrame, key_col: str, path: str, txn: str, overwrite: bool
     ) -> None:
-        """Persist one store hash-clustered by its probe-join key. The
-        ``repartition(__bucket)`` shuffle keeps the file count O(n_buckets)
-        per write instead of O(tasks × n_buckets) — the same clustered-write
-        trade the IVF builder makes (operators/ivf.py O(k)-file write)."""
-        if self.n_buckets is None:
-            df.write.mode(mode).parquet(path)
-            return
-        (
-            df.withColumn("__bucket", self._bucket_of(key_col))
-            .repartition("__bucket")
-            .write.partitionBy("__bucket")
-            .mode(mode)
-            .parquet(path)
-        )
+        """Persist one store hash-clustered by its probe-join key under a
+        ``__txn`` partition level. The ``repartition(__bucket)`` shuffle
+        keeps the file count O(n_buckets) per write instead of
+        O(tasks × n_buckets) — the same clustered-write trade the IVF
+        builder makes (operators/ivf.py O(k)-file write). ``overwrite``
+        True is the build path (static overwrite, replaces the store);
+        False is the append path (DYNAMIC partition overwrite: only this
+        txn's partitions are replaced — the replay-idempotence mechanism,
+        see module docstring)."""
+        df = df.withColumn("__txn", F.lit(txn))
+        parts = ["__txn"]
+        if self.n_buckets is not None:
+            df = df.withColumn("__bucket", self._bucket_of(key_col)).repartition(
+                "__bucket"
+            )
+            parts = ["__bucket", "__txn"]
+        w = df.write.partitionBy(*parts).mode("overwrite")
+        if not overwrite:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.parquet(path)
 
-    def _write(self, docs: DataFrame, *, mode: str) -> None:
+    def _write(self, docs: DataFrame, *, txn: str, overwrite: bool) -> None:
         """Derive the three signature tables map-side and persist them
         bucketed by their probe keys. The shingle stream is cached for the
         span of the write (it feeds both the minhash signatures and the
@@ -174,7 +206,8 @@ class DedupIndex:
             docs.select(self.id_col, fp.alias("fingerprint")),
             "fingerprint",
             self.fingerprints_path,
-            mode,
+            txn,
+            overwrite,
         )
         sh = tracked_cache(
             shingle_table(docs, self.text_col, self.id_col, self.n),
@@ -188,17 +221,130 @@ class DedupIndex:
             ),
             "band_key",
             self.bands_path,
-            mode,
+            txn,
+            overwrite,
         )
-        self._store_write(sh, self.id_col, self.shingles_path, mode)
+        self._store_write(sh, self.id_col, self.shingles_path, txn, overwrite)
 
-    def append(self, batch: DataFrame) -> None:
+    # -- txn markers ----------------------------------------------------------
+
+    def _txn_marker(self, txn_id: str) -> str:
+        from urllib.parse import quote
+
+        return os.path.join(self.path, "_txns", quote(txn_id, safe="") + ".json")
+
+    def txn_committed(self, txn_id: str) -> bool:
+        """Replay detection: True iff an append with this id fully
+        committed (all three stores landed, then the marker)."""
+        return os.path.exists(self._txn_marker(txn_id))
+
+    def append(self, batch: DataFrame, *, txn_id: str | None = None) -> None:
         """Add an accepted batch's signatures (the post-``probe`` step of
         corpus maintenance: keep the ``is_new`` rows, then index them).
-        Parquet append — each batch lands as new files, no rewrite of
-        existing data. Ids must stay disjoint with what is indexed (they
-        share one id space in a real corpus)."""
-        self._write(batch, mode="append")
+        Ids must stay disjoint with what is indexed (they share one id
+        space in a real corpus).
+
+        ``txn_id`` makes the append **exactly-once under replay** (the
+        foreachBatch maintenance pipeline passes its epoch id): a fully
+        committed txn (marker present) is a no-op, and a half-landed one
+        (crash mid-write) is healed because the rewrite targets exactly
+        its own ``__txn`` partitions via dynamic partition overwrite.
+        Without ``txn_id`` the batch lands under a unique txn name —
+        plain at-least-once append semantics, as before."""
+        if self.layout < 2:
+            raise ValueError(
+                "this index uses the append-frozen v1 directory layout; "
+                "rebuild it with DedupIndex.build to enable appends"
+            )
+        if txn_id is not None and self.txn_committed(txn_id):
+            return
+        import uuid
+
+        txn = txn_id if txn_id is not None else f"u-{uuid.uuid4().hex[:12]}"
+        # pin the batch rows BEFORE the first store mutation: the expected
+        # caller composes probe -> accept -> append, so the batch's
+        # lineage READS this index's own stores — after the fingerprint
+        # store is overwritten, re-evaluating that lineage for the band/
+        # shingle writes would re-probe against the half-updated index
+        # (every accepted doc suddenly an exact dup of itself) and
+        # silently write EMPTY signature tables. localCheckpoint (not
+        # cache) because an evicted cache block would recompute through
+        # the same poisoned lineage; appends are batch-sized by contract,
+        # so pinning is bounded.
+        batch = batch.localCheckpoint(eager=True)
+        self._write(batch, txn=txn, overwrite=False)
+        if txn_id is not None:
+            os.makedirs(os.path.join(self.path, "_txns"), exist_ok=True)
+            marker = self._txn_marker(txn_id)
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"txn_id": txn_id}, f)
+            os.replace(tmp, marker)
+
+    def compact(self) -> None:
+        """Fold every store's per-txn fragments into one consolidated txn
+        partition per bucket — the small-file answer for an index fed by
+        per-epoch appends (a year of daily epochs is 365 fragment files
+        per bucket per store; probes list and open all of them). Rows,
+        buckets, and probe answers are unchanged; only the ``__txn``
+        level collapses.
+
+        Runs from the maintenance scheduler, not concurrently with an
+        appender (the single-live-writer contract every table format
+        has). Committed-txn markers are kept: they are the replay-
+        detection record, so a replayed epoch whose data was folded into
+        the consolidated partition still no-ops on its marker instead of
+        re-adding rows beside the compacted copy — the same reason
+        ``VersionedTable.vacuum`` carries retired txn_ids forward.
+
+        Crash safety per store, without pinning a corpus-sized frame:
+        the consolidated copy is written to a ``.compacting`` sibling
+        (reads the live dir, writes elsewhere — no read-write cycle),
+        then swapped in with two renames. Every crash window is healed
+        by :meth:`_recover_compaction` (run on open and before each
+        compact): a finished sibling (its ``_SUCCESS`` present) with the
+        live dir already renamed away completes FORWARD; anything less
+        rolls back to the live data — compaction is re-runnable, the
+        live store is never the only unguarded copy."""
+        if self.layout < 2:
+            raise ValueError(
+                "this index uses the append-frozen v1 directory layout; "
+                "rebuild it with DedupIndex.build to enable compaction"
+            )
+        import shutil
+        import uuid
+
+        txn = f"compact-{uuid.uuid4().hex[:12]}"
+        for path, key_col in self._stores():
+            self._recover_compaction(path)
+            tmp, retired = path + ".compacting", path + ".retired"
+            self._store_write(self._read(path), key_col, tmp, txn, overwrite=True)
+            os.rename(path, retired)
+            os.rename(tmp, path)
+            shutil.rmtree(retired)
+
+    def _stores(self) -> list[tuple[str, str]]:
+        """(path, probe-join key) for the three signature stores."""
+        return [
+            (self.fingerprints_path, "fingerprint"),
+            (self.bands_path, "band_key"),
+            (self.shingles_path, self.id_col),
+        ]
+
+    def _recover_compaction(self, path: str) -> None:
+        """Heal a crashed :meth:`compact` swap for one store. Idempotent;
+        called on open and before compacting."""
+        import shutil
+
+        tmp, retired = path + ".compacting", path + ".retired"
+        if not os.path.isdir(path) and os.path.isdir(retired):
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, path)  # swap was mid-flight: finish forward
+            else:
+                os.rename(retired, path)  # incomplete copy: roll back
+        for leftover in (tmp, retired):
+            if os.path.isdir(path) and os.path.isdir(leftover):
+                shutil.rmtree(leftover)
 
     # -- tables -------------------------------------------------------------
 
@@ -209,7 +355,8 @@ class DedupIndex:
         The bucket list is collected driver-side but is bounded by
         ``n_buckets`` (the DISTINCT of a pmod), never by data size — the
         same bounded-literal pattern as the repo's probed broadcasts. The
-        returned schema never carries ``__bucket``."""
+        returned schema never carries the ``__bucket``/``__txn``
+        partition columns."""
         df = self.spark.read.parquet(path)
         if (
             self.n_buckets is not None
@@ -229,7 +376,7 @@ class DedupIndex:
                 df = df.filter(F.lit(False))
             elif len(buckets) < self.n_buckets:
                 df = df.filter(F.col("__bucket").isin(buckets))
-        return df.drop("__bucket")
+        return df.drop("__bucket", "__txn")
 
     def fingerprints(self, probe_keys: DataFrame | None = None) -> DataFrame:
         return self._read(self.fingerprints_path, probe_keys)

@@ -574,6 +574,151 @@ def incremental_dedup_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- end-to-end corpus maintenance audit --------------------------------------
+# The composition the reference's §3.2 write path performs per document
+# (insert -> duplicate check -> persist -> cluster assign; reference
+# app.py POST /insert + store dedup + ivf assign), at batch scale and
+# with every stage's count conserved and exactly-once checked. The
+# pieces each have their own oracled rows (incremental_dedup_indexed,
+# node_table_crud_audit, versioned_lifecycle_audit, ivf_*); this row
+# proves the COMPOSITION: one pass of the streaming maintenance sink
+# (streaming/maintenance.py dedup_maintenance_stream) run inline.
+
+_MAINT_AUDIT_CACHE: dict[str, tuple] = {}
+
+_MAINT_AUDIT_ORACLE = f"""
+WITH verd AS ({_INC_DEDUP_ORACLE}),
+agg AS (
+  SELECT
+    (SELECT COUNT(*) FROM documents WHERE doc_id % {_INC_MOD} <> 0) AS n_seed,
+    COUNT(*) AS n_batch,
+    COUNT(*) FILTER (WHERE dup_exact_of IS NOT NULL) AS n_dup_exact,
+    COUNT(*) FILTER (WHERE dup_exact_of IS NULL
+                       AND dup_near_of IS NOT NULL) AS n_dup_near,
+    COUNT(*) FILTER (WHERE is_new) AS n_accepted
+  FROM verd
+)
+SELECT n_seed, n_batch, n_dup_exact, n_dup_near, n_accepted,
+       TRUE AS batch_conserved,
+       n_seed + n_accepted AS corpus_after,
+       TRUE AS corpus_conserved,
+       n_seed + n_accepted AS index_fp_after,
+       TRUE AS index_conserved,
+       TRUE AS replay_noop,
+       n_accepted AS n_assigned,
+       TRUE AS assign_conserved,
+       TRUE AS clusters_in_range
+FROM agg
+"""
+
+
+def _maintenance_facts(spark: SparkSession, sf_dir: str) -> tuple:
+    """One maintenance cycle per (process, sf_dir): seed corpus + index,
+    probe the arriving batch, accept the new docs, append them to the
+    corpus table and their signatures to the index (epoch-txn'd), replay
+    the epoch to prove the no-op, then assign the accepted docs' stub
+    embeddings to pinned centroids. Side-effecting, so it runs once and
+    the audit row is rebuilt from the measured facts."""
+    if sf_dir not in _MAINT_AUDIT_CACHE:
+        import tempfile
+
+        from vector_db_spark.operators.dedup_index import DedupIndex
+        from vector_db_spark.operators.ivf import assign_to_centroids
+        from vector_db_spark.operators.versioned import VersionedTable
+
+        docs = load_table(spark, sf_dir, "documents")
+        seed = docs.filter(F.col("doc_id") % _INC_MOD != 0)
+        batch = docs.filter(F.col("doc_id") % _INC_MOD == 0)
+        base = tempfile.mkdtemp(prefix="corpus_maint_")
+        idx = DedupIndex.build(spark, seed, base + "/index")
+        corpus = VersionedTable(spark, base + "/corpus")
+        corpus.append(seed, txn_id="seed")
+        n_seed = seed.count()
+
+        verdicts = idx.probe(batch, threshold=0.5).localCheckpoint(eager=True)
+        n_batch = verdicts.count()
+        n_dup_exact = verdicts.filter(F.col("dup_exact_of").isNotNull()).count()
+        n_dup_near = verdicts.filter(
+            F.col("dup_exact_of").isNull() & F.col("dup_near_of").isNotNull()
+        ).count()
+        accepted = batch.join(
+            verdicts.filter(F.col("is_new")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).localCheckpoint(eager=True)
+        n_accepted = accepted.count()
+
+        corpus.append(accepted, txn_id="epoch:0")
+        idx.append(accepted, txn_id="epoch:0")
+        corpus_after = corpus.read().count()
+        index_fp_after = idx.fingerprints().count()
+        # exactly-once: a full replay of the committed epoch is a no-op
+        corpus.append(accepted, txn_id="epoch:0")
+        idx.append(accepted, txn_id="epoch:0")
+        replay_noop = (
+            corpus.read().count() == corpus_after
+            and idx.fingerprints().count() == index_fp_after
+        )
+
+        # incremental cluster assignment: centroids pinned from the 8
+        # lowest-id seed docs' stub embeddings (k x dim literal, the
+        # zero-shuffle assign path)
+        cents = [
+            (i, list(r.embedding))
+            for i, r in enumerate(
+                embed_column(seed.orderBy("doc_id").limit(8), "text", dim=64)
+                .orderBy("doc_id")
+                .collect()
+            )
+        ]
+        assigned = assign_to_centroids(
+            embed_column(accepted, "text", dim=64), cents, id_col="doc_id"
+        ).select("doc_id", "cluster_id").localCheckpoint(eager=True)
+        n_assigned = assigned.count()
+        clusters_in_range = (
+            assigned.filter(
+                (F.col("cluster_id") < 0) | (F.col("cluster_id") >= 8)
+            ).count()
+            == 0
+        )
+        _MAINT_AUDIT_CACHE[sf_dir] = (
+            n_seed,
+            n_batch,
+            n_dup_exact,
+            n_dup_near,
+            n_accepted,
+            n_dup_exact + n_dup_near + n_accepted == n_batch,
+            corpus_after,
+            corpus_after == n_seed + n_accepted,
+            index_fp_after,
+            index_fp_after == n_seed + n_accepted,
+            replay_noop,
+            n_assigned,
+            n_assigned == n_accepted,
+            clusters_in_range,
+        )
+    return _MAINT_AUDIT_CACHE[sf_dir]
+
+
+@register("corpus_maintenance_audit", extra=True, oracle=_MAINT_AUDIT_ORACLE)
+def corpus_maintenance_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest → dedup-index probe → accept → exactly-once append (corpus
+    table + signature index) → IVF incremental assign, as one audited
+    cycle. The oracle recomputes the expected stage counts from the
+    shared incremental-dedup CTE and pins every conservation and
+    exactly-once invariant TRUE — a count leak anywhere in the
+    composition (dropped verdict, double-indexed signature, unassigned
+    accept) flips a fact and fails the hash."""
+    return spark.createDataFrame(
+        [_maintenance_facts(spark, sf_dir)],
+        "n_seed long, n_batch long, n_dup_exact long, n_dup_near long, "
+        "n_accepted long, batch_conserved boolean, corpus_after long, "
+        "corpus_conserved boolean, index_fp_after long, "
+        "index_conserved boolean, replay_noop boolean, n_assigned long, "
+        "assign_conserved boolean, clusters_in_range boolean",
+    )
+
+
 # --- dedup end-game: transitive clusters → one survivor each ------------------
 # Near-dup *pairs* are not a cleaned corpus: A~B~C chains must collapse to
 # one survivor even when A≁C directly. The Spark side groups pairs into
