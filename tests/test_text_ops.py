@@ -519,7 +519,7 @@ def test_dedup_index_bucketed_layout_prunes_and_legacy_reopens(
 
     want = key(incremental_dedup(corpus, batch, threshold=0.5))
 
-    idx = DedupIndex.build(spark, corpus, str(tmp_path / "idx"), n_buckets=16)
+    DedupIndex.build(spark, corpus, str(tmp_path / "idx"), n_buckets=16)
     for store in ("fingerprints", "bands", "shingles"):
         dirs = [
             d
@@ -527,6 +527,9 @@ def test_dedup_index_bucketed_layout_prunes_and_legacy_reopens(
             if d.startswith("__bucket=")
         ]
         assert 0 < len(dirs) <= 16, (store, dirs)
+    # min_prune_bytes=0 forces pruning on a fixture-sized store (the
+    # default 1 GiB size gate would rightly skip it as overhead)
+    idx = DedupIndex(spark, str(tmp_path / "idx"), min_prune_bytes=0)
     probe = idx.probe(batch, threshold=0.5)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [__bucket" in plan.replace(

@@ -40,10 +40,25 @@ store per batch. Directory partitioning (not ``bucketBy`` + table
 catalog) keeps the reopen-from-path contract metastore-free: a fresh
 session reads the layout straight off the filesystem, and the pruning
 filter works in any regime (a catalog bucket spec prunes only via
-bucket-join planning). A tiny daily batch touches a few buckets; a
-corpus-shaped batch degenerates to all buckets — i.e. exactly the
-pre-r9 full scan, never worse. Correctness is layout-independent: a
-matching row's join key hashes to a probed bucket by construction.
+bucket-join planning). Correctness is layout-independent: a matching
+row's join key hashes to a probed bucket by construction.
+
+Pruning economics (wave-16 measured the naive form REGRESSING before
+these two rules existed): with K probe keys over B buckets the
+expected hit fraction is 1 − e^(−K/B), so membership pruning only pays
+in the **absolute-small-batch regime** K ≲ B — which is exactly the
+index's motivating shape (hourly micro-batches against a huge corpus).
+Hence (1) ``n_buckets`` derives from the corpus size at build
+(≈ n/2048, clamped [16, 4096]) so the file grain tracks the corpus,
+(2) a probe whose key count exceeds 2·B skips the collection entirely
+(saturation guard in ``_read``) and takes the plain scan — the
+corpus-shaped batch costs what the unbucketed layout cost, instead of
+paying collection jobs for an IN list that filters nothing — and
+(3) stores under ``min_prune_bytes`` (default 1 GiB; a driver-side
+file-size sum, no Spark job) skip pruning outright: below that, the
+full scan is cheaper than the pruning machinery's own scheduling, so
+pruning is a big-store mechanism by construction and can never regress
+the small-store case it wasn't built for.
 ``n_buckets`` is pinned in ``params.json`` like the signature geometry;
 indexes written before the field existed read back as unbucketed and
 probe with full scans (back-compat).
@@ -96,9 +111,20 @@ from vector_db_spark.operators.dedup import (
 class DedupIndex:
     """Reopen-from-path handle over a persisted dedup signature index."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, *, min_prune_bytes: int = 1 << 30
+    ):
         self.spark = spark
         self.path = path
+        # bucket pruning pays a few driver-side jobs (saturation probe +
+        # bucket collection per store); below this store size the full
+        # scan is cheaper than the overhead, so probes skip straight to
+        # it. 1 GiB default: pruning is a big-store mechanism by
+        # construction (wave-16 measured the always-prune form LOSING at
+        # x100 fixture scale — job scheduling beat the 1-2 s scan it
+        # saved). Tests force 0 to pin the pruned plan shape.
+        self.min_prune_bytes = min_prune_bytes
+        self._store_bytes: dict[str, int] = {}
         with open(os.path.join(path, "params.json")) as f:
             p = json.load(f)
         self.text_col: str = p["text_col"]
@@ -144,8 +170,22 @@ class DedupIndex:
         n_hashes: int = 8,
         n_bands: int = 4,
         prefix_tokens: int | None = None,
-        n_buckets: int | None = 64,
+        n_buckets: int | None | str = "auto",
     ) -> "DedupIndex":
+        if n_buckets == "auto":
+            # corpus-derived bucket count, the derive_lsh_geometry idea
+            # applied to layout: aim for ~2048 docs' signatures per
+            # bucket so the file-group grain matches the daily-batch
+            # probe regime (a batch under ~2·n_buckets keys prunes; a
+            # corpus-shaped batch saturates and skips, by the guard in
+            # _read). Clamped to [16, 4096] dirs — past the cap, shard
+            # the index (the same boundary as 2^24 LSH buckets).
+            import math
+
+            n_rows = corpus.count()
+            n_buckets = max(16, min(4096, 1 << max(0, round(
+                math.log2(max(n_rows, 1) / 2048) if n_rows >= 2048 else 0
+            ))))
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "params.json"), "w") as f:
             json.dump(
@@ -323,6 +363,19 @@ class DedupIndex:
             os.rename(tmp, path)
             shutil.rmtree(retired)
 
+    def _size_of(self, path: str) -> int:
+        """Total data bytes under one store, cached per handle (appends
+        through this handle grow the store past the cached value, which
+        only delays pruning by one reopen — conservative)."""
+        if path not in self._store_bytes:
+            total = 0
+            for root, _, names in os.walk(path):
+                for name in names:
+                    if name.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, name))
+            self._store_bytes[path] = total
+        return self._store_bytes[path]
+
     def _stores(self) -> list[tuple[str, str]]:
         """(path, probe-join key) for the three signature stores."""
         return [
@@ -362,6 +415,22 @@ class DedupIndex:
             self.n_buckets is not None
             and probe_keys is not None
             and "__bucket" in df.columns
+            # size gate: pruning's fixed overhead (a saturation probe +
+            # a bucket collection, each a driver-scheduled job) only
+            # pays against a store whose full scan costs more — a
+            # driver-side file-size sum, no Spark job
+            and self._size_of(path) >= self.min_prune_bytes
+            # saturation guard: with K probe keys over B buckets the
+            # expected hit fraction is 1 - e^(-K/B), so past K ≈ 2B
+            # (~86% hit) the filter cannot pay for its own collection
+            # job — skip it and take the plain scan, which is exactly
+            # the unbucketed cost. The limit-probe is O(B) rows of
+            # map-side work, the same bounded pattern as the repo's
+            # probed broadcasts. (Row count over-approximates distinct
+            # keys, which only ever errs toward skipping — never toward
+            # a uselessly huge IN list.)
+            and probe_keys.limit(2 * self.n_buckets + 1).count()
+            <= 2 * self.n_buckets
         ):
             key_col = probe_keys.columns[0]
             buckets = [
