@@ -59,6 +59,8 @@ HEADLINE = [
     "doc_repetition",
     "boilerplate_frac",
     "decontaminate_ngrams",
+    # round-9: per-suite attribution form (one corpus pass, N suites)
+    "decontaminate_ngrams_multi",
     "embedding_decontaminate",
     "hybrid_search",
     "incremental_dedup",

@@ -87,6 +87,53 @@ def test_decontaminate_flags_only_overlapping(spark):
     assert not got[2]["contaminated"] and got[2]["n_hit_shingles"] == 0
 
 
+def test_decontaminate_multi_attributes_per_suite(spark):
+    """One corpus pass, per-suite attribution: doc 1 leaks into suite A
+    only, doc 2 into both, doc 3 into neither — and the corpus-side
+    shingle stream joins the combined tagged set exactly once (a single
+    shingle equi-join in the plan)."""
+    from vector_db_spark.operators.curation import decontaminate_ngrams_multi
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "nothing here overlaps with any held out suite"),
+        ],
+        "doc_id long, text string",
+    )
+    suites = {
+        "qa": spark.createDataFrame(
+            [(100, "quick brown fox jumps elsewhere entirely")],
+            "doc_id long, text string",
+        ),
+        "math": spark.createDataFrame(
+            [(200, "alpha beta gamma delta epsilon prefix and more")],
+            "doc_id long, text string",
+        ),
+    }
+    # doc 2 also shares a 4-gram with qa via a second qa doc
+    suites["qa"] = suites["qa"].union(
+        spark.createDataFrame(
+            [(101, "beta gamma delta epsilon zeta trailer")],
+            "doc_id long, text string",
+        )
+    )
+    out = decontaminate_ngrams_multi(train, suites, n=4)
+    got = {(r.doc_id, r.suite): r.n_hit_shingles for r in out.collect()}
+    assert got[(1, "qa")] >= 1
+    assert got[(2, "math")] >= 1 and got[(2, "qa")] >= 1
+    assert (1, "math") not in got
+    assert not any(d == 3 for d, _ in got)
+    # one corpus pass: exactly one join keyed on the shingle (count in
+    # the AQE final plan only — the Initial Plan section repeats it)
+    import re
+
+    final_plan = plan_of(out).split("== Initial Plan ==")[0]
+    joins = re.findall(r"BroadcastHashJoin \[shingle", final_plan)
+    assert len(joins) == 1, joins
+
+
 def test_decontaminate_probe_is_broadcast(spark, sf_smoke):
     """The test-side shingle set broadcasts; the training stream is never
     shuffled for the probe join."""

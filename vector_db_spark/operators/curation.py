@@ -224,6 +224,58 @@ def decontaminate_ngrams(
     )
 
 
+def decontaminate_ngrams_multi(
+    train: DataFrame,
+    suites: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 4,
+    max_broadcast_shingles: int = 5_000_000,
+) -> DataFrame:
+    """Decontaminate against MANY benchmark suites in one corpus pass,
+    with per-suite attribution — the production shape: a training run
+    holds out MMLU-and-friends simultaneously, and "contaminated" is
+    only actionable when it names WHICH suite leaked (drop the doc vs
+    drop it from one eval). ``suites`` maps suite name → its documents.
+
+    Spark shape: each suite's deduplicated shingles are tagged with the
+    suite name and unioned into ONE (suite, shingle) table, so the
+    corpus-sized training shingle stream is joined ONCE no matter how
+    many suites ride along — per-suite hit counts fall out of the
+    (doc, suite) aggregation, never a per-suite corpus re-scan. The
+    combined tagged set inherits :func:`decontaminate_ngrams`'s probed
+    broadcast guard (cached, limit-probed, hint dropped past the
+    threshold), now naturally sized as the SUM of the suites.
+
+    Returns the tall hit table ``(id, suite, n_hit_shingles)`` — one
+    row per contaminated (doc, suite) pair; clean docs are the
+    anti-join, which callers take against their corpus when they need
+    the keep-list (the single-suite form returns the full audit table;
+    here that would be |corpus| × |suites| mostly-zero rows)."""
+    if not suites:
+        raise ValueError("decontaminate_ngrams_multi needs at least one suite")
+    train_sh = shingle_table(train, text_col, id_col, n=n)
+    tagged = None
+    for suite_name, suite_df in suites.items():
+        one = suite_df.select(
+            F.lit(suite_name).alias("suite"),
+            F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias(
+                "shingle"
+            ),
+        ).distinct()
+        tagged = one if tagged is None else tagged.unionByName(one)
+    tagged = tracked_cache(tagged, "curation.decontaminate_multi.tagged")
+    small = (
+        tagged.limit(max_broadcast_shingles + 1).count() <= max_broadcast_shingles
+    )
+    return (
+        train_sh.join(F.broadcast(tagged) if small else tagged, "shingle")
+        .groupBy(id_col, "suite")
+        .agg(F.count("*").cast("long").alias("n_hit_shingles"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII / denylist scrubbing
 # ---------------------------------------------------------------------------

@@ -126,6 +126,50 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# second held-out slice for the multi-suite form; coprime with _TEST_MOD
+# so the two "benchmarks" overlap on doc_id % (37*41) == 0 only
+_TEST_MOD_B = 41
+
+@register(
+    "decontaminate_ngrams_multi",
+    extra=True,
+    oracle=f"""
+WITH sh AS (SELECT doc_id, g FROM ({_grams_sql(4, distinct=True)})
+            WHERE doc_id % {_TEST_MOD} <> 0 AND doc_id % {_TEST_MOD_B} <> 0),
+tagged AS (
+  SELECT 'suite_a' AS suite, g FROM ({_grams_sql(4, distinct=True)})
+  WHERE doc_id % {_TEST_MOD} = 0
+  UNION
+  SELECT 'suite_b' AS suite, g FROM ({_grams_sql(4, distinct=True)})
+  WHERE doc_id % {_TEST_MOD_B} = 0
+)
+SELECT sh.doc_id, t.suite, count(*)::BIGINT AS n_hit_shingles
+FROM sh JOIN tagged t USING (g)
+GROUP BY sh.doc_id, t.suite
+""",
+)
+def decontaminate_multi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-suite decontamination in one corpus pass: the ``% 37`` and
+    ``% 41`` slices stand in for two benchmark suites; the corpus (docs
+    in neither) is shingled once and joined once against the combined
+    suite-tagged shingle set (operators/curation.py
+    decontaminate_ngrams_multi)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(
+        (F.col("doc_id") % _TEST_MOD != 0) & (F.col("doc_id") % _TEST_MOD_B != 0)
+    )
+    from vector_db_spark.operators.curation import decontaminate_ngrams_multi
+
+    return decontaminate_ngrams_multi(
+        train,
+        {
+            "suite_a": docs.filter(F.col("doc_id") % _TEST_MOD == 0),
+            "suite_b": docs.filter(F.col("doc_id") % _TEST_MOD_B == 0),
+        },
+        n=4,
+    )
+
+
 # the exact form prices corpus×|benchmark| cosine evaluations before any
 # scoring (SCALE.md wave-14c: ~1.4M cosines/s/core at dim 64, so this
 # budget caps the exact path at ~35 s of single-core work — the blocked
