@@ -572,3 +572,44 @@ def test_percolate_conjunctions_match_python(docs, subs, force_routed):
             if {f"w{t}" for t in terms} <= tokset:
                 want.add((i, f"q{j}"))
     assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 11), min_size=3, max_size=8),
+        min_size=4,
+        max_size=24,
+    ),
+)
+def test_dedup_index_probe_equals_rederive_on_random_corpora(docs):
+    """Index-vs-rederive equivalence on RANDOM corpora (the planted-case
+    tests pin known shapes; this pins the contract itself): for any doc
+    set split corpus/batch, the persisted-index probe — with bucket
+    pruning FORCED on (min_prune_bytes=0), exercising the saturation
+    guard and the bucket collections against arbitrary key sets — emits
+    exactly incremental_dedup's rows. Tiny vocab (12 tokens) forces
+    exact dups, near dups, and band collisions to actually occur."""
+    import tempfile
+
+    from vector_db_spark.operators.dedup import incremental_dedup
+    from vector_db_spark.operators.dedup_index import DedupIndex
+
+    spark = _get_spark()
+    rows = [
+        (i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)
+    ]
+    ddf = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = ddf.filter(F.col("doc_id") % 3 != 0)
+    batch = ddf.filter(F.col("doc_id") % 3 == 0)
+    if corpus.limit(1).count() == 0:
+        return  # an index needs a non-empty seed corpus
+
+    want = sorted(
+        map(tuple, incremental_dedup(corpus, batch, threshold=0.5).collect())
+    )
+    path = tempfile.mkdtemp(prefix="didx_prop_") + "/index"
+    DedupIndex.build(spark, corpus, path, n_buckets=8)
+    idx = DedupIndex(spark, path, min_prune_bytes=0)
+    got = sorted(map(tuple, idx.probe(batch, threshold=0.5).collect()))
+    assert got == want
