@@ -59,8 +59,9 @@ HEADLINE = [
     "doc_repetition",
     "boilerplate_frac",
     "decontaminate_ngrams",
-    # round-9: per-suite attribution form (one corpus pass, N suites)
+    # round-9: per-suite attribution forms (one corpus pass, N suites)
     "decontaminate_ngrams_multi",
+    "embedding_decontaminate_multi",
     "embedding_decontaminate",
     "hybrid_search",
     "incremental_dedup",

@@ -304,3 +304,49 @@ def test_registered_decontaminate_row_carries_budget(spark, sf_smoke, monkeypatc
     monkeypatch.setattr(cur, "_EDECON_PAIR_BUDGET", bill - 1)
     with pytest.raises(ValueError, match="pair_budget|blocked"):
         q(spark, sf_smoke)
+
+
+def test_embedding_decontaminate_multi_attributes_and_contracts(spark, sf_smoke):
+    """Per-suite attribution from one pass: a corpus copy of a suite-A
+    vector flags against A (cos 1.0) but not B; every corpus id reports
+    one row per suite, INCLUDING an empty suite (all-clean rows, the
+    keep-the-corpus contract); the pair budget prices corpus x SUM of
+    suites and raises naming the bill."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_db_spark.io import load_table
+    from vector_db_spark.operators.dedup import embedding_decontaminate_multi
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    suite_a = emb.filter(F.col("vec_id") < 5)
+    suite_b = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 8))
+    leak = suite_a.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 777_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 20)
+    ).unionByName(leak)
+    suites = {
+        "a": suite_a,
+        "b": suite_b,
+        "empty": suite_a.filter(F.lit(False)),
+    }
+    rows = embedding_decontaminate_multi(
+        corpus, suites, threshold=0.99
+    ).collect()
+    got = {(r.vec_id, r.suite): r for r in rows}
+    assert len(rows) == 13 * 3  # every corpus id x every suite, once
+    assert got[(777_000, "a")].contaminated
+    assert got[(777_000, "a")].max_benchmark_sim == 1.0
+    assert not got[(777_000, "b")].contaminated
+    e = got[(777_000, "empty")]
+    assert e.max_benchmark_sim is None and not e.contaminated
+    assert not any(
+        r.contaminated for (vid, _), r in got.items() if vid != 777_000
+    )
+
+    with pytest.raises(ValueError, match="cosine evaluations"):
+        embedding_decontaminate_multi(
+            corpus, {"a": suite_a, "b": suite_b}, pair_budget=10
+        )

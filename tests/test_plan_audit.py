@@ -186,6 +186,9 @@ _WARN_ALLOW: dict[str, set[str]] = {
     "digest_price_quantiles": {"nested-loop-join"},
     # broadcast of the (small-by-nature) benchmark suite onto the corpus
     "embedding_decontaminate": {"nested-loop-join"},
+    # same shape: the tagged suite UNION broadcasts (still suite-sized,
+    # budget-priced as the sum) and cross-scores the corpus map-side
+    "embedding_decontaminate_multi": {"nested-loop-join"},
     "embedding_isotropy": {"nested-loop-join", "single-partition-exchange"},
     "embedding_near_dup_brute": {"nested-loop-join"},
     "event_key_skew": {"nested-loop-join", "single-partition-exchange"},

@@ -684,6 +684,103 @@ def embedding_decontaminate(
     )
 
 
+def embedding_decontaminate_multi(
+    corpus: DataFrame,
+    suites: dict[str, DataFrame],
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pair_budget: int | None = None,
+    corpus_count: int | None = None,
+    suite_counts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Per-suite SEMANTIC decontamination in one corpus pass — the
+    embedding-space twin of ``decontaminate_ngrams_multi``: every corpus
+    vector reports, for EACH held-out suite, its max cosine to that
+    suite and a ``>= threshold`` contamination flag. One row per
+    (corpus id, suite): ``(id, suite, max_benchmark_sim, contaminated)``
+    — the full audit table, so per-suite thresholds and drop-vs-mask
+    policies stay downstream decisions.
+
+    Spark shape: the suites are tagged and unioned into one broadcast
+    (suite, vector) table, so the corpus is cross-scored in ONE
+    map-side pass regardless of suite count, and the per-suite max
+    falls out of the (id, suite) partial aggregation — the corpus
+    never shuffles, exactly the single-suite plan with a second
+    grouping key. ``pair_budget`` prices the corpus × Σ|suite| cosine
+    bill before any scoring (the wave-14c guard); pass
+    ``corpus_count``/``suite_counts`` to skip the count jobs. An EMPTY
+    suite still yields its all-clean verdict rows (NULL sim, false) —
+    the same keep-the-corpus contract the single form documents."""
+    if not suites:
+        raise ValueError("embedding_decontaminate_multi needs at least one suite")
+    counts = dict(suite_counts or {})
+    for name, sdf in suites.items():
+        if name not in counts:
+            counts[name] = sdf.count()
+    if pair_budget is not None:
+        nc = corpus_count if corpus_count is not None else corpus.count()
+        total_b = sum(counts.values())
+        if nc * total_b > pair_budget:
+            raise ValueError(
+                f"exact multi-suite decontamination prices at {nc:,}×"
+                f"{total_b:,} = {nc * total_b:,} cosine evaluations "
+                f"(> pair_budget {pair_budget:,}) — use the blocked form "
+                "per suite, shrink the suites, or raise the budget"
+            )
+    tagged = None
+    for name, sdf in suites.items():
+        if counts[name] == 0:
+            continue
+        one = sdf.select(
+            F.lit(name).alias("suite"), F.col(vec_col).alias("__bv")
+        )
+        tagged = one if tagged is None else tagged.unionByName(one)
+    parts = []
+    if tagged is not None:
+        parts.append(
+            corpus.select(id_col, vec_col)
+            .join(F.broadcast(tagged))
+            .select(
+                id_col,
+                "suite",
+                F.round(cosine_similarity(vec_col, "__bv"), 6).alias("__s"),
+            )
+            .groupBy(id_col, "suite")
+            .agg(F.max("__s").alias("max_benchmark_sim"))
+            .select(
+                id_col,
+                "suite",
+                "max_benchmark_sim",
+                F.coalesce(
+                    F.col("max_benchmark_sim") >= threshold, F.lit(False)
+                ).alias("contaminated"),
+            )
+        )
+    empty_names = [n for n in suites if counts[n] == 0]
+    if empty_names:
+        ids = corpus.select(id_col).distinct()
+        names = F.explode(
+            F.array(*[F.lit(n) for n in sorted(empty_names)])
+        ).alias("suite")
+        parts.append(
+            ids.select(
+                id_col,
+                names,
+            ).select(
+                id_col,
+                "suite",
+                F.lit(None).cast("double").alias("max_benchmark_sim"),
+                F.lit(False).alias("contaminated"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def embedding_decontaminate_blocked(
     corpus: DataFrame,
     benchmark: DataFrame,

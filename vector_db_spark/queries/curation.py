@@ -235,6 +235,70 @@ def embedding_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_decontaminate_multi",
+    extra=True,
+    oracle=f"""
+WITH c AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % {_TEST_MOD} <> 0 AND vec_id % {_TEST_MOD_B} <> 0),
+b AS (
+  SELECT 'suite_a' AS suite, embedding FROM embeddings WHERE vec_id % {_TEST_MOD} = 0
+  UNION ALL
+  SELECT 'suite_b' AS suite, embedding FROM embeddings WHERE vec_id % {_TEST_MOD_B} = 0
+),
+aud AS (SELECT (SELECT count(*) FROM c) * (SELECT count(*) FROM b) AS pair_bill),
+s AS (
+  SELECT c.vec_id, b.suite,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS s
+  FROM c CROSS JOIN b)
+SELECT vec_id, suite, max(s) AS max_benchmark_sim,
+       max(s) >= 0.9 AS contaminated,
+       aud.pair_bill::BIGINT AS pair_bill,
+       (aud.pair_bill <= {_EDECON_PAIR_BUDGET}) AS within_budget
+FROM s CROSS JOIN aud
+GROUP BY vec_id, suite, aud.pair_bill
+""",
+)
+def embedding_decontaminate_multi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-suite semantic decontamination (operators/dedup.py
+    embedding_decontaminate_multi): the ``% 37`` and ``% 41`` embedding
+    slices stand in for two benchmark suites; every corpus vector (in
+    neither) reports its per-suite max cosine and contamination flag
+    from ONE broadcast cross-score over the tagged suite union — the
+    single-suite plan with a second grouping key. Carries the same
+    preflight audit facts as ``embedding_decontaminate`` (``pair_bill``
+    is corpus × Σ|suite|, checked in the oracle's own arithmetic)."""
+    from vector_db_spark.operators.dedup import embedding_decontaminate_multi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(
+        (F.col("vec_id") % _TEST_MOD != 0) & (F.col("vec_id") % _TEST_MOD_B != 0)
+    )
+    suites = {
+        "suite_a": emb.filter(F.col("vec_id") % _TEST_MOD == 0),
+        "suite_b": emb.filter(F.col("vec_id") % _TEST_MOD_B == 0),
+    }
+    nc = corpus.count()
+    counts = {k: v.count() for k, v in suites.items()}
+    out = embedding_decontaminate_multi(
+        corpus,
+        suites,
+        threshold=0.9,
+        pair_budget=_EDECON_PAIR_BUDGET,
+        corpus_count=nc,
+        suite_counts=counts,
+    )
+    bill = nc * sum(counts.values())
+    return out.select(
+        "vec_id",
+        "suite",
+        "max_benchmark_sim",
+        "contaminated",
+        F.lit(bill).cast("long").alias("pair_bill"),
+        F.lit(bill <= _EDECON_PAIR_BUDGET).alias("within_budget"),
+    )
+
+
 # --- PII / denylist scrubbing ------------------------------------------------
 
 _DENY = ("hash", "join", "merge")
