@@ -25,15 +25,23 @@ from pyspark.sql import DataFrame
 _TRACKED: dict[str, DataFrame] = {}
 
 
-def tracked_cache(df: DataFrame, key: str) -> DataFrame:
-    """Cache ``df``, evicting the previous block cached under ``key``."""
+def tracked_cache(df: DataFrame, key: str, storage_level=None) -> DataFrame:
+    """Cache ``df``, evicting the previous block cached under ``key``.
+
+    ``storage_level`` (a ``pyspark.StorageLevel``) overrides the default
+    ``.cache()`` (MEMORY_AND_DESER): pass ``StorageLevel.DISK_ONLY`` for a
+    materialization that must never compete with downstream execution
+    memory (e.g. an edge set that gates a wedge join — the wave-11 OOM was
+    memory-resident blocks fighting the join's execution pool; disk-only
+    blocks cost a local read instead, usually served by the OS page
+    cache)."""
     prev = _TRACKED.pop(key, None)
     if prev is not None:
         try:
             prev.unpersist()
         except Exception:
             pass  # session gone / already unpersisted — nothing to free
-    df = df.cache()
+    df = df.cache() if storage_level is None else df.persist(storage_level)
     _TRACKED[key] = df
     return df
 

@@ -233,6 +233,74 @@ def export_partition_hnsw(
     return sharded.groupBy(partition_col, "shard").applyInPandas(build, schema)
 
 
+def shard_component_stats(
+    l0: DataFrame,
+    *,
+    partition_col: str = "cluster_id",
+    id_col: str = "src_id",
+    neighbors_col: str = "neighbors",
+) -> DataFrame:
+    """``(cluster_id, shard, max_comp, shard_nodes)``: size of the largest
+    level-0 connected component per (cluster, shard) graph, plus the
+    shard's node count.
+
+    r9 optimization: every (cluster, shard) graph is INDEPENDENT and
+    bounded at ``max_group`` (``HNSW_MAX_GROUP`` = 8192) nodes by the exporter's
+    mega-cluster guard, so connectivity is computed by a local union-find
+    inside ONE Arrow task per shard — one shuffle total — instead of
+    ~log(n) rounds of distributed hash-min label propagation (each round
+    two joins + an aggregation + an eager checkpoint + a convergence
+    count). Per-task memory is O(max_group), corpus-size-independent:
+    the pattern scales because the SHARDS are bounded, not the corpus.
+
+    Exact equivalence with the hash-min form: nodes are the shard's
+    ``src_id`` set; an adjacency entry whose endpoint is not itself a
+    src row relays nothing in hash-min (it never holds a label), so the
+    union-find likewise only unions edges with both endpoints in the
+    src set. Component SIZES are partition-order invariant either way.
+    """
+    part_t = dict(l0.select(partition_col).dtypes)[partition_col]
+    schema = f"{partition_col} {part_t}, shard int, max_comp long, shard_nodes long"
+
+    def stats(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        node_set = set(int(x) for x in ids)
+        parent: dict[int, int] = {x: x for x in node_set}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for src, nbrs in zip(ids, pdf[neighbors_col]):
+            s = int(src)
+            for nb in nbrs:
+                n = int(nb)
+                if n in parent:
+                    rs, rn = find(s), find(n)
+                    if rs != rn:
+                        parent[rs] = rn
+        sizes: dict[int, int] = {}
+        for x in node_set:
+            r = find(x)
+            sizes[r] = sizes.get(r, 0) + 1
+        return pd.DataFrame(
+            {
+                partition_col: [key[0]],
+                "shard": [int(key[1])],
+                "max_comp": [max(sizes.values()) if sizes else 0],
+                "shard_nodes": [len(node_set)],
+            }
+        )
+
+    return (
+        l0.select(partition_col, "shard", id_col, neighbors_col)
+        .groupBy(partition_col, "shard")
+        .applyInPandas(stats, schema)
+    )
+
+
 def hnsw_sharded_search(
     graph_rows: list,
     vectors: dict[int, np.ndarray],

@@ -318,24 +318,38 @@ def pagerank_from_edges(
     else:
         c = nodes.columns[0]
         node_df = nodes.select(F.col(c).alias("src")).distinct()
-    node_df = node_df.localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    # dangling flag resolved ONCE into the (checkpointed) node table off
+    # the materialized edge set — the pre-r9 per-iteration anti-join
+    # against the UNPINNED deg recomputed the full edge build every round
+    # (measured: the dominant term of copurchase_ppr_expansion at sf0.1)
+    node_df = (
+        node_df.join(
+            ed.select("src").distinct().withColumn("__has_out", F.lit(True)),
+            "src",
+            "left",
+        )
+        .select("src", F.coalesce("__has_out", F.lit(False)).alias("__has_out"))
+        .localCheckpoint(eager=True)
+    )
     n = node_df.count()
     if n == 0:
         return node_df.select(F.col("src").alias("id"), F.lit(0.0).alias("rank"))
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
-    ranks = node_df.select("src", F.lit(1.0 / n).alias("rank"))
+    ranks = node_df.select("src", "__has_out", F.lit(1.0 / n).alias("rank"))
     for it in range(n_iter):
         contrib = (
-            ed.join(ranks, "src")
+            ed.join(ranks.select("src", "rank"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
             .withColumnRenamed("dst", "src")
         )
         # dangling mass as a broadcast one-row aggregate, so the whole
         # iteration (contrib + dangling + update) materializes as ONE job
-        # at the checkpoint — no separate driver collect per round
-        dang = ranks.join(deg, "src", "left_anti").agg(
+        # at the checkpoint — no separate driver collect per round. The
+        # filter on the precomputed flag replaces the old anti-join (same
+        # node set: nodes absent from the degree table).
+        dang = ranks.filter(~F.col("__has_out")).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
         ranks = (
@@ -343,6 +357,7 @@ def pagerank_from_edges(
             .crossJoin(F.broadcast(dang))
             .select(
                 "src",
+                "__has_out",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -357,9 +372,19 @@ def pagerank_from_edges(
     return ranks.select(F.col("src").alias("id"), "rank")
 
 
-def _undirected_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+def _undirected_edges(
+    edges: DataFrame, src_col: str, dst_col: str, *, assume_canonical: bool = False
+) -> DataFrame:
     """Canonical undirected edge set: (a, b) with a < b, loops dropped,
-    duplicates and reversed duplicates collapsed."""
+    duplicates and reversed duplicates collapsed.
+
+    ``assume_canonical=True`` skips the normalize+distinct pass for inputs
+    that are canonical BY CONSTRUCTION (``cooccurrence_edges`` output:
+    src < dst, already distinct) — the redundant ``.distinct()`` here was
+    a full extra shuffle of the edge set per orientation (r9 optimization:
+    the budget-audit ladder paid it once per rung)."""
+    if assume_canonical:
+        return edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     return (
         edges.select(
             F.least(src_col, dst_col).alias("a"),
@@ -406,11 +431,20 @@ def _apply_degree_orientation(und: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_edges(edges: DataFrame, src_col: str, dst_col: str, orient: str) -> DataFrame:
+def _oriented_edges(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    orient: str,
+    *,
+    assume_canonical: bool = False,
+) -> DataFrame:
     """Canonical undirected edge set, oriented by a total order: ``"id"``
     (low→high vertex id) or ``"degree"`` (see
-    :func:`_apply_degree_orientation`, including its caching contract)."""
-    und = _undirected_edges(edges, src_col, dst_col)
+    :func:`_apply_degree_orientation`, including its caching contract).
+    ``assume_canonical`` skips the normalize+distinct for inputs canonical
+    by construction (see :func:`_undirected_edges`)."""
+    und = _undirected_edges(edges, src_col, dst_col, assume_canonical=assume_canonical)
     if orient == "id":
         return und
     if orient != "degree":
@@ -419,7 +453,12 @@ def _oriented_edges(edges: DataFrame, src_col: str, dst_col: str, orient: str) -
 
 
 def _checkpoint_oriented(
-    edges: DataFrame, src_col: str, dst_col: str, orient: str
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    orient: str,
+    *,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Materialized (localCheckpoint) oriented edge set. The degree branch
     deliberately does NOT materialize the intermediate undirected edge set,
@@ -431,9 +470,9 @@ def _checkpoint_oriented(
     blocks compete with the downstream wedge join's execution memory. One
     checkpoint of the FINAL oriented set (consumed 3-5× by every caller's
     joins, and the thing lineage must not re-derive) is the right cut."""
-    return _oriented_edges(edges, src_col, dst_col, orient).localCheckpoint(
-        eager=True
-    )
+    return _oriented_edges(
+        edges, src_col, dst_col, orient, assume_canonical=assume_canonical
+    ).localCheckpoint(eager=True)
 
 
 def cooccurrence_edges(
@@ -531,11 +570,18 @@ def cooccurrence_wedge_audit(
         max_basket_size=max_basket_size,
         assume_distinct_pairs=assume_distinct_pairs,
     )
-    return wedge_audit_from_edges(e)
+    # cooccurrence_edges output is canonical by construction (src < dst,
+    # distinct) — skip the redundant normalize+distinct shuffle inside the
+    # orientation (r9: the budget-audit ladder paid that pass per rung)
+    return wedge_audit_from_edges(e, assume_canonical=True)
 
 
 def wedge_audit_from_edges(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """The degree-tally half of :func:`cooccurrence_wedge_audit`, for
     callers that already hold the undirected edge list (so audit and
@@ -547,7 +593,7 @@ def wedge_audit_from_edges(
     # materialization anywhere — checkpointing the oriented set here
     # OOM'd a 16 GB heap on the ×100 uncapped audit (119.6 M edges), and
     # an audit that dies at the scale it exists to price is useless.
-    o = _oriented_edges(e, "src", "dst", "degree")
+    o = _oriented_edges(e, "src", "dst", "degree", assume_canonical=assume_canonical)
     both = o.select(
         F.explode(
             F.array(
@@ -649,12 +695,75 @@ def derive_cooccurrence_caps(
     return {"chosen": chosen, "ladder": audits}
 
 
+# Closing-stage router (r9 optimization): below this many ORIENTED edges
+# the adjacency table (one array row per out-vertex, Σ sizes = n_edges
+# longs ≈ 16 B/edge ≈ 64 MB at the bound) is broadcast and each edge
+# (a, b) counts |N⁺(a) ∩ N⁺(b)| map-side — the wedge stream is never
+# materialized OR shuffled, and the closing membership probe disappears
+# into one vectorized array_intersect per edge. Measured at sf0.1
+# (1.196 M edges, 49.2 M wedges): 4.8 s vs 7.5 s for the broadcast
+# semi-join and ~9 s for the shuffled semi-join, identical count. Past
+# the bound the classic wedge join + semi close runs — the shape whose
+# Σ deg⁺² bill the wedge audit prices.
+_INTERSECT_MAX_EDGES = 4_000_000
+
+
+def _close_triangles(e: DataFrame, n_edges: int) -> DataFrame:
+    """One row ``(n_triangles,)`` from a MATERIALIZED oriented edge set
+    ``(a, b)``. Routed by ``n_edges`` (known — the caller counted the
+    materialized set): broadcast adjacency-intersect in the small regime,
+    wedge join + left-semi close past it. Both compute the identical
+    exact count (every triangle x→y→z under the orientation is found
+    exactly once: as z ∈ N⁺(x)∩N⁺(y) at edge (x,y), or as the closed
+    wedge x→y→z)."""
+    if n_edges <= _INTERSECT_MAX_EDGES:
+        adj = e.groupBy(F.col("a").alias("__v")).agg(
+            F.collect_list("b").alias("__nb")
+        )
+        # inner joins: an endpoint with no out-edges has no adj row, but
+        # its intersect term is empty (contributes 0), so dropping the row
+        # leaves the SUM unchanged
+        return (
+            e.join(
+                F.broadcast(
+                    adj.select(F.col("__v").alias("a"), F.col("__nb").alias("__na"))
+                ),
+                "a",
+            )
+            .join(
+                F.broadcast(
+                    adj.select(F.col("__v").alias("b"), F.col("__nb").alias("__nbb"))
+                ),
+                "b",
+            )
+            .agg(
+                F.coalesce(
+                    F.sum(F.size(F.array_intersect("__na", "__nbb"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_triangles")
+            )
+        )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("x"), F.col("e2.b").alias("z"))
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+        "left_semi",
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
 def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     *,
     orient: str = "degree",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """One row (n_nodes, n_edges, n_triangles): exact triangle count of an
     undirected graph — the classic two-equi-join formulation: orient every
@@ -675,24 +784,97 @@ def triangle_count(
     Σ deg⁺² ≈ n·(d/2)² regardless (measured: the ×100 co-purchase graph
     is 9.97 B wedges under either order — SCALE.md wave-10 — a quantity
     that needs cluster-wide spill, not a better exponent; the formula
-    predicts it exactly)."""
-    e = _checkpoint_oriented(edges, src_col, dst_col, orient)
-    wedges = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
-        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    predicts it exactly).
+
+    r9 optimization: the closing stage is routed by the materialized edge
+    count (see :func:`_close_triangles`) — under ``_INTERSECT_MAX_EDGES``
+    the 49 M-row wedge stream at sf0.1 is replaced by a broadcast
+    adjacency-intersect that never shuffles wedges at all; past the bound
+    the classic wedge+semi shape runs unchanged."""
+    e = _checkpoint_oriented(
+        edges, src_col, dst_col, orient, assume_canonical=assume_canonical
     )
-    tri = wedges.join(
-        e.alias("e3"),
-        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
-        "left_semi",
-    )
+    n_edges = e.count()  # materialized — a cheap count that routes the close
     nodes = e.select(F.col("a").alias("v")).union(e.select(F.col("b").alias("v"))).distinct()
     return (
-        tri.agg(F.count("*").alias("n_triangles"))
-        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        _close_triangles(e, n_edges)
         .crossJoin(nodes.agg(F.count("*").alias("n_nodes")))
-        .select("n_nodes", "n_edges", "n_triangles")
+        .select(
+            "n_nodes",
+            F.lit(int(n_edges)).cast("long").alias("n_edges"),
+            "n_triangles",
+        )
+    )
+
+
+def triangle_count_with_audit(
+    edges: DataFrame,
+    *,
+    wedge_budget: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Preflight-priced exact triangle count: ONE materialization of the
+    (degree, id)-oriented edge set serves BOTH the wedge audit and the
+    triangle close — the r9 replacement for audit-then-recompute (the
+    pre-r9 uncapped query built the edge set twice: once for the lineage
+    audit, once for ``triangle_count``'s checkpoint).
+
+    The materialization is **DISK_ONLY** (via :func:`tracked_cache`), so
+    the refusal path stays refusal-safe at the scale the audit exists to
+    price: wave-11's OOM was a MEMORY_AND_DISK checkpoint competing with
+    the wedge join's execution memory; a disk-only block competes with
+    nothing (the ×100 uncapped set is ~2 GB of long pairs on local disk,
+    and the audit that reads it is two keyed counts + one scalar join).
+    Over budget ⇒ ``ValueError`` naming the exact bill BEFORE any
+    O(wedges) work, same contract as before.
+
+    Returns one row ``(n_nodes, n_edges, n_triangles, n_wedges,
+    within_budget)`` — the audit facts ride the result so an oracle can
+    check the preflight arithmetic."""
+    from pyspark.storagelevel import StorageLevel
+
+    from vector_db_spark.caching import tracked_cache
+
+    o = tracked_cache(
+        _oriented_edges(
+            edges, src_col, dst_col, "degree", assume_canonical=assume_canonical
+        ),
+        "knn_graph.triangle_audit.oriented",
+        storage_level=StorageLevel.DISK_ONLY,
+    )
+    n_edges = o.count()
+    od = o.groupBy(F.col("a").alias("__v")).agg(F.count("*").alias("__od"))
+    idg = o.groupBy(F.col("b").alias("__v")).agg(F.count("*").alias("__id"))
+    # inner join: a vertex missing from either side has od·id = 0 and
+    # contributes nothing to the wedge sum
+    n_wedges = int(
+        od.join(idg, "__v")
+        .agg(
+            F.coalesce(F.sum(F.col("__od") * F.col("__id")), F.lit(0)).alias("w")
+        )
+        .collect()[0]["w"]
+    )
+    if n_wedges > wedge_budget:
+        raise ValueError(
+            f"wedge join prices at {n_wedges:,} rows "
+            f"(> budget {wedge_budget:,}; ≈{n_wedges * 24 / 1e9:.0f} GB "
+            "shuffle) — cap the graph (derive_cooccurrence_caps / "
+            "cooccurrence_capped_triangles) or raise the budget on a "
+            "cluster that can hold the spill"
+        )
+    nodes = o.select(F.col("a").alias("v")).union(o.select(F.col("b").alias("v"))).distinct()
+    return (
+        _close_triangles(o, n_edges)
+        .crossJoin(nodes.agg(F.count("*").alias("n_nodes")))
+        .select(
+            "n_nodes",
+            F.lit(int(n_edges)).cast("long").alias("n_edges"),
+            "n_triangles",
+            F.lit(int(n_wedges)).cast("long").alias("n_wedges"),
+            F.lit(bool(n_wedges <= wedge_budget)).alias("within_budget"),
+        )
     )
 
 
@@ -864,11 +1046,15 @@ def link_prediction_jaccard(
         .groupBy("a", "b")
         .agg(F.count("*").alias("common"))
     )
-    non_edges = common.join(
-        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
-        ["a", "b"],
-        "left_anti",
-    )
+    # existing-edge removal: with a target scope, every candidate pair has
+    # a ∈ S, so only the S-sourced slice of e can match — the broadcast
+    # semi-filter cuts the anti-join's edge side from |E| rows to
+    # Σ_{a∈S} deg(a) map-side over the checkpointed e (r9; the unscoped
+    # form still anti-joins the full edge set)
+    e_ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    if sources is not None:
+        e_ab = e_ab.join(F.broadcast(src_ids), "a", "left_semi")
+    non_edges = common.join(e_ab, ["a", "b"], "left_anti")
     scored = (
         non_edges.join(hint(deg.select(F.col("src").alias("a"), F.col("d").alias("da"))), "a")
         .join(hint(deg.select(F.col("src").alias("b"), F.col("d").alias("db"))), "b")
@@ -933,11 +1119,11 @@ def link_prediction_adamic_adar(
             F.round(F.lit(1.0) / F.log(F.col("dm")), 12).cast("decimal(28,12)")
         ).alias("__aa"),
     )
-    non_edges = common.join(
-        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
-        ["a", "b"],
-        "left_anti",
-    )
+    # same S-sourced anti-join cut as link_prediction_jaccard (r9)
+    e_ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    if sources is not None:
+        e_ab = e_ab.join(F.broadcast(src_ids), "a", "left_semi")
+    non_edges = common.join(e_ab, ["a", "b"], "left_anti")
     return (
         non_edges.orderBy(F.col("__aa").desc(), "a", "b")
         .limit(top_n)
@@ -1297,18 +1483,31 @@ def personalized_pagerank(
         node_df = nodes.select(F.col(c).alias("src")).distinct()
     s_col = sources.columns[0]
     src_set = sources.select(F.col(s_col).alias("src")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    # source AND dangling flags resolved ONCE into the checkpointed node
+    # table (off the materialized edge set) — the pre-r9 per-iteration
+    # dangling anti-join against the UNPINNED deg recomputed the full
+    # edge build every round
     node_df = (
         node_df.join(src_set.withColumn("__is_s", F.lit(True)), "src", "left")
-        .select("src", F.coalesce("__is_s", F.lit(False)).alias("__is_s"))
+        .join(
+            ed.select("src").distinct().withColumn("__has_out", F.lit(True)),
+            "src",
+            "left",
+        )
+        .select(
+            "src",
+            F.coalesce("__is_s", F.lit(False)).alias("__is_s"),
+            F.coalesce("__has_out", F.lit(False)).alias("__has_out"),
+        )
         .localCheckpoint(eager=True)
     )
     n_s = node_df.filter("__is_s").count()
     if n_s == 0:
         raise ValueError("sources must intersect the node set")
     teleport = F.when(F.col("__is_s"), F.lit(1.0 / n_s)).otherwise(F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
-    ranks = node_df.select("src", "__is_s", teleport.alias("rank"))
+    ranks = node_df.select("src", "__is_s", "__has_out", teleport.alias("rank"))
     for it in range(n_iter):
         contrib = (
             ed.join(ranks.select("src", "rank"), "src")
@@ -1316,10 +1515,8 @@ def personalized_pagerank(
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
             .withColumnRenamed("dst", "src")
         )
-        dang = (
-            ranks.select("src", "rank")
-            .join(deg, "src", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        dang = ranks.filter(~F.col("__has_out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
         ranks = (
             node_df.join(contrib, "src", "left")
@@ -1327,6 +1524,7 @@ def personalized_pagerank(
             .select(
                 "src",
                 "__is_s",
+                "__has_out",
                 (
                     F.lit(1.0 - damping) * teleport
                     + F.lit(damping)

@@ -615,9 +615,19 @@ def _hnsw_invariant_stats(emb: DataFrame, *, m: int, cache_key: str) -> DataFram
     """The reference's structural battery (tests/indexing/test_hnsw.py:
     155-185) over a per-``cluster_id`` HNSW export, DISTRIBUTED: level-0
     completeness, M/2M degree caps, and ≥ 90 % of each shard's nodes in
-    one level-0 component via hash-min components — no driver BFS."""
-    from vector_db_spark.operators.hnsw_export import export_partition_hnsw
-    from vector_db_spark.operators.knn_graph import components_from_edges
+    one level-0 component.
+
+    r9 optimization: connectivity uses the per-shard local union-find
+    (``shard_component_stats``) — (cluster, shard) graphs are independent
+    and bounded at ``HNSW_MAX_GROUP`` nodes by the exporter, so one Arrow
+    task per shard replaces the ~log(n)-round distributed hash-min loop
+    (each round: two joins + aggregation + eager checkpoint + convergence
+    count) that dominated both hnsw bench rows. Identical component
+    sizes, identical battery booleans."""
+    from vector_db_spark.operators.hnsw_export import (
+        export_partition_hnsw,
+        shard_component_stats,
+    )
 
     g = export_partition_hnsw(emb, m=m, ef_construction=50)
     g = tracked_cache(g, cache_key)
@@ -634,21 +644,11 @@ def _hnsw_invariant_stats(emb: DataFrame, *, m: int, cache_key: str) -> DataFram
         ).alias("dup"),
     )
 
-    edges = l0.select(
-        F.col("src_id").alias("src"), F.explode("neighbors").alias("dst")
-    )
-    comp = components_from_edges(edges, nodes=l0.select("src_id").distinct())
     # connectivity holds PER SHARD (graphs are independent per
     # (cluster, shard); unsplit clusters have the single shard 0):
     # every shard's largest component must cover >= 90% of that shard
     comp_sized = (
-        l0.select("cluster_id", "shard", F.col("src_id").alias("id"))
-        .distinct()
-        .join(comp, "id")
-        .groupBy("cluster_id", "shard", "component")
-        .agg(F.count("*").alias("csz"))
-        .groupBy("cluster_id", "shard")
-        .agg(F.max("csz").alias("max_comp"), F.sum("csz").alias("shard_nodes"))
+        shard_component_stats(l0)
         .groupBy("cluster_id")
         .agg(
             F.min(

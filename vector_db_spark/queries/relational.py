@@ -1475,35 +1475,26 @@ def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ×100 blow-up audits at 4.92 B wedges ≈ 118 GB shuffle (SCALE.md
     wave-11) and raises here in O(edges) time. The audit facts ride the
     result row (``n_wedges``, ``within_budget``) so the oracle checks the
-    preflight arithmetic, not just the count."""
+    preflight arithmetic, not just the count.
+
+    r9 optimization: ONE materialization of the oriented edge set now
+    serves BOTH the audit and the triangle close
+    (``triangle_count_with_audit`` — DISK_ONLY, so the refusal path never
+    competes with execution memory; the pre-r9 shape built the edge set
+    twice, once per consumer, and paid a redundant normalize+distinct
+    inside each orientation). Same audit arithmetic, same refusal-before-
+    spill contract, same result row."""
     from vector_db_spark.operators.knn_graph import (
         cooccurrence_edges,
-        triangle_count,
-        wedge_audit_from_edges,
+        triangle_count_with_audit,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # ONE edge definition feeds the preflight audit and the wedge join
-    # (lineage recompute, deliberately uncached: wave-11 measured pinning
-    # the edge set LOSES to shuffle-file re-reads at the ×100 shape)
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    audit = wedge_audit_from_edges(edges).collect()[0]
-    if audit.n_wedges > _COOC_UNCAPPED_WEDGE_BUDGET:
-        raise ValueError(
-            f"uncapped co-occurrence wedge join prices at {audit.n_wedges:,} "
-            f"rows (> budget {_COOC_UNCAPPED_WEDGE_BUDGET:,}; ≈"
-            f"{audit.n_wedges * 24 / 1e9:.0f} GB shuffle) — use "
-            "derive_cooccurrence_caps / cooccurrence_capped_triangles, or "
-            "raise the budget on a cluster that can hold the spill"
-        )
-    return triangle_count(edges).select(
-        "n_nodes",
-        "n_edges",
-        "n_triangles",
-        F.lit(int(audit.n_wedges)).cast("long").alias("n_wedges"),
-        F.lit(bool(audit.n_wedges <= _COOC_UNCAPPED_WEDGE_BUDGET)).alias(
-            "within_budget"
-        ),
+    return triangle_count_with_audit(
+        edges,
+        wedge_budget=_COOC_UNCAPPED_WEDGE_BUDGET,
+        assume_canonical=True,
     )
 
 
@@ -1558,7 +1549,9 @@ def cooccurrence_capped_triangles(spark: SparkSession, sf_dir: str) -> DataFrame
         max_item_df=_COOC_MAX_DF,
         max_basket_size=_COOC_MAX_BASKET,
     )
-    return triangle_count(edges)
+    # cooccurrence_edges output is canonical (src < dst, distinct): skip
+    # the orientation's redundant normalize+distinct shuffle (r9)
+    return triangle_count(edges, assume_canonical=True)
 
 
 _COOC_LADDER = ((37, 5), (30, 4), (30, 3), (25, 3))
@@ -1775,6 +1768,11 @@ def copurchase_ppr_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
+        # pinned ONCE (r9): the edge list feeds five consumers (PPR's
+        # node/degree/edge tables, the hop-1/hop-2 locality probes, and
+        # the node count) — unpinned, each action recomputed the lineitem
+        # self-join + distinct from scratch
+        .localCheckpoint(eager=True)
     )
     nodes = pairs.select(F.col("src").alias("node")).distinct()
     seeds = nodes.orderBy("node").limit(10).withColumnRenamed("node", "s")

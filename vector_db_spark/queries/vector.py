@@ -913,17 +913,36 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     neg = tracked_cache(sample_non_edges(edges, n_per_node=5), "q.vector.negsamp.neg")
     n_pairs = neg.count()
-    n_srcs = edges.select("src").distinct().count()
-    quota_ok = (
-        neg.groupBy("src").count().filter(F.col("count") != 5).count() == 0
-        and neg.select("src").distinct().count() == n_srcs
+    # audit-job consolidation (r9): the per-source quota facts collapse to
+    # ONE aggregation over the cached draw (present-source count + bad-quota
+    # count in a single job, vs three separate count actions), the overlap
+    # recount stops at the first violation (the row only carries the
+    # boolean), and the layout-invariance replay compares via one
+    # full-outer join instead of two exceptAll jobs (both sides are unique
+    # (src, neg_dst) pairs by construction — the md5 rank keeps exactly one
+    # row per candidate — so set equality ⇔ no one-sided row).
+    qrow = (
+        neg.groupBy("src")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("present"),
+            F.coalesce(F.sum((F.col("c") != 5).cast("int")), F.lit(0)).alias("bad"),
+        )
+        .collect()[0]
     )
+    n_srcs = edges.select("src").distinct().count()
+    quota_ok = qrow.bad == 0 and qrow.present == n_srcs
     overlap = neg.join(
         edges.select("src", F.col("dst").alias("neg_dst")), ["src", "neg_dst"]
-    ).count()
+    ).limit(1).count()
     redraw = sample_non_edges(edges.repartition(13), n_per_node=5)
     same = (
-        redraw.exceptAll(neg).count() == 0 and neg.exceptAll(redraw).count() == 0
+        neg.withColumn("__l", F.lit(1))
+        .join(redraw.withColumn("__r", F.lit(1)), ["src", "neg_dst"], "full")
+        .filter(F.col("__l").isNull() | F.col("__r").isNull())
+        .limit(1)
+        .count()
+        == 0
     )
     return spark.createDataFrame(
         [(n_srcs, n_pairs, overlap == 0, quota_ok, same)],
