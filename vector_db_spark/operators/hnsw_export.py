@@ -93,11 +93,18 @@ def _search_layer(
         d, i = heapq.heappop(cand)
         if best and d > -best[0][0] and len(best) >= ef:
             break
-        for j in adj[level].get(i, ()):
-            if j in visited:
-                continue
-            visited.add(j)
-            dj = dist(j)
+        # one vectorized distance evaluation for ALL unvisited neighbors of
+        # the popped node (r9: the per-neighbor numpy call dominated the
+        # build's Python time). Each row of the batch is the same
+        # contiguous float64 reduction the scalar form computed, so the
+        # distances — and therefore the graph — are bit-identical; pushes
+        # happen in the original adjacency order.
+        fresh = [j for j in adj[level].get(i, ()) if j not in visited]
+        if not fresh:
+            continue
+        visited.update(fresh)
+        dj_all = np.sqrt(((X[fresh] - q) ** 2).sum(axis=1))
+        for j, dj in zip(fresh, dj_all.tolist()):
             if len(best) < ef or dj < -best[0][0]:
                 heapq.heappush(cand, (dj, j))
                 heapq.heappush(best, (-dj, j))
@@ -126,9 +133,10 @@ def _build_one_graph(
         nbrs = adj[level][i]
         if len(nbrs) <= cap:
             return
-        ds = sorted(
-            (float(np.sqrt(((X[i] - X[j]) ** 2).sum())), j) for j in nbrs
-        )
+        # vectorized over the over-cap neighbor list (bit-identical rows
+        # of the same float64 reduction the scalar form computed)
+        d_all = np.sqrt(((X[nbrs] - X[i]) ** 2).sum(axis=1))
+        ds = sorted(zip(d_all.tolist(), nbrs))
         adj[level][i] = [j for _, j in ds[:cap]]
 
     for i in range(len(ids)):

@@ -663,9 +663,9 @@ def derive_cooccurrence_caps(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    audits: list[dict] = []
-    chosen: dict | None = None
-    for max_df, cap in ladder:
+
+    def _audit_one(rung: tuple[int | None, int | None]) -> dict:
+        max_df, cap = rung
         row = (
             cooccurrence_wedge_audit(
                 bi,
@@ -681,10 +681,29 @@ def derive_cooccurrence_caps(
         row["max_item_df"] = max_df
         row["max_basket_size"] = cap
         row["fits"] = row["n_wedges"] <= wedge_budget
-        audits.append(row)
-        if row["fits"] and chosen is None:
-            chosen = row
-            if not audit_all:
+        return row
+
+    audits: list[dict] = []
+    chosen: dict | None = None
+    if audit_all:
+        # every rung runs regardless, and each is an independent O(edges)
+        # job over the SAME checkpointed projection — overlap them from a
+        # small driver thread pool so one rung's stage tail backfills the
+        # executors with the next rung's tasks (guide §2.6); results are
+        # assembled in ladder order, so the first-fit selection below is
+        # byte-identical to the sequential walk
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(3, len(ladder))) as pool:
+            audits = list(pool.map(_audit_one, ladder))
+        chosen = next((a for a in audits if a["fits"]), None)
+    else:
+        # early-stop semantics: later rungs must NOT run once one fits
+        for rung in ladder:
+            row = _audit_one(rung)
+            audits.append(row)
+            if row["fits"] and chosen is None:
+                chosen = row
                 break
     if chosen is None and strict:
         raise ValueError(
@@ -993,6 +1012,49 @@ def _deg_hint(deg: DataFrame):
     return (F.broadcast if small else (lambda d: d)), deg
 
 
+def _symmetric_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Materialized symmetric closure of an undirected edge list: both
+    directions of every distinct edge, loops dropped.
+
+    r9 shape: dedup on the CANONICAL (least, greatest) form first, then
+    union the reverse — the distinct shuffles half the rows of the old
+    union-then-distinct, and the two union branches share the distinct's
+    exchange (ReusedExchange), so the dedup aggregation's shuffle runs
+    once. Output set is identical: the symmetric closure of the same
+    undirected edge set (canonical rows and their reverses cannot
+    collide)."""
+    canon = (
+        edges.select(
+            F.least(src_col, dst_col).alias("src"),
+            F.greatest(src_col, dst_col).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return canon.union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+
+_MAX_BROADCAST_WEDGE_SIDE = 1_000_000
+
+
+def _wedge_side_hint(a_side: DataFrame) -> DataFrame:
+    """Probed broadcast of the target-restricted wedge side: ``a_side`` is
+    the adjacency of the source set (Σ_{a∈S} deg(a) rows — |S| is an
+    application-bounded page/batch in practice, but NOT bounded by
+    construction, so the hint is limit-probed like every other broadcast
+    in this repo). Broadcast keeps the wedge join from shuffling the full
+    edge table by the midpoint; past the bound the plain shuffle join
+    runs. The probe is a narrow limit over the checkpointed edge scan —
+    O(threshold)."""
+    small = (
+        a_side.limit(_MAX_BROADCAST_WEDGE_SIDE + 1).count()
+        <= _MAX_BROADCAST_WEDGE_SIDE
+    )
+    return F.broadcast(a_side) if small else a_side
+
+
 def link_prediction_jaccard(
     edges: DataFrame,
     src_col: str = "src",
@@ -1023,13 +1085,7 @@ def link_prediction_jaccard(
     wedge's ``a`` side to it map-side — volume drops to
     Σ_{a∈S} deg(a)·deg(m), linear in |S|. With sources, pairs are
     directed (a ∈ S, b anywhere); without, unordered a < b."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    e = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _symmetric_edges(edges, src_col, dst_col)
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     hint, deg = _deg_hint(deg)
     # wedges through the shared neighbor m: (a, m) + (m, b)
@@ -1037,6 +1093,7 @@ def link_prediction_jaccard(
     if sources is not None:
         src_ids = sources.select(F.col(sources.columns[0]).alias("a")).distinct()
         a_side = a_side.join(F.broadcast(src_ids), "a", "left_semi")
+        a_side = _wedge_side_hint(a_side)
         pair_cond = F.col("a") != F.col("b")
     else:
         pair_cond = F.col("a") < F.col("b")
@@ -1092,19 +1149,14 @@ def link_prediction_adamic_adar(
     DECIMAL(28,12) — the order-independent sum that makes the score
     engine-exact at any parallelism; ordering uses the exact decimal,
     output rounds to 6."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    e = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _symmetric_edges(edges, src_col, dst_col)
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     hint, deg = _deg_hint(deg)
     a_side = e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
     if sources is not None:
         src_ids = sources.select(F.col(sources.columns[0]).alias("a")).distinct()
         a_side = a_side.join(F.broadcast(src_ids), "a", "left_semi")
+        a_side = _wedge_side_hint(a_side)
         pair_cond = F.col("a") != F.col("b")
     else:
         pair_cond = F.col("a") < F.col("b")
