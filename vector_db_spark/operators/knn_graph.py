@@ -1255,9 +1255,14 @@ def random_walks(
     walk frontier (|starts| rows) against the adjacency table. Walks
     from dead-end nodes (no out-edges) stop early. Output:
     ``(start, step, node)`` with step 0 = the start itself."""
+    # adjacency pinned ONCE (r9): unpinned, each step's join — and each
+    # step's re-evaluation under the final union — recomputed the full
+    # edge lineage (for the registered walk queries that lineage is a
+    # k-NN join). Node-sized, capped at max_degree neighbors per row.
     adj = (
         edges.groupBy(F.col(src_col).alias("__n"))
         .agg(F.slice(F.array_sort(F.collect_set(F.col(dst_col))), 1, max_degree).alias("__nbrs"))
+        .localCheckpoint(eager=True)
     )
     frontier = starts.select(
         F.col(start_col).alias("start"), F.col(start_col).alias("node")
@@ -1281,6 +1286,9 @@ def random_walks(
                     F.col("__nbrs"), (F.pmod(h, F.size("__nbrs")) + 1).cast("int")
                 ).alias("node"),
             )
+            # per-step pin: without it the returned union re-evaluates the
+            # join chain once per LATER step (O(length²) joins total)
+            .localCheckpoint(eager=True)
         )
         out = out.unionByName(frontier.select("start", F.lit(i).alias("step"), "node"))
     return out
@@ -1443,13 +1451,17 @@ def node2vec_walks(
     reshuffles. First hop has no t: prev=start makes every candidate
     weight 1 (uniform). Output: ``(start, step, node)``."""
     inv_p, inv_q = 1.0 / p, 1.0 / q
+    # both graph-shaped tables pinned ONCE (r9): unpinned, every step —
+    # and every re-evaluation of a step under the final union — recomputed
+    # them from the raw edge lineage (a k-NN join for the registered
+    # walk queries)
     adj = edges.groupBy(F.col(src_col).alias("__n")).agg(
         F.slice(F.array_sort(F.collect_set(F.col(dst_col))), 1, max_degree).alias("__nbrs")
-    )
+    ).localCheckpoint(eager=True)
     adj_mark = edges.select(
         F.col(src_col).alias("prev"), F.col(dst_col).alias("cand"),
         F.lit(True).alias("__adj"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     frontier = starts.select(
         F.col(start_col).alias("start"),
         F.col(start_col).alias("prev"),
@@ -1498,6 +1510,10 @@ def node2vec_walks(
                 F.first("node").alias("node"),
             )
             .select("start", F.col("node").alias("prev"), F.col("__next").alias("node"))
+            # per-step pin (see random_walks): the returned union would
+            # otherwise re-evaluate each step's join+window chain once per
+            # later step
+            .localCheckpoint(eager=True)
         )
         out = out.unionByName(frontier.select("start", F.lit(i).alias("step"), "node"))
     return out

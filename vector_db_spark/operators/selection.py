@@ -113,7 +113,10 @@ def greedy_max_coverage(
                     .select(elem_col)
                     .distinct()
                 )
-                cand = cand.join(covered, elem_col, "left_anti")
+                # broadcast: the covered set is bounded by k picks × one
+                # document's elements — k-bounded at ANY corpus scale, so
+                # the anti-join never shuffles the candidate incidence (r9)
+                cand = cand.join(F.broadcast(covered), elem_col, "left_anti")
             top = (
                 cand.groupBy(id_col)
                 .agg(F.count("*").alias("new_cov"))
@@ -212,7 +215,9 @@ def stochastic_greedy_max_coverage(
                     .select(elem_col)
                     .distinct()
                 )
-                cand = cand.join(covered, elem_col, "left_anti")
+                # k-bounded covered set (see greedy_max_coverage): broadcast
+                # keeps the anti-join from shuffling the sampled candidates
+                cand = cand.join(F.broadcast(covered), elem_col, "left_anti")
             top = (
                 cand.groupBy(id_col)
                 .agg(F.count("*").alias("new_cov"))
