@@ -527,12 +527,26 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     ).filter(F.col("query_id") < N_QUERIES)
     exact = knn_join(queries, emb, TOP_K, impl="batch").localCheckpoint(eager=True)
-    rows, prev = [], -1.0
-    for p in _SWEEP_PROBES:
-        per_q = _recall_per_query(idx.search(queries, k=TOP_K, n_probe=p), exact, TOP_K)
-        agg = per_q.agg(
+
+    # the four probe sweeps are independent reads of the cached index and
+    # the checkpointed exact baseline — overlap them from a small driver
+    # thread pool (guide §2.6) so one sweep's stage tail backfills with the
+    # next; the monotonicity booleans only COMPARE the means, so they are
+    # derived afterward in probe order, identical to the sequential walk
+    def _one(p: int):
+        per_q = _recall_per_query(
+            idx.search(queries, k=TOP_K, n_probe=p), exact, TOP_K
+        )
+        return per_q.agg(
             F.count("*").alias("nq"), F.avg("recall").alias("mr")
         ).collect()[0]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        aggs = list(pool.map(_one, _SWEEP_PROBES))
+    rows, prev = [], -1.0
+    for p, agg in zip(_SWEEP_PROBES, aggs):
         rows.append(
             (
                 p,
