@@ -1286,9 +1286,13 @@ def random_walks(
                     F.col("__nbrs"), (F.pmod(h, F.size("__nbrs")) + 1).cast("int")
                 ).alias("node"),
             )
-            # per-step pin: without it the returned union re-evaluates the
-            # join chain once per LATER step (O(length²) joins total)
-            .localCheckpoint(eager=True)
+            # per-step pin, LAZY: without it the returned union re-evaluates
+            # the join chain once per LATER step (O(length²) joins total);
+            # eager would instead pay one scheduler round-trip per step even
+            # when the caller consumes the union in a single action. Lazy
+            # checkpointing materializes each step exactly once, inside the
+            # consuming action, and later steps read the pinned RDD.
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(frontier.select("start", F.lit(i).alias("step"), "node"))
     return out
@@ -1510,10 +1514,10 @@ def node2vec_walks(
                 F.first("node").alias("node"),
             )
             .select("start", F.col("node").alias("prev"), F.col("__next").alias("node"))
-            # per-step pin (see random_walks): the returned union would
+            # per-step pin, LAZY (see random_walks): the returned union would
             # otherwise re-evaluate each step's join+window chain once per
-            # later step
-            .localCheckpoint(eager=True)
+            # later step; lazy avoids paying a scheduler round-trip per step
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(frontier.select("start", F.lit(i).alias("step"), "node"))
     return out
