@@ -394,7 +394,11 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     # The driver captures only a short tail of stdout, so the final line must
     # stay compact (<200 chars): headline scalar only. The full per-query map
-    # goes to stderr and BENCH_DETAIL.json for humans and the judge.
+    # goes to stderr and BENCH_DETAIL.json for humans and the judge — and,
+    # since r10 (VERDICT r9 item 3), ALSO to stdout as a second single-line
+    # JSON (`per_query_wall`) printed BEFORE the compact contract line, so a
+    # driver that reads more than the tail can populate its per-query
+    # comparison without touching the existing contract.
     detail = {
         "metric": "headline_queries_total_wall",
         # protocol 2 = the r8 redefinition: one-shot *_build rows live in
@@ -427,6 +431,21 @@ def main() -> None:
                 json.dump(detail, f, indent=1)
         except OSError as e:
             print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
+    # r10 (VERDICT r9 item 3): per-query timings as their own stdout line.
+    # Additions-only — the compact contract line stays LAST so tail-capture
+    # drivers keep parsing exactly what they parsed before.
+    print(
+        json.dumps(
+            {
+                "metric": "per_query_wall",
+                "protocol": 2,
+                "unit": "sec",
+                "sf": detail["sf"],
+                "canary": detail["canary_matmul_sec"],
+                "queries": timings,
+            }
+        )
+    )
     print(
         json.dumps(
             {

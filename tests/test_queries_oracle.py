@@ -34,13 +34,32 @@ def test_driver_tier_within_budget_and_fully_oracled():
     assert sorted(set(QUERIES) - set(ORACLES)) == []
 
 
-@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
+# r10 (VERDICT r9 item 2): the EXTRA-tier half of the full-registry sweep
+# carries the ``oracle_full`` marker and is deselected by the default
+# invocation (pytest.ini addopts), so `python -m pytest tests/ -x -q`
+# finishes inside the driver's window. Every DRIVER-tier query stays
+# oracle-checked in the default run. The full sweep is one opt-in away:
+#     python -m pytest tests/ -q -m ""
+# and the builder runs + logs it once per round (OPTIMIZATION_r10.md).
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=[] if n in QUERIES else [pytest.mark.oracle_full])
+        for n in sorted(ALL_ORACLES)
+    ],
+)
 def test_oracle_parity(spark, sf_correctness, con, name):
     df = ALL_QUERIES[name](spark, sf_correctness)
     assert_parity(df, con, ALL_ORACLES[name], name)
 
 
-@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ALL_ORACLES)))
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=[] if n in QUERIES else [pytest.mark.oracle_full])
+        for n in sorted(set(ALL_QUERIES) - set(ALL_ORACLES))
+    ],
+)
 def test_rows_only_queries_run(spark, sf_correctness, name):
     df = ALL_QUERIES[name](spark, sf_correctness)
     assert df.count() >= 0

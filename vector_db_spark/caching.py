@@ -29,7 +29,9 @@ def tracked_cache(df: DataFrame, key: str, storage_level=None) -> DataFrame:
     """Cache ``df``, evicting the previous block cached under ``key``.
 
     ``storage_level`` (a ``pyspark.StorageLevel``) overrides the default
-    ``.cache()`` (MEMORY_AND_DESER): pass ``StorageLevel.DISK_ONLY`` for a
+    ``.cache()`` (MEMORY_AND_DISK_DESER — PySpark's DataFrame default, which
+    spills to local disk rather than dropping blocks): pass
+    ``StorageLevel.DISK_ONLY`` for a
     materialization that must never compete with downstream execution
     memory (e.g. an edge set that gates a wedge join — the wave-11 OOM was
     memory-resident blocks fighting the join's execution pool; disk-only

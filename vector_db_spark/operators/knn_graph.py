@@ -691,11 +691,11 @@ def derive_cooccurrence_caps(
         # small driver thread pool so one rung's stage tail backfills the
         # executors with the next rung's tasks (guide §2.6); results are
         # assembled in ladder order, so the first-fit selection below is
-        # byte-identical to the sequential walk
-        from concurrent.futures import ThreadPoolExecutor
+        # byte-identical to the sequential walk. overlap_map wraps each
+        # rung in inheritable_thread_target (pinned-thread mode, ADVICE r9)
+        from vector_db_spark.parallel import overlap_map
 
-        with ThreadPoolExecutor(max_workers=min(3, len(ladder))) as pool:
-            audits = list(pool.map(_audit_one, ladder))
+        audits = overlap_map(_audit_one, ladder, max_workers=3)
         chosen = next((a for a in audits if a["fits"]), None)
     else:
         # early-stop semantics: later rungs must NOT run once one fits
@@ -734,8 +734,11 @@ def _close_triangles(e: DataFrame, n_edges: int) -> DataFrame:
     wedge join + left-semi close past it. Both compute the identical
     exact count (every triangle x→y→z under the orientation is found
     exactly once: as z ∈ N⁺(x)∩N⁺(y) at edge (x,y), or as the closed
-    wedge x→y→z)."""
-    if n_edges <= _INTERSECT_MAX_EDGES:
+    wedge x→y→z). The intersect route additionally requires integral id
+    types (r10, ADVICE r9): the ~16 B/entry broadcast estimate behind
+    ``_INTERSECT_MAX_EDGES`` holds for fixed-width ids only — string ids
+    can be arbitrarily wide, so they take the wedge shape at any count."""
+    if n_edges <= _INTERSECT_MAX_EDGES and _integral_ids(e, ("a", "b")):
         adj = e.groupBy(F.col("a").alias("__v")).agg(
             F.collect_list("b").alias("__nb")
         )
@@ -1254,7 +1257,13 @@ def random_walks(
     equi-joins current-node → adjacency: per step one shuffle of the
     walk frontier (|starts| rows) against the adjacency table. Walks
     from dead-end nodes (no out-edges) stop early. Output:
-    ``(start, step, node)`` with step 0 = the start itself."""
+    ``(start, step, node)`` with step 0 = the start itself.
+
+    NOTE (eager at call time): building the walk runs ONE Spark job — the
+    adjacency table is localCheckpoint(eager=True)-pinned so the edge
+    lineage (a k-NN join for the registered walk queries) is evaluated
+    exactly once, not once per step. The pinned blocks are freed when the
+    returned DataFrame is GC'd (ADVICE r9 noted the API became eager)."""
     # adjacency pinned ONCE (r9): unpinned, each step's join — and each
     # step's re-evaluation under the final union — recomputed the full
     # edge lineage (for the registered walk queries that lineage is a
@@ -1286,12 +1295,16 @@ def random_walks(
                     F.col("__nbrs"), (F.pmod(h, F.size("__nbrs")) + 1).cast("int")
                 ).alias("node"),
             )
-            # per-step pin, LAZY: without it the returned union re-evaluates
-            # the join chain once per LATER step (O(length²) joins total);
-            # eager would instead pay one scheduler round-trip per step even
-            # when the caller consumes the union in a single action. Lazy
-            # checkpointing materializes each step exactly once, inside the
-            # consuming action, and later steps read the pinned RDD.
+            # per-step pin, LAZY, kept after re-measurement (r10, VERDICT r9
+            # item 1): with the adjacency pinned the per-step join plans as a
+            # BroadcastHashJoin CHAIN with no exchange in the frontier
+            # lineage, so WITHOUT this pin the union's later branches re-run
+            # (and re-broadcast) every earlier step — O(length²) driver
+            # round-trips; exchange reuse cannot dedupe a chain that has no
+            # exchange. Quiet-window interleaved A/B (canary 0.13-0.20,
+            # min-of-6, both orders): pinned 1.44 s vs unpinned 2.10 s vs
+            # pre-r9 lazy-adjacency 2.05 s. The r9→r9-driver "regression"
+            # VERDICT flagged was tenancy (3.4× canary gap), not this pin.
             .localCheckpoint(eager=False)
         )
         out = out.unionByName(frontier.select("start", F.lit(i).alias("step"), "node"))
@@ -1453,19 +1466,30 @@ def node2vec_walks(
     and one cumulative-sum window keyed on the walk picks the successor.
     Volume per step is O(starts × max_degree); the graph itself never
     reshuffles. First hop has no t: prev=start makes every candidate
-    weight 1 (uniform). Output: ``(start, step, node)``."""
+    weight 1 (uniform). Output: ``(start, step, node)``.
+
+    NOTE (eager at call time): building the walk runs ONE Spark job — the
+    projected edge list is localCheckpoint(eager=True)-pinned so the edge
+    lineage (a k-NN join for the registered walk queries) is evaluated
+    exactly once. r9 instead pinned the two DERIVED tables (capped
+    adjacency + t-adjacency marks) as two independent eager jobs, each of
+    which re-ran the full edge build; pinning the one table both derive
+    from halves that cost and drops a scheduler round-trip (r10). The
+    derived aggregations stay lazy: inside the consuming action each is
+    one exchange over the pinned edge blocks, computed once and re-read
+    by every step via exchange reuse. Pinned blocks are freed when the
+    returned DataFrame is GC'd (ADVICE r9)."""
     inv_p, inv_q = 1.0 / p, 1.0 / q
-    # both graph-shaped tables pinned ONCE (r9): unpinned, every step —
-    # and every re-evaluation of a step under the final union — recomputed
-    # them from the raw edge lineage (a k-NN join for the registered
-    # walk queries)
-    adj = edges.groupBy(F.col(src_col).alias("__n")).agg(
-        F.slice(F.array_sort(F.collect_set(F.col(dst_col))), 1, max_degree).alias("__nbrs")
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
     ).localCheckpoint(eager=True)
-    adj_mark = edges.select(
-        F.col(src_col).alias("prev"), F.col(dst_col).alias("cand"),
+    adj = e.groupBy(F.col("__src").alias("__n")).agg(
+        F.slice(F.array_sort(F.collect_set(F.col("__dst"))), 1, max_degree).alias("__nbrs")
+    )
+    adj_mark = e.select(
+        F.col("__src").alias("prev"), F.col("__dst").alias("cand"),
         F.lit(True).alias("__adj"),
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
     frontier = starts.select(
         F.col(start_col).alias("start"),
         F.col(start_col).alias("prev"),
@@ -1514,9 +1538,11 @@ def node2vec_walks(
                 F.first("node").alias("node"),
             )
             .select("start", F.col("node").alias("prev"), F.col("__next").alias("node"))
-            # per-step pin, LAZY (see random_walks): the returned union would
-            # otherwise re-evaluate each step's join+window chain once per
-            # later step; lazy avoids paying a scheduler round-trip per step
+            # per-step pin, LAZY, kept after re-measurement (r10, VERDICT r9
+            # item 1 — see random_walks): quiet-window interleaved A/B
+            # (canary 0.13-0.20, min-of-6, both orders) put edge-pin+step-pin
+            # at 2.27 s vs 3.06 s without the step pin and 4.69 s for the
+            # pre-r9 fully-lazy shape. The flagged r9 slowdown was tenancy.
             .localCheckpoint(eager=False)
         )
         out = out.unionByName(frontier.select("start", F.lit(i).alias("step"), "node"))
@@ -1613,19 +1639,94 @@ def personalized_pagerank(
     return ranks.select(F.col("src").alias("id"), "rank")
 
 
-def edge_support(edges: DataFrame) -> DataFrame:
+# support-close router (r10, VERDICT r9 item 4): below this many CANONICAL
+# (a<b) edges the UNDIRECTED adjacency — 2·n_edges entries ≈ 16 B/entry ≈
+# 64 MB at the bound — is broadcast twice and each edge computes its own
+# support map-side as |N(a) ∩ N(b)|: the wedge stream is never built OR
+# shuffled, and the explode + keyed recount of the wedge form disappears
+# entirely (per-edge support IS the intersect size). Past the bound, or
+# for non-integral id types whose collected adjacency bytes the edge
+# count does not bound (ADVICE r9), the audited wedge shape runs.
+_SUPPORT_INTERSECT_MAX_EDGES = 2_000_000
+
+_INTEGRAL_TYPES = ("byte", "short", "integer", "long")
+
+
+def _integral_ids(df: DataFrame, cols: tuple[str, str]) -> bool:
+    """True when every id column is a fixed-width integral type — the
+    precondition for the edge-COUNT broadcast bounds (~16 B/entry): string
+    ids can be arbitrarily wide, so the intersect routes fall back to the
+    wedge shape for them (ADVICE r9, knn_graph.py:727)."""
+    by_name = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    return all(by_name.get(c) in _INTEGRAL_TYPES for c in cols)
+
+
+def edge_support(
+    edges: DataFrame,
+    *,
+    assume_canonical: bool = False,
+    n_edges: int | None = None,
+) -> DataFrame:
     """(a, b, support): per-edge triangle count of an undirected graph
-    (a<b normalized). Same oriented wedge-close shape as
-    :func:`triangle_count`, but each found triangle (x<y<z) credits all
-    three of its edges — one explode + one keyed count after the close."""
-    e = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    (a<b normalized).
+
+    Routed by edge count (r10): under ``_SUPPORT_INTERSECT_MAX_EDGES``
+    integral-id edges, support(a,b) = |N(a) ∩ N(b)| over a broadcast
+    undirected adjacency — zero wedge materialization, zero shuffle past
+    the adjacency aggregation. Past the bound: the classic oriented
+    wedge-close shape of :func:`triangle_count`, where each found triangle
+    (x<y<z) credits all three of its edges — one explode + one keyed count
+    after the close. Both routes return the identical exact table (pinned
+    by tests/test_r10_optimizations.py).
+
+    ``assume_canonical=True`` (k_truss peel): the input is already
+    (a<b)-normalized ``src<dst``, distinct, and materialized — skip the
+    normalize + distinct exchange and the redundant localCheckpoint.
+    ``n_edges``: the caller's known edge count (the peel counts every
+    round anyway); when omitted the materialized set is counted — cheap,
+    the blocks are pinned."""
+    if assume_canonical:
+        e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    else:
+        e = (
+            edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if n_edges is None:
+        n_edges = e.count()
+    if n_edges <= _SUPPORT_INTERSECT_MAX_EDGES and _integral_ids(e, ("a", "b")):
+        und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        adj = und.groupBy(F.col("a").alias("__v")).agg(
+            F.collect_list("b").alias("__nb")
+        )
+        # inner joins: both endpoints of every edge have >= 1 neighbor
+        # (each other), so no edge row is dropped; support 0 falls out of
+        # the empty intersect — no left join + coalesce needed
+        return (
+            e.join(
+                F.broadcast(
+                    adj.select(F.col("__v").alias("a"), F.col("__nb").alias("__na"))
+                ),
+                "a",
+            )
+            .join(
+                F.broadcast(
+                    adj.select(F.col("__v").alias("b"), F.col("__nb").alias("__nbb"))
+                ),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("__na", "__nbb"))
+                .cast("long")
+                .alias("support"),
+            )
+        )
     wedges = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
@@ -1649,7 +1750,7 @@ def edge_support(edges: DataFrame) -> DataFrame:
     ).select("e.a", "e.b")
     sup = tri_edges.groupBy("a", "b").agg(F.count("*").alias("support"))
     return e.join(sup, ["a", "b"], "left").select(
-        "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+        "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
     )
 
 
@@ -1663,17 +1764,27 @@ def k_truss(edges: DataFrame, k: int, *, max_iter: int = 30) -> DataFrame:
     shrinks, so the expensive early rounds dominate and later rounds are
     nearly free. Returns the surviving ``(a, b, support)`` edges.
 
-    Scale: per-round cost is the wedge volume Σ deg⁺² of the current
-    subgraph (the same bound as triangle_count, with the same low→high
-    orientation mitigation); lineage is cut per round."""
+    Scale: per-round cost is the support pass over the SURVIVING edges —
+    below the intersect bound one broadcast-adjacency map-side pass, past
+    it the wedge volume Σ deg⁺² of the current subgraph (the same bound as
+    triangle_count, with the same low→high orientation mitigation);
+    lineage is cut per round. The peel normalizes ONCE and hands
+    ``edge_support`` its known per-round edge count (r10): the old shape
+    re-ran the normalize + distinct + checkpoint inside every round's
+    support pass on edges that were already canonical and pinned."""
     if k < 2:
         raise ValueError("k-truss needs k >= 2")
-    cur = edges.select(
-        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-    ).filter(F.col("src") != F.col("dst")).distinct()
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_prev = cur.count()
     for _ in range(max_iter):
-        sup = edge_support(cur)
+        sup = edge_support(cur, assume_canonical=True, n_edges=n_prev)
         cur = (
             sup.filter(F.col("support") >= k - 2)
             .select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -1683,4 +1794,8 @@ def k_truss(edges: DataFrame, k: int, *, max_iter: int = 30) -> DataFrame:
         if n == n_prev:
             break
         n_prev = n
-    return edge_support(cur).withColumnRenamed("a", "src").withColumnRenamed("b", "dst")
+    return (
+        edge_support(cur, assume_canonical=True, n_edges=n_prev)
+        .withColumnRenamed("a", "src")
+        .withColumnRenamed("b", "dst")
+    )

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import os
 from collections.abc import Iterator
-from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -118,8 +117,14 @@ class PQModel:
 
             # the reference's process-parallel codebook training (pq.py:64-75):
             # concurrent Spark jobs from driver threads, each fit cluster-parallel
-            with ThreadPoolExecutor(max_workers=min(n_chunks, 4)) as ex:
-                all_rows = [row for rows in ex.map(fit_chunk, range(n_chunks)) for row in rows]
+            # (overlap_map: pinned-thread-safe property inheritance, ADVICE r9)
+            from vector_db_spark.parallel import overlap_map
+
+            all_rows = [
+                row
+                for rows in overlap_map(fit_chunk, range(n_chunks), max_workers=4)
+                for row in rows
+            ]
             vecs.unpersist()
         else:
             raise ValueError(f"unknown trainer {trainer!r} (use 'sample' or 'ml')")

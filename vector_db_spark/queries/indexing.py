@@ -541,10 +541,9 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("nq"), F.avg("recall").alias("mr")
         ).collect()[0]
 
-    from concurrent.futures import ThreadPoolExecutor
+    from vector_db_spark.parallel import overlap_map
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        aggs = list(pool.map(_one, _SWEEP_PROBES))
+    aggs = overlap_map(_one, _SWEEP_PROBES, max_workers=2)
     rows, prev = [], -1.0
     for p, agg in zip(_SWEEP_PROBES, aggs):
         rows.append(
