@@ -921,29 +921,55 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-outer join instead of two exceptAll jobs (both sides are unique
     # (src, neg_dst) pairs by construction — the md5 rank keeps exactly one
     # row per candidate — so set equality ⇔ no one-sided row).
-    qrow = (
-        neg.groupBy("src")
-        .agg(F.count("*").alias("c"))
-        .agg(
-            F.count("*").alias("present"),
-            F.coalesce(F.sum((F.col("c") != 5).cast("int")), F.lit(0)).alias("bad"),
+    # the four audit facts are independent reads of the two caches
+    # materialized by the count above — overlap them from the driver pool
+    # (guide §2.6, r10): the invariance replay (a full second draw) is the
+    # long pole and the three cheap probes backfill its stage tails. Each
+    # closure returns a scalar; assembly order below is fixed, so the row
+    # is byte-identical to the sequential walk.
+    def _quota():
+        return (
+            neg.groupBy("src")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.count("*").alias("present"),
+                F.coalesce(F.sum((F.col("c") != 5).cast("int")), F.lit(0)).alias(
+                    "bad"
+                ),
+            )
+            .collect()[0]
         )
-        .collect()[0]
+
+    def _n_srcs():
+        return edges.select("src").distinct().count()
+
+    def _overlap():
+        return (
+            neg.join(
+                edges.select("src", F.col("dst").alias("neg_dst")),
+                ["src", "neg_dst"],
+            )
+            .limit(1)
+            .count()
+        )
+
+    def _same():
+        redraw = sample_non_edges(edges.repartition(13), n_per_node=5)
+        return (
+            neg.withColumn("__l", F.lit(1))
+            .join(redraw.withColumn("__r", F.lit(1)), ["src", "neg_dst"], "full")
+            .filter(F.col("__l").isNull() | F.col("__r").isNull())
+            .limit(1)
+            .count()
+            == 0
+        )
+
+    from vector_db_spark.parallel import overlap_map
+
+    qrow, n_srcs, overlap, same = overlap_map(
+        lambda f: f(), [_quota, _n_srcs, _overlap, _same], max_workers=3
     )
-    n_srcs = edges.select("src").distinct().count()
     quota_ok = qrow.bad == 0 and qrow.present == n_srcs
-    overlap = neg.join(
-        edges.select("src", F.col("dst").alias("neg_dst")), ["src", "neg_dst"]
-    ).limit(1).count()
-    redraw = sample_non_edges(edges.repartition(13), n_per_node=5)
-    same = (
-        neg.withColumn("__l", F.lit(1))
-        .join(redraw.withColumn("__r", F.lit(1)), ["src", "neg_dst"], "full")
-        .filter(F.col("__l").isNull() | F.col("__r").isNull())
-        .limit(1)
-        .count()
-        == 0
-    )
     return spark.createDataFrame(
         [(n_srcs, n_pairs, overlap == 0, quota_ok, same)],
         "n_srcs long, n_pairs long, all_negative boolean, quota_ok boolean, "
